@@ -1,0 +1,135 @@
+"""Cached CRS→CRS transformer — the OGRProjCT analogue.
+
+Reference semantics reproduced here:
+- expensive construction, cheap vectorized application
+  (``OGRProjCT`` builds a PROJ pipeline once, then calls
+  ``TransformWithErrorCodes(n, x[], y[], …, success[])`` in bulk,
+  ogr/ogrct.cpp:665, :1793, :2359) — we build numpy projection
+  objects once and cache them per process;
+- per-point success flags instead of exceptions (ogr/ogrct.cpp:2359);
+- ``always_xy`` lon/lat axis order (what ogr2ogr uses via
+  ``OAMS_TRADITIONAL_GIS_ORDER``).
+
+Supported CRS ids (enough for the north-star pipelines; the full PROJ
+database is deliberately out of scope — SURVEY.md Appendix B):
+- ``EPSG:4326`` (WGS84 lon/lat), ``EPSG:4269`` (NAD83), ``EPSG:4267``
+  (NAD27) — geographic
+- ``EPSG:3857`` — spherical WebMercator
+- ``EPSG:326xx`` / ``EPSG:327xx`` — WGS84 UTM north/south
+- ``EPSG:267xx`` — NAD27 (Clarke 1866) UTM north
+- ``EPSG:269xx`` — NAD83 (GRS80) UTM north
+
+Datum shifts are identity (no grid-shift files in this environment);
+transforms across datums use each side's own ellipsoid. Documented
+limitation, mirrored in the test oracles.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from gdal_ray.proj import webmercator
+from gdal_ray.proj.transverse_mercator import (
+    CLARKE1866,
+    GRS80,
+    WGS84,
+    TransverseMercator,
+    utm,
+)
+
+_GEOGRAPHIC = {"EPSG:4326", "EPSG:4267", "EPSG:4269", "CRS:84", "OGC:CRS84"}
+
+
+def _norm(crs: str) -> str:
+    c = str(crs).strip().upper()
+    if c in ("WGS84", "CRS:84", "OGC:CRS84"):
+        return "EPSG:4326"
+    if c.isdigit():
+        return f"EPSG:{c}"
+    return c
+
+
+@functools.lru_cache(maxsize=256)
+def _projection(crs: str):
+    """Return (kind, obj): kind ∈ {geographic, webmercator, tmerc}."""
+    c = _norm(crs)
+    if c in _GEOGRAPHIC:
+        return ("geographic", None)
+    if c in ("EPSG:3857", "EPSG:900913", "EPSG:3785"):
+        return ("webmercator", None)
+    if c.startswith("EPSG:"):
+        code = int(c.split(":")[1])
+        if 32601 <= code <= 32660:
+            return ("tmerc", utm(code - 32600, north=True, ellipsoid=WGS84))
+        if 32701 <= code <= 32760:
+            return ("tmerc", utm(code - 32700, north=False, ellipsoid=WGS84))
+        if 26701 <= code <= 26722:  # NAD27 UTM (byte.tif is 26711)
+            return ("tmerc", utm(code - 26700, north=True, ellipsoid=CLARKE1866))
+        if 26901 <= code <= 26923:  # NAD83 UTM
+            return ("tmerc", utm(code - 26900, north=True, ellipsoid=GRS80))
+    raise ValueError(f"unsupported CRS: {crs!r}")
+
+
+class Transformer:
+    """pyproj.Transformer-shaped API over the pure-numpy projections.
+
+    ``Transformer.from_crs(src, dst)`` is cached per process: build
+    cost is paid once per worker (the actor-pool / per-worker-global
+    pattern from SURVEY.md §2.3), application is vectorized.
+    """
+
+    def __init__(self, src: str, dst: str):
+        self.src = _norm(src)
+        self.dst = _norm(dst)
+        self._src = _projection(self.src)
+        self._dst = _projection(self.dst)
+
+    @classmethod
+    @functools.lru_cache(maxsize=256)
+    def from_crs(cls, src: str, dst: str, always_xy: bool = True) -> "Transformer":
+        if not always_xy:
+            raise ValueError("only always_xy=True (lon/lat order) is supported")
+        return cls(src, dst)
+
+    def transform(self, x, y):
+        """Transform arrays; failed points → NaN (success via isfinite)."""
+        xo, yo, _ = self.transform_with_errors(x, y)
+        return xo, yo
+
+    def transform_with_errors(self, x, y):
+        """OGRProjCT::TransformWithErrorCodes analogue: returns
+        (x, y, success_mask)."""
+        x = np.asarray(x, dtype=np.float64)
+        y = np.asarray(y, dtype=np.float64)
+        if self.src == self.dst:
+            ok = np.isfinite(x) & np.isfinite(y)
+            return x, y, ok
+        # src → geographic lon/lat
+        kind, obj = self._src
+        if kind == "geographic":
+            lon, lat, ok1 = x, y, np.isfinite(x) & np.isfinite(y)
+        elif kind == "webmercator":
+            lon, lat, ok1 = webmercator.inverse(x, y)
+        else:
+            lon, lat, ok1 = obj.inverse(x, y)
+        # geographic → dst
+        kind, obj = self._dst
+        if kind == "geographic":
+            xo, yo, ok2 = lon, lat, np.isfinite(lon) & np.isfinite(lat)
+        elif kind == "webmercator":
+            xo, yo, ok2 = webmercator.forward(lon, lat)
+        else:
+            xo, yo, ok2 = obj.forward(lon, lat)
+        ok = ok1 & ok2
+        return (
+            np.where(ok, xo, np.nan),
+            np.where(ok, yo, np.nan),
+            ok,
+        )
+
+
+def transform_points(src: str, dst: str, x, y):
+    """One-shot helper (cached transformer under the hood)."""
+    return Transformer.from_crs(src, dst).transform_with_errors(x, y)
