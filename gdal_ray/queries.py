@@ -1,0 +1,128 @@
+"""The driver-facing query registry (queries() + oracle_sql()).
+
+Each entry pairs a Ray Data pipeline (callable taking ``sf_dir``) with
+an equivalent DuckDB SQL string over the same parquet tables. Column
+names match exactly on both sides (the driver sorts columns by name
+and value-hashes). Non-SQL-expressible ops omit the oracle and get a
+rows-only check.
+
+SQL building blocks:
+- ``_GAZ_SQL``      — the 64-city gazetteer as an inline VALUES table.
+- ``_PAGES_SQL``    — the deterministic pages derivation from
+  ``documents`` (mirrors pipelines.flagship.pages_from_documents; the
+  oracle re-extracts coordinates from its own constructed text with
+  ``regexp_extract`` so both engines parse identical strings).
+- ``_tile_sql``     — the GlobalMercator tile assignment in SQL
+  (same formula chain as gdal_ray.tiles, gdal2tiles.py:422-497).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+
+from gdal_ray.geoparse import GAZETTEER
+
+ORIGIN_SHIFT = 20037508.342789244
+
+_GAZ_SQL = "(VALUES " + ", ".join(
+    f"('{n}', {lon!r}, {lat!r})" for n, lon, lat in GAZETTEER
+) + ") AS gaz(place, glon, glat)"
+
+# pages derivation — must stay in lockstep with
+# pipelines.flagship.pages_from_documents
+_PAGES_SQL = f"""
+WITH gazt AS (SELECT *, row_number() OVER () - 1 AS gidx FROM {_GAZ_SQL}),
+pages0 AS (
+  SELECT d.doc_id,
+         'https://site' || (d.doc_id % 50) || '.example/' || d.doc_id AS url,
+         TIMESTAMP '2025-01-01 00:00:00' + to_microseconds(d.doc_id * 137000000) AS warc_ts,
+         'Report ' || d.doc_id || ': rain near ' || g.place || ' at ' ||
+            printf('%.4f', g.glat) || ',' || printf('%.4f', g.glon) || ' today.' AS text,
+         d.lang
+  FROM documents d
+  JOIN gazt g
+    ON g.gidx = CASE WHEN d.doc_id % 5 = 0 THEN 0 ELSE d.doc_id % 64 END
+),
+pages AS (
+  SELECT *,
+         CAST(regexp_extract(text, '(-?\\d{{1,2}}\\.\\d{{4}}),(-?\\d{{1,3}}\\.\\d{{4}})', 1) AS DOUBLE) AS lat,
+         CAST(regexp_extract(text, '(-?\\d{{1,2}}\\.\\d{{4}}),(-?\\d{{1,3}}\\.\\d{{4}})', 2) AS DOUBLE) AS lon
+  FROM pages0
+)
+"""
+
+
+def _tile_sql(z: int, lon: str = "lon", lat: str = "lat") -> tuple[str, str]:
+    """SQL expressions for XYZ tile x and y at zoom z (GlobalMercator:
+    LatLonToMeters → MetersToPixels → PixelsToTile → y flip)."""
+    res = f"((2*pi()*6378137/256) / power(2, {z}))"
+    mx = f"({lon} * {ORIGIN_SHIFT!r} / 180.0)"
+    my = f"(ln(tan((90.0 + {lat}) * pi() / 360.0)) / (pi()/180.0) * {ORIGIN_SHIFT!r} / 180.0)"
+    px = f"(({mx} + {ORIGIN_SHIFT!r}) / {res})"
+    py = f"(({my} + {ORIGIN_SHIFT!r}) / {res})"
+    tx = f"CAST(ceil({px} / 256.0) AS BIGINT) - 1"
+    ty_tms = f"CAST(ceil({py} / 256.0) AS BIGINT) - 1"
+    ty = f"(CAST(power(2, {z}) AS BIGINT) - 1 - ({ty_tms}))"
+    return tx, ty
+
+
+# ---------------------------------------------------------------------------
+# Ray-side queries
+
+
+def q_tile_assign(sf_dir: str):
+    from gdal_ray.pipelines import flagship
+
+    ds = flagship.flagship(sf_dir)
+    cols = ["url"]
+    for z in flagship.DEFAULT_ZOOMS:
+        cols += [f"tile_z{z}_x", f"tile_z{z}_y"]
+    return ds.select_columns(cols)
+
+
+def q_tile_counts_z9(sf_dir: str):
+    from gdal_ray.pipelines import flagship
+
+    return flagship.tile_counts(flagship.flagship(sf_dir), zoom=9)
+
+
+def q_geoparse(sf_dir: str):
+    """url → extracted lon/lat (the geoparse operator in isolation)."""
+    from gdal_ray.pipelines import flagship
+
+    ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    return ds.select_columns(["url", "lon", "lat"])
+
+
+def _sql_tile_assign() -> str:
+    parts = ["url"]
+    for z in (7, 9, 12):
+        tx, ty = _tile_sql(z)
+        parts.append(f"{tx} AS tile_z{z}_x")
+        parts.append(f"{ty} AS tile_z{z}_y")
+    return _PAGES_SQL + f"SELECT {', '.join(parts)} FROM pages"
+
+
+def _sql_tile_counts_z9() -> str:
+    tx, ty = _tile_sql(9)
+    return (
+        _PAGES_SQL
+        + f"SELECT {tx} AS tile_z9_x, {ty} AS tile_z9_y, "
+        f"COUNT(*) AS n_pages FROM pages GROUP BY 1, 2"
+    )
+
+
+QUERIES: dict[str, Callable[[str], Any]] = {
+    "tile_assign": q_tile_assign,
+    "tile_counts_z9": q_tile_counts_z9,
+    "geoparse": q_geoparse,
+}
+
+ORACLE: dict[str, str] = {
+    "tile_assign": _sql_tile_assign(),
+    "tile_counts_z9": _sql_tile_counts_z9(),
+    "geoparse": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
+}
