@@ -98,6 +98,26 @@ def encode_tiles(
     return batch.append_column("tile_id", pa.array(tid))
 
 
+def encode_cells(
+    batch: pa.Table,
+    hex_res: tuple[int, ...] = (7, 8, 9),
+    s2_level: int = 16,
+) -> pa.Table:
+    """lon/lat → hierarchical cell ids: hex res 7-9 (the north-rule
+    "H3 res 7-9" role) + S2 level-16 cell. All vectorized."""
+    from gdal_ray.cells import hexgrid, s2 as s2mod
+
+    lon = batch["lon"].to_numpy(zero_copy_only=False)
+    lat = batch["lat"].to_numpy(zero_copy_only=False)
+    for r in hex_res:
+        batch = batch.append_column(
+            f"hex_res{r}", pa.array(hexgrid.lonlat_to_cell(lon, lat, r))
+        )
+    return batch.append_column(
+        "s2_cell", pa.array(s2mod.lonlat_to_cell(lon, lat, s2_level))
+    )
+
+
 def geotag_pages(pages: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
     """pages (url, warc_ts, text, lang[, html]) → + lon/lat + tiles."""
     keep = [c for c in pages.schema().names if c != "html"]

@@ -115,10 +115,22 @@ def _sql_tile_counts_z9() -> str:
     )
 
 
+def q_cell_encode(sf_dir: str):
+    """url → hex res7/8/9 + S2 L16 cell ids (rows-only check: cell-id
+    math is not SQL-expressible; parity is pinned by tests/test_cells.py
+    invariants + frozen goldens)."""
+    from gdal_ray.pipelines import flagship
+
+    ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    ds = ds.map_batches(flagship.encode_cells, batch_format="pyarrow")
+    return ds.select_columns(["url", "hex_res7", "hex_res8", "hex_res9", "s2_cell"])
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
     "geoparse": q_geoparse,
+    "cell_encode": q_cell_encode,
 }
 
 ORACLE: dict[str, str] = {
