@@ -80,10 +80,9 @@ def _pages_from_index(i: np.ndarray) -> pa.Table:
     )
 
 
-def gen_boundaries() -> pa.Table:
-    """Admin polygons (FIXTURES.md §3): 10×10 grid of boxes over
-    [-80,80]×[-60,60], + 8 overlapping boxes + 2 straddling boxes.
-    WKB polygons, closed CCW outer ring, ``ogc.wkb`` metadata."""
+def boundary_boxes() -> list[tuple[float, float, float, float]]:
+    """The 100 admin boxes (minx, miny, maxx, maxy) — shared between
+    the WKB fixture and the SQL oracle (inline VALUES)."""
     boxes = []
     # 90 grid boxes (10 cols x 9 rows = 90) -> use 10x9 to leave room for 10 specials
     xs = np.linspace(-80, 80, 11)
@@ -101,7 +100,14 @@ def gen_boundaries() -> pa.Table:
     hot_lon, hot_lat = GAZETTEER[0][1], GAZETTEER[0][2]
     boxes.append((hot_lon - 3.0, hot_lat - 3.0, hot_lon + 3.0, hot_lat + 3.0))
     assert len(boxes) == 100
+    return boxes
 
+
+def gen_boundaries() -> pa.Table:
+    """Admin polygons (FIXTURES.md §3): 10×9 grid of boxes over
+    [-80,80]×[-60,60], + 8 overlapping boxes + 2 straddling boxes.
+    WKB polygons, closed CCW outer ring, ``ogc.wkb`` metadata."""
+    boxes = boundary_boxes()
     geoms = [gwkb.box_polygon_wkb(*b) for b in boxes]
     schema = pa.schema(
         [

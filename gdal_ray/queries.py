@@ -115,6 +115,58 @@ def _sql_tile_counts_z9() -> str:
     )
 
 
+def _boundaries_sql() -> str:
+    """The 100 admin boxes as an inline VALUES table — an INDEPENDENT
+    oracle: the Ray side runs the general WKB polygon PIP machinery,
+    the SQL side uses pure range predicates on the same boxes."""
+    from gdal_ray.fixtures import boundary_boxes
+
+    rows = ", ".join(
+        f"({i}, 'admin_{i}', {b[0]!r}, {b[1]!r}, {b[2]!r}, {b[3]!r})"
+        for i, b in enumerate(boundary_boxes())
+    )
+    return f"(VALUES {rows}) AS bnd(admin_id, name, minx, miny, maxx, maxy)"
+
+
+def q_pip_join(sf_dir: str):
+    from gdal_ray.pipelines import pip
+
+    return pip.pages_pip(sf_dir).select_columns(["url", "admin_id", "name"])
+
+
+def q_pip_counts(sf_dir: str):
+    from gdal_ray.pipelines import pip
+
+    return pip.admin_page_counts(sf_dir)
+
+
+def _sql_pip_join() -> str:
+    return (
+        _PAGES_SQL
+        + f"""
+SELECT p.url, bnd.admin_id, bnd.name
+FROM pages p
+JOIN {_boundaries_sql()}
+  ON p.lon >= bnd.minx AND p.lon <= bnd.maxx
+ AND p.lat >= bnd.miny AND p.lat <= bnd.maxy
+"""
+    )
+
+
+def _sql_pip_counts() -> str:
+    return (
+        _PAGES_SQL
+        + f"""
+SELECT bnd.admin_id, COUNT(*) AS n_pages
+FROM pages p
+JOIN {_boundaries_sql()}
+  ON p.lon >= bnd.minx AND p.lon <= bnd.maxx
+ AND p.lat >= bnd.miny AND p.lat <= bnd.maxy
+GROUP BY bnd.admin_id
+"""
+    )
+
+
 def q_cell_encode(sf_dir: str):
     """url → hex res7/8/9 + S2 L16 cell ids (rows-only check: cell-id
     math is not SQL-expressible; parity is pinned by tests/test_cells.py
@@ -131,10 +183,14 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_counts_z9": q_tile_counts_z9,
     "geoparse": q_geoparse,
     "cell_encode": q_cell_encode,
+    "pip_join": q_pip_join,
+    "pip_counts": q_pip_counts,
 }
 
 ORACLE: dict[str, str] = {
     "tile_assign": _sql_tile_assign(),
     "tile_counts_z9": _sql_tile_counts_z9(),
     "geoparse": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
+    "pip_join": _sql_pip_join(),
+    "pip_counts": _sql_pip_counts(),
 }

