@@ -178,6 +178,50 @@ def q_cell_encode(sf_dir: str):
     return ds.select_columns(["url", "hex_res7", "hex_res8", "hex_res9", "s2_cell"])
 
 
+def q_knn_k5(sf_dir: str):
+    """Each page's 5 nearest reference points (planar-degree metric,
+    gdalgrid.cpp:241 semantics; 500-point Halton reference set)."""
+    from gdal_ray import fixtures
+    from gdal_ray.pipelines import flagship
+    from gdal_ray.stages.knn import knn_join
+
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    ref = fixtures.gen_ref_points(500)
+    out = knn_join(pages, ref, k=5)
+    return out.select_columns(["url", "knn_rank", "point_id", "dist2"])
+
+
+def _ref_points_sql(n: int = 500) -> str:
+    from gdal_ray.fixtures import gen_ref_points
+
+    t = gen_ref_points(n)
+    rows = ", ".join(
+        f"({int(i)}, {lo!r}, {la!r})"
+        for i, lo, la in zip(
+            t["point_id"].to_pylist(), t["lon"].to_pylist(), t["lat"].to_pylist()
+        )
+    )
+    return f"(VALUES {rows}) AS ref(point_id, rlon, rlat)"
+
+
+def _sql_knn_k5() -> str:
+    return (
+        _PAGES_SQL
+        + f""",
+d AS (
+  SELECT p.url, ref.point_id,
+         (p.lon-ref.rlon)*(p.lon-ref.rlon) + (p.lat-ref.rlat)*(p.lat-ref.rlat) AS dist2
+  FROM pages p CROSS JOIN {_ref_points_sql()}
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY url ORDER BY dist2, point_id) AS knn_rank
+  FROM d
+)
+SELECT url, knn_rank, point_id, dist2 FROM rk WHERE knn_rank <= 5
+"""
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -185,6 +229,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "cell_encode": q_cell_encode,
     "pip_join": q_pip_join,
     "pip_counts": q_pip_counts,
+    "knn_k5": q_knn_k5,
 }
 
 ORACLE: dict[str, str] = {
@@ -193,4 +238,14 @@ ORACLE: dict[str, str] = {
     "geoparse": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
     "pip_join": _sql_pip_join(),
     "pip_counts": _sql_pip_counts(),
+    "knn_k5": _sql_knn_k5(),
 }
+
+# relational/text operator suite (separate module to keep this one
+# focused on the spatial north-star queries)
+from gdal_ray.queries_relational import RELATIONAL_QUERIES  # noqa: E402
+
+for _name, (_fn, _sql) in RELATIONAL_QUERIES.items():
+    QUERIES[_name] = _fn
+    if _sql is not None:
+        ORACLE[_name] = _sql

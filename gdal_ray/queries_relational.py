@@ -1,0 +1,325 @@
+"""Relational + text operator queries over the driver's TPC-H-ish
+tables — the OGR SQL surface (SURVEY.md §2.5-2.7) expressed as native
+Ray Data operators, each with a DuckDB oracle.
+
+Operator coverage mapped to the reference:
+- aggregates AVG/MIN/MAX/COUNT/SUM (+ grouped — a superset: OGR SQL
+  has no GROUP BY, ogr/ogr_swq.h:67-75, swq_parser.y)
+- WHERE filters / projections / CAST (gdalalg_vector_filter/select/
+  set_field_type)
+- ORDER BY + LIMIT (ogr_gensql.cpp:2209 CreateOrderByIndex → ds.sort)
+- SELECT DISTINCT (swq_parser.y:831 → ds.unique / groupby)
+- JOIN (ogr_gensql.cpp:1325 nested-loop LEFT join → broadcast hash
+  join / Dataset.join)
+- UNION ALL (ogrunionlayer.cpp → ds.union)
+- tumbling event-time window (Ray groupby on truncated ts; the
+  reference has no windows — §2.11 — this is the training-pipeline
+  extension)
+- text analysis: token counts / quality ratios (pyarrow C++ regex —
+  vectorized, no Python rows)
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
+    return rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# --- Q1-style grouped aggregate (filter → partial-friendly groupby) ----
+
+
+def q_lineitem_agg(sf_dir: str):
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+            "l_discount",
+            "l_shipdate",
+        ],
+    )
+
+    def prep(t: pa.Table) -> pa.Table:
+        import datetime
+
+        cutoff = pa.scalar(datetime.datetime(1998, 9, 1), pa.timestamp("us"))
+        t = t.filter(pc.less(t["l_shipdate"], cutoff))
+        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
+        return t.append_column("revenue", rev)
+
+    ds = ds.map_batches(prep, batch_format="pyarrow")
+    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("l_quantity", alias_name="sum_qty"),
+        Sum("revenue", alias_name="sum_revenue"),
+        Mean("l_discount", alias_name="avg_disc"),
+        Count(alias_name="n_rows"),
+    )
+
+
+SQL_LINEITEM_AGG = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice * (1.0 - l_discount)) AS sum_revenue,
+       AVG(l_discount) AS avg_disc,
+       COUNT(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- global (ungrouped) aggregates — exact OGR SQL semantics ----------
+
+
+def q_global_agg(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    row = ds.aggregate(
+        Sum("o_totalprice", alias_name="sum_price"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+        Mean("o_totalprice", alias_name="avg_price"),
+        Count(alias_name="n_orders"),
+    )
+    return pa.table({k: [v] for k, v in sorted(row.items())})
+
+
+SQL_GLOBAL_AGG = """
+SELECT SUM(o_totalprice) AS sum_price, MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price, AVG(o_totalprice) AS avg_price,
+       COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+# --- broadcast hash join (small side in every task) -------------------
+
+
+def q_join_customer_nation(sf_dir: str):
+    """customer ⋈ nation (tiny side broadcast as a dict — the
+    reference's secondary-layer lookup, ogr_gensql.cpp:1325, without
+    the per-row nested loop)."""
+    import numpy as np
+
+    nation = _read(sf_dir, "nation").to_pandas()  # 25 rows
+    key = nation["n_nationkey"].to_numpy()
+    name = nation["n_name"].to_numpy()
+    lut = np.empty(key.max() + 1, dtype=object)
+    lut[key] = name
+
+    def join(t: pa.Table) -> pa.Table:
+        nk = t["c_nationkey"].to_numpy()
+        return t.append_column("n_name", pa.array(lut[nk], pa.string()))
+
+    ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
+SQL_JOIN_CUSTOMER_NATION = """
+SELECT c.c_custkey, c.c_nationkey, n.n_name
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+"""
+
+
+# --- distributed hash join (both sides as Datasets) -------------------
+
+
+def q_join_orders_customer(sf_dir: str):
+    """orders ⋈ customer via per-customer aggregate: pre-aggregate the
+    big side BEFORE the join so the shuffle carries one row per key."""
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    per_cust = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="sum_spent"),
+        Count(alias_name="n_orders"),
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = per_cust.join(
+        cust,
+        join_type="inner",
+        on=("o_custkey",),
+        right_on=("c_custkey",),
+        num_partitions=8,
+    )
+    return joined.select_columns(
+        ["o_custkey", "sum_spent", "n_orders", "c_mktsegment"]
+    )
+
+
+SQL_JOIN_ORDERS_CUSTOMER = """
+SELECT o.o_custkey, SUM(o.o_totalprice) AS sum_spent,
+       COUNT(*) AS n_orders, c.c_mktsegment
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY o.o_custkey, c.c_mktsegment
+"""
+
+
+# --- ORDER BY + LIMIT (top-k) -----------------------------------------
+
+
+def q_top10_orders(sf_dir: str):
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    return ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(10)
+
+
+SQL_TOP10_ORDERS = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+# --- DISTINCT ----------------------------------------------------------
+
+
+def q_distinct_segment(sf_dir: str):
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment"])
+    vals = sorted(ds.unique("c_mktsegment"))
+    return pa.table({"c_mktsegment": pa.array(vals, pa.string())})
+
+
+SQL_DISTINCT_SEGMENT = "SELECT DISTINCT c_mktsegment FROM customer"
+
+
+# --- UNION ALL ---------------------------------------------------------
+
+
+def q_union_names(sf_dir: str):
+    r = _read(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    n = _read(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
+    )
+    return r.union(n).groupby("name").aggregate(Count(alias_name="n"))
+
+
+SQL_UNION_NAMES = """
+SELECT name, COUNT(*) AS n FROM (
+  SELECT r_name AS name FROM region
+  UNION ALL
+  SELECT n_name AS name FROM nation
+) GROUP BY name
+"""
+
+
+# --- filter / projection / CAST (set-field-type) -----------------------
+
+
+def q_filter_cast(sf_dir: str):
+    ds = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_quantity", "l_discount"]
+    )
+
+    def f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_quantity"], 45.0))
+        q32 = pc.cast(t["l_quantity"], pa.int32())
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty_int": q32,
+                "disc_pct": pc.multiply(t["l_discount"], 100.0),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_FILTER_CAST = """
+SELECT l_orderkey, CAST(l_quantity AS INTEGER) AS qty_int,
+       l_discount * 100.0 AS disc_pct
+FROM lineitem WHERE l_quantity > 45.0
+"""
+
+
+# --- tumbling event-time window ----------------------------------------
+
+
+def q_events_hourly(sf_dir: str):
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(t: pa.Table) -> pa.Table:
+        hour = pc.floor_temporal(t["ts"], unit="hour")
+        return pa.table(
+            {"hour": hour, "event_type": t["event_type"], "value": t["value"]}
+        )
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow")
+        .groupby(["hour", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+SQL_EVENTS_HOURLY = """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# --- text analysis -----------------------------------------------------
+
+
+def q_text_stats(sf_dir: str):
+    """Token count + punctuation ratio + char length per document —
+    vectorized pyarrow string kernels (quality-scoring primitives)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(t: pa.Table) -> pa.Table:
+        txt = t["text"]
+        n_chars = pc.utf8_length(txt)
+        toks = pc.count_substring_regex(txt, r"[^\s]+")
+        punct = pc.count_substring_regex(txt, r"[\.,;:!\?]")
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_chars": pc.cast(n_chars, pa.int64()),
+                "n_tokens": pc.cast(toks, pa.int64()),
+                "n_punct": pc.cast(punct, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow")
+
+
+SQL_TEXT_STATS = """
+SELECT doc_id, length(text) AS n_chars,
+       length(regexp_extract_all(text, '[^\\s]+')) AS n_tokens,
+       length(regexp_extract_all(text, '[\\.,;:!\\?]')) AS n_punct
+FROM documents
+"""
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup by text content: keep the smallest doc_id per
+    distinct text (hash-partition groupby + deterministic first —
+    SURVEY.md §2.6 dedup design)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.groupby("text").aggregate(Min("doc_id", alias_name="keep_doc_id")).select_columns(["keep_doc_id"])
+
+
+SQL_DEDUP_EXACT = """
+SELECT MIN(doc_id) AS keep_doc_id FROM documents GROUP BY text
+"""
+
+
+RELATIONAL_QUERIES = {
+    "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
+    "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
+    "join_customer_nation": (q_join_customer_nation, SQL_JOIN_CUSTOMER_NATION),
+    "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
+    "top10_orders": (q_top10_orders, SQL_TOP10_ORDERS),
+    "distinct_segment": (q_distinct_segment, SQL_DISTINCT_SEGMENT),
+    "union_names": (q_union_names, SQL_UNION_NAMES),
+    "filter_cast": (q_filter_cast, SQL_FILTER_CAST),
+    "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
+    "text_stats": (q_text_stats, SQL_TEXT_STATS),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+}
