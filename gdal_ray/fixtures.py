@@ -197,33 +197,34 @@ def gen_grid20() -> pa.Table:
 FIXTURE_DIR = os.environ.get("GDAL_RAY_FIXTURE_DIR", "/tmp/gdal_ray_fixtures")
 
 
-def pages_path(n: int) -> str:
-    """Write-once cached pages parquet at a given row count.
+def pages_path(n: int, shards: int = 32) -> str:
+    """Write-once cached pages corpus: a DIRECTORY of ``shards``
+    parquet files (64k-row row groups — the reference Arrow batch
+    size, ogrlayerarrow.cpp:2069).
 
-    Written in 64k-row row groups (the reference Arrow batch size,
-    ogrlayerarrow.cpp:2069) so Ray splits it into many read tasks.
+    Sharding matters: a single parquet file is read by ONE Ray task
+    (then split), serializing the scan — with 32 shards the read runs
+    32-wide. This is also the resumable-output layout the engine
+    itself writes (one file per partition). Written to a temp dir +
+    atomic rename.
     """
     os.makedirs(FIXTURE_DIR, exist_ok=True)
-    path = os.path.join(FIXTURE_DIR, f"pages_{n}.parquet")
-    if not os.path.exists(path):
+    path = os.path.join(FIXTURE_DIR, f"pages_{n}")
+    if not os.path.isdir(path):
         tmp = path + ".tmp"
-        chunks = []
-        step = 200_000
-        writer = None
-        try:
-            for start in range(0, n, step):
-                cnt = min(step, n - start)
-                t = gen_pages_range(start, cnt)
-                if writer is None:
-                    writer = pq.ParquetWriter(tmp, t.schema)
-                writer.write_table(t, row_group_size=65536)
-            if writer is not None:
-                writer.close()
-                writer = None
-            os.rename(tmp, path)
-        finally:
-            if writer is not None:
-                writer.close()
+        os.makedirs(tmp, exist_ok=True)
+        per = (n + shards - 1) // shards
+        for s in range(shards):
+            start = s * per
+            cnt = min(per, n - start)
+            if cnt <= 0:
+                break
+            t = gen_pages_range(start, cnt)
+            pq.write_table(
+                t, os.path.join(tmp, f"part-{s:05d}.parquet"),
+                row_group_size=65536,
+            )
+        os.rename(tmp, path)
     return path
 
 

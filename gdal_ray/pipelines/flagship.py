@@ -129,7 +129,7 @@ def geotag_pages(pages: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> r
     )
 
 
-def tile_counts(tagged: rd.Dataset, zoom: int = 9) -> rd.Dataset:
+def tile_counts(tagged: rd.Dataset, zoom: int = 9, num_partitions: int = 8) -> rd.Dataset:
     """Pages per tile at a zoom — partial-aggregate inside map_batches
     first (one row per tile per batch), then a small groupby: the
     pre-aggregation pattern that keeps the shuffle tiny even when
@@ -145,7 +145,7 @@ def tile_counts(tagged: rd.Dataset, zoom: int = 9) -> rd.Dataset:
     partials = tagged.map_batches(partial, batch_format="pyarrow")
     from ray.data.aggregate import Sum
 
-    return partials.groupby([xk, yk]).aggregate(
+    return partials.groupby([xk, yk], num_partitions=num_partitions).aggregate(
         Sum("partial_count", alias_name="n_pages")
     )
 
@@ -154,3 +154,61 @@ def flagship(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
     """documents → pages → geoparse → tile encode (the smoke slice;
     the PIP-join variant lives in gdal_ray.pipelines.pip)."""
     return geotag_pages(pages_from_documents(sf_dir), zooms)
+
+
+# ---------------------------------------------------------------------------
+# fused production stage (the ogr2ogr pattern: one task runs the whole
+# per-record option chain, apps/ogr2ogr_lib.cpp:6529 LayerTranslator)
+
+_WORKER_STATE: dict = {}
+
+
+def fused_geotag_pip(
+    batch: pa.Table,
+    bnd_ref=None,
+    knn_ref=None,
+    emit: str = "admin_partials",
+) -> pa.Table:
+    """One fused kernel: geoparse → tile encode → cell encode → kNN
+    features → PIP join → per-batch partial admin counts.
+
+    Designed for TASK-based ``map_batches`` (not an actor pool): Ray
+    reuses worker processes across tasks and executions, so the
+    broadcast state (polygon index, kNN grid) is built once per worker
+    via a module-global cache — actor-pool amortization without
+    actor-pool startup latency (an autoscaling pool never ramps up
+    inside a short job; measured in bench tuning).
+
+    ``emit``: "admin_partials" (default, the rollup shuffle input) or
+    "rows" (full joined rows).
+    """
+    from gdal_ray.stages.join import PIPJoiner
+    from gdal_ray.stages.knn import GridKNNFeatures
+
+    state = _WORKER_STATE.get("flagship")
+    if state is None:
+        state = {
+            "pip": PIPJoiner(bnd_ref, id_cols=("admin_id",)),
+            "knn": GridKNNFeatures(knn_ref) if knn_ref is not None else None,
+        }
+        _WORKER_STATE["flagship"] = state
+    b = extract_coords(batch)
+    if emit != "rows":
+        # the rollup only needs coordinates downstream: drop the wide
+        # text/url columns immediately after parsing so they don't flow
+        # through 4 more kernels and the join's take() (wide-row rule,
+        # SURVEY.md §7.4)
+        b = b.select(["lon", "lat"])
+    b = encode_tiles(b)
+    b = encode_cells(b)
+    if state["knn"] is not None:
+        b = state["knn"](b)
+    joined = state["pip"](b)
+    if emit == "rows":
+        return joined
+    g = (
+        joined.select(["admin_id"])
+        .group_by(["admin_id"])
+        .aggregate([([], "count_all")])
+    )
+    return g.rename_columns(["admin_id", "partial_count"])

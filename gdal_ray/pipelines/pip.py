@@ -56,6 +56,6 @@ def admin_page_counts(sf_dir: str, concurrency=(1, 4)) -> rd.Dataset:
 
     return (
         joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("admin_id")
+        .groupby("admin_id", num_partitions=4)
         .aggregate(Sum("partial_count", alias_name="n_pages"))
     )

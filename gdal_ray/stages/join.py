@@ -118,7 +118,7 @@ def pip_join(
     lat_col: str = "lat",
     keep_unmatched: bool = False,
     concurrency: int | tuple[int, int] = (1, 4),
-    batch_size: int = 65536,
+    batch_size: int | None = None,
 ):
     """points Dataset ⋈ polygon table (broadcast actor pool)."""
     if isinstance(polygons, pa.Table):
