@@ -222,6 +222,45 @@ SELECT url, knn_rank, point_id, dist2 FROM rk WHERE knn_rank <= 5
     )
 
 
+def q_vector_sample(sf_dir: str):
+    """pages → nearest-neighbor sample of the burned admin raster
+    (raster↔vector round trip; the SQL oracle reproduces the pixel
+    quantization + last-burn-wins rule in closed form)."""
+    from gdal_ray.pipelines import rasterpipe
+
+    return rasterpipe.sample_pages(sf_dir)
+
+
+def _sql_vector_sample() -> str:
+    # 512x512 grid over [-80,80]x[-60,60]; resx=5/16, resy=15/64 are
+    # exact binary fractions so floor() agrees bit-for-bit with numpy.
+    # Burn order is admin_id ascending => last-wins = MAX(admin_id).
+    return (
+        _PAGES_SQL
+        + f"""
+, px AS (
+  SELECT url, lon, lat,
+         floor((lon - (-80.0)) / 0.3125) AS ix,
+         floor((60.0 - lat) / 0.234375) AS iy
+  FROM pages
+  WHERE lon >= -80.0 AND lon <= 80.0 AND lat >= -60.0 AND lat <= 60.0
+),
+ctr AS (
+  SELECT url,
+         -80.0 + (LEAST(ix, 511) + 0.5) * 0.3125 AS cx,
+         60.0 - (LEAST(iy, 511) + 0.5) * 0.234375 AS cy
+  FROM px
+)
+SELECT c.url, MAX(bnd.admin_id) AS admin_id
+FROM ctr c
+JOIN {_boundaries_sql()}
+  ON c.cx >= bnd.minx AND c.cx <= bnd.maxx
+ AND c.cy >= bnd.miny AND c.cy <= bnd.maxy
+GROUP BY c.url
+"""
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -230,6 +269,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pip_join": q_pip_join,
     "pip_counts": q_pip_counts,
     "knn_k5": q_knn_k5,
+    "vector_sample": q_vector_sample,
 }
 
 ORACLE: dict[str, str] = {
@@ -239,6 +279,7 @@ ORACLE: dict[str, str] = {
     "pip_join": _sql_pip_join(),
     "pip_counts": _sql_pip_counts(),
     "knn_k5": _sql_knn_k5(),
+    "vector_sample": _sql_vector_sample(),
 }
 
 # relational/text operator suite (separate module to keep this one

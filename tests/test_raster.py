@@ -1,0 +1,219 @@
+"""Raster path tests: model, checksum, sample, rasterize, overview,
+and the rasterize→sample round-trip gate (FIXTURES.md §5)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray import fixtures
+from gdal_ray.raster import checksum, kernels, model, overview, rasterize, sample
+
+
+def _grid20_arr():
+    ii, jj = np.meshgrid(np.arange(20), np.arange(20), indexing="ij")
+    return ((ii * 7 + jj * 13) % 256).astype(np.uint8)
+
+
+class TestModel:
+    def test_tile_roundtrip(self):
+        arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+        t = model.from_array(arr, "EPSG:4326", (0, 1, 0, 10, 0, -1), tile_size=4)
+        assert t.num_rows == 9  # 3x3 tiles (4+4+2)
+        back = model.to_array(t)
+        np.testing.assert_array_equal(back, arr)
+
+    def test_geotransform_roundtrip(self):
+        gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        px = np.array([0.0, 10.5, 20.0])
+        py = np.array([0.0, 3.25, 20.0])
+        x, y = model.pixel_to_world(gt, px, py)
+        px2, py2 = model.world_to_pixel(gt, x, y)
+        np.testing.assert_allclose(px2, px, atol=1e-9)
+        np.testing.assert_allclose(py2, py, atol=1e-9)
+
+
+class TestChecksum:
+    def test_vectorized_matches_scalar_oracle(self):
+        arr = _grid20_arr()
+        assert checksum.checksum_array(arr) == checksum.checksum_scalar_oracle(arr)
+
+    def test_grid20_golden(self):
+        # frozen golden for the FIXTURES grid20 fixture
+        arr = _grid20_arr()
+        golden = checksum.checksum_scalar_oracle(arr)
+        assert checksum.checksum_array(arr) == golden
+        t = fixtures.gen_grid20()
+        rows = t.to_pylist()
+        a2 = model.tile_array(rows[0])
+        assert checksum.checksum_array(a2) == golden
+
+    def test_distributed_tiling_invariance(self):
+        # checksum must be identical regardless of tiling
+        rng = np.random.default_rng(8)
+        arr = rng.integers(0, 256, (64, 48)).astype(np.uint8)
+        whole = checksum.checksum_array(arr)
+        for ts in (7, 16, 33):
+            t = model.from_array(arr, "EPSG:4326", (0, 1, 0, 0, 0, -1), tile_size=ts)
+            assert checksum.checksum_dataset(t) == whole
+
+    def test_float_and_negative(self):
+        arr = (np.linspace(-5, 5, 144).reshape(12, 12)).astype(np.float64)
+        assert checksum.checksum_array(arr) == checksum.checksum_scalar_oracle(arr)
+        arr2 = np.array([[np.nan, np.inf], [-3.7, 2.5]])
+        assert checksum.checksum_array(arr2) == checksum.checksum_scalar_oracle(arr2)
+        arr3 = np.array([[-7, -200], [100, -1]], dtype=np.int32)
+        assert checksum.checksum_array(arr3) == checksum.checksum_scalar_oracle(arr3)
+
+
+class TestSample:
+    def test_nearest(self):
+        arr = np.arange(16, dtype=np.float64).reshape(4, 4)
+        vals, ok = sample.sample_points(
+            arr, np.array([0.5, 3.9, 4.0, -0.1]), np.array([0.5, 3.9, 0.5, 0.0]),
+            method="nearest",
+        )
+        assert ok.tolist() == [True, True, True, False]
+        assert vals[0] == 0.0
+        assert vals[1] == 15.0
+        assert vals[2] == 3.0  # right-edge nudge rule
+
+    def test_bilinear_center_and_edges(self):
+        arr = np.array([[0.0, 10.0], [20.0, 30.0]])
+        # pixel centers are (0.5,0.5) etc.; midpoint between all 4
+        vals, ok = sample.sample_points(
+            arr, np.array([1.0, 0.5, 2.0]), np.array([1.0, 0.5, 2.0]),
+            method="bilinear",
+        )
+        assert ok.all()
+        assert vals[0] == pytest.approx(15.0)
+        assert vals[1] == pytest.approx(0.0)  # exact center of pixel 0
+        assert vals[2] == pytest.approx(30.0)  # border-replicated corner
+
+    def test_bilinear_nodata(self):
+        arr = np.array([[0.0, -9999.0], [20.0, 30.0]])
+        vals, ok = sample.sample_points(
+            arr, np.array([1.0]), np.array([1.0]), method="bilinear", nodata=-9999
+        )
+        assert not ok[0]
+
+    def test_small_raster_downgrade(self):
+        arr = np.array([[5.0]])
+        vals, ok = sample.sample_points(
+            arr, np.array([0.5]), np.array([0.5]), method="bilinear"
+        )
+        assert ok[0] and vals[0] == 5.0
+
+
+class TestRasterize:
+    def test_box_burn(self):
+        from gdal_ray.geom import wkb as gwkb
+
+        gt = (0.0, 1.0, 0.0, 10.0, 0.0, -1.0)  # 10x10 world, 1px=1unit
+        shapes = [(gwkb.box_polygon_wkb(2.0, 2.0, 5.0, 5.0), 7.0)]
+        arr = rasterize.rasterize_array(shapes, 10, 10, gt)
+        # world box [2,5]x[2,5] → pixel rows 5..7 (y=10-... ), centers
+        burned = np.argwhere(arr == 7.0)
+        assert len(burned) == 9  # 3x3 pixel centers inside
+        ys, xs = burned[:, 0], burned[:, 1]
+        assert xs.min() == 2 and xs.max() == 4
+        assert ys.min() == 5 and ys.max() == 7
+
+    def test_merge_add(self):
+        from gdal_ray.geom import wkb as gwkb
+
+        gt = (0.0, 1.0, 0.0, 4.0, 0.0, -1.0)
+        s = [(gwkb.box_polygon_wkb(0.0, 0.0, 4.0, 4.0), 1.0)] * 3
+        arr = rasterize.rasterize_array(s, 4, 4, gt, merge_alg="add")
+        assert (arr == 3.0).all()
+
+
+class TestOverview:
+    @pytest.mark.parametrize("method", ["average", "rms", "nearest", "mode"])
+    def test_matches_scalar_oracle(self, method):
+        rng = np.random.default_rng(11)
+        arr = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+        np.testing.assert_array_equal(
+            overview.reduce_2x2(arr, method), overview.reduce_2x2_oracle(arr, method)
+        )
+
+    def test_average_float(self):
+        arr = np.array([[1.0, 2.0], [3.0, 4.0]])
+        assert overview.reduce_2x2(arr, "average")[0, 0] == pytest.approx(2.5)
+
+    def test_odd_size_padding(self):
+        arr = np.arange(9, dtype=np.uint8).reshape(3, 3)
+        out = overview.reduce_2x2(arr, "nearest")
+        assert out.shape == (2, 2)
+
+
+class TestKernels:
+    def test_calc(self):
+        a = np.array([[1.0, 4.0]])
+        b = np.array([[2.0, 2.0]])
+        out = kernels.calc_expr("(A + B) * 2", {"A": a, "B": b})
+        np.testing.assert_array_equal(out, [[6.0, 12.0]])
+
+    def test_reclassify(self):
+        arr = np.array([[1, 2, 3]])
+        out = kernels.reclassify(arr, {1: 10, 3: 30})
+        np.testing.assert_array_equal(out, [[10, 2, 30]])
+        out2 = kernels.reclassify(arr, {1: 10}, default=0)
+        np.testing.assert_array_equal(out2, [[10, 0, 0]])
+
+    def test_scale(self):
+        arr = np.array([[0, 50, 100]])
+        out = kernels.scale(arr, 0, 100, 0, 255)
+        np.testing.assert_allclose(out, [[0, 127.5, 255]])
+
+    def test_stats(self):
+        arr = np.arange(100, dtype=np.uint8).reshape(10, 10)
+        t = model.from_array(arr, "EPSG:4326", (0, 1, 0, 10, 0, -1), tile_size=3)
+        import pyarrow as pa
+
+        parts = kernels.tile_stats_partial(t)
+        st = kernels.combine_stats(parts)[1]
+        assert st["min"] == 0 and st["max"] == 99
+        assert st["mean"] == pytest.approx(49.5)
+        assert st["std"] == pytest.approx(np.std(np.arange(100)), rel=1e-12)
+
+
+class TestRoundTrip:
+    """FIXTURES.md §5 gate: burn boundaries → sample at page points →
+    equality with the direct PIP result for interior points."""
+
+    def test_rasterize_sample_pip_agreement(self):
+        from gdal_ray.geom import wkb as gwkb
+        from gdal_ray.geom.index import GridPolygonIndex
+
+        b = fixtures.gen_boundaries()
+        # burn admin_id into a 512x512 lon/lat grid (last-wins order,
+        # same order as the PIP index scan below picks max admin_id)
+        arr, gt = rasterize.rasterize_boundaries(
+            b, (-80, -60, 80, 60), 512, 512, init=-1.0
+        )
+        # sample at gazetteer city points strictly inside boxes
+        from gdal_ray.geoparse import GAZETTEER
+
+        idx = GridPolygonIndex(b["geometry"].to_pylist())
+        lons = np.array([g[1] for g in GAZETTEER])
+        lats = np.array([g[2] for g in GAZETTEER])
+        px, py = model.world_to_pixel(gt, lons, lats)
+        vals, ok = sample.sample_points(arr, px, py, method="nearest")
+        pts, ids = idx.query_points(lons, lats)
+        import collections
+
+        by_pt = collections.defaultdict(set)
+        for p, i in zip(pts, ids):
+            by_pt[p].add(i)
+        checked = 0
+        for i in range(64):
+            if not ok[i] or vals[i] < 0:
+                continue
+            # the sampled admin id must be one of the PIP matches —
+            # and the pixel must not be a boundary pixel (interior only):
+            # skip points within half a pixel of any matched box edge
+            matches = by_pt.get(i, set())
+            if not matches:
+                continue
+            assert int(vals[i]) in matches, f"point {i}: {vals[i]} not in {matches}"
+            checked += 1
+        assert checked >= 30  # cities inside the boundary coverage area
