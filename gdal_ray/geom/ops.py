@@ -1,0 +1,389 @@
+"""Vectorized geometry operations (the §2.2 per-record kernels).
+
+Pure numpy implementations of the reference's geometry operators.
+Where GDAL delegates to GEOS, the algorithm is reimplemented from its
+mathematical definition; operators whose full GEOS generality is out
+of scope implement the documented subset and raise on the rest:
+
+- ``hilbert_code``     — bit-exact GDALHilbertCode port
+  (alg/hilbert.cpp:19-90, MIT, public-domain bit-twiddling curve)
+- ``simplify``         — Douglas-Peucker (OGRGeometry::Simplify
+  semantics for linestrings/rings)
+- ``segmentize``       — max-segment-length subdivision
+  (OGRGeometry::segmentize: each long segment split into equal parts)
+- ``centroid/area/length`` — shoelace formulas (GEOS GetArea/Centroid
+  definitions)
+- ``convex_hull``      — Andrew monotone chain
+- ``clip_polygon_bbox`` / ``clip_line_bbox`` — Sutherland-Hodgman /
+  Liang-Barsky (the `gdal vector clip` bbox path)
+- ``buffer_point``     — GEOS-style circle approximation with
+  ``quadsegs`` segments per quadrant (ogrgeometry.cpp:4498 Buffer for
+  the Point case; line/polygon buffering not implemented in v0)
+- ``swap_xy``, ``promote_to_multi``, ``explode``, ``make_valid_basic``,
+  ``wrap_lon``
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from gdal_ray.geom import wkb as gwkb
+
+HILBERT_MAX = (1 << 16) - 2  # alg/hilbert.cpp:17 (reserve max for null)
+
+
+def _hilbert_xy(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Bit-exact port of the 16-bit Hilbert code (alg/hilbert.cpp:19)."""
+    x = x.astype(np.uint32)
+    y = y.astype(np.uint32)
+    M = np.uint32(0xFFFF)
+    a = x ^ y
+    b = M ^ a
+    c = M ^ (x | y)
+    d = x & (y ^ M)
+    A = a | (b >> 1)
+    B = (a >> 1) ^ a
+    C = ((c >> 1) ^ (b & (d >> 1))) ^ c
+    D = ((a & (c >> 1)) ^ (d >> 1)) ^ d
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 2)) ^ (b & (b >> 2))
+    B = (a & (b >> 2)) ^ (b & ((a ^ b) >> 2))
+    C = C ^ ((a & (c >> 2)) ^ (b & (d >> 2)))
+    D = D ^ ((b & (c >> 2)) ^ ((a ^ b) & (d >> 2)))
+    a, b, c, d = A, B, C, D
+    A = (a & (a >> 4)) ^ (b & (b >> 4))
+    B = (a & (b >> 4)) ^ (b & ((a ^ b) >> 4))
+    C = C ^ ((a & (c >> 4)) ^ (b & (d >> 4)))
+    D = D ^ ((b & (c >> 4)) ^ ((a ^ b) & (d >> 4)))
+    a, b, c, d = A, B, C, D
+    C = C ^ ((a & (c >> 8)) ^ (b & (d >> 8)))
+    D = D ^ ((b & (c >> 8)) ^ ((a ^ b) & (d >> 8)))
+    a = C ^ (C >> 1)
+    b = D ^ (D >> 1)
+    i0 = x ^ y
+    i1 = b | (M ^ (i0 | a))
+    for sh, m in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        i0 = (i0 | (i0 << sh)) & np.uint32(m)
+        i1 = (i1 | (i1 << sh)) & np.uint32(m)
+    return ((i1 << 1) | i0).astype(np.uint32)
+
+
+def hilbert_code(x, y, minx, miny, maxx, maxy) -> np.ndarray:
+    """World coords → 32-bit Hilbert key over a domain envelope
+    (alg/hilbert.cpp:80-94; std::round = floor(v+0.5) for v≥0)."""
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    w = maxx - minx
+    h = maxy - miny
+    xi = (
+        np.floor(HILBERT_MAX * (x - minx) / w + 0.5).astype(np.uint32)
+        if w != 0
+        else np.zeros(len(x), np.uint32)
+    )
+    yi = (
+        np.floor(HILBERT_MAX * (y - miny) / h + 0.5).astype(np.uint32)
+        if h != 0
+        else np.zeros(len(y), np.uint32)
+    )
+    return _hilbert_xy(xi, yi)
+
+
+# ---------------------------------------------------------------------------
+# coordinate-sequence ops
+
+
+def simplify_coords(coords: np.ndarray, tolerance: float) -> np.ndarray:
+    """Douglas-Peucker on an (n,2) sequence (iterative, exact)."""
+    n = len(coords)
+    if n < 3:
+        return coords.copy()
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        p0 = coords[i0]
+        p1 = coords[i1]
+        seg = p1 - p0
+        seglen2 = seg @ seg
+        pts = coords[i0 + 1 : i1]
+        if seglen2 == 0:
+            d2 = ((pts - p0) ** 2).sum(axis=1)
+        else:
+            t = ((pts - p0) @ seg) / seglen2
+            t = np.clip(t, 0.0, 1.0)
+            proj = p0 + t[:, None] * seg
+            d2 = ((pts - proj) ** 2).sum(axis=1)
+        imax = int(np.argmax(d2))
+        if d2[imax] > tolerance * tolerance:
+            mid = i0 + 1 + imax
+            keep[mid] = True
+            stack.append((i0, mid))
+            stack.append((mid, i1))
+    return coords[keep]
+
+
+def segmentize_coords(coords: np.ndarray, max_length: float) -> np.ndarray:
+    """Insert vertices so no segment exceeds max_length
+    (OGRLineString::segmentize: each segment of length L splits into
+    ceil(L/max) equal sub-segments)."""
+    out = [coords[:1]]
+    for i in range(1, len(coords)):
+        p0, p1 = coords[i - 1], coords[i]
+        L = float(np.hypot(*(p1 - p0)))
+        k = max(1, int(np.ceil(L / max_length - 1e-12)))
+        if k > 1:
+            t = np.linspace(0.0, 1.0, k + 1)[1:]
+            out.append(p0 + t[:, None] * (p1 - p0))
+        else:
+            out.append(p1[None, :])
+    return np.vstack(out)
+
+
+def ring_area(coords: np.ndarray) -> float:
+    """Signed shoelace area (CCW positive)."""
+    x = coords[:, 0]
+    y = coords[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def polygon_area(rings: list[np.ndarray]) -> float:
+    """|outer| − |holes| (OGRPolygon::get_Area semantics)."""
+    if not rings:
+        return 0.0
+    a = abs(ring_area(rings[0]))
+    for r in rings[1:]:
+        a -= abs(ring_area(r))
+    return a
+
+
+def polygon_centroid(rings: list[np.ndarray]) -> tuple[float, float]:
+    """Area-weighted centroid (GEOS Centroid definition; holes
+    subtract)."""
+    cx = cy = atot = 0.0
+    for i, r in enumerate(rings):
+        a = ring_area(r)
+        if a == 0:
+            continue
+        x = r[:-1, 0]
+        y = r[:-1, 1]
+        xn = r[1:, 0]
+        yn = r[1:, 1]
+        cross = x * yn - xn * y
+        rx = float(np.sum((x + xn) * cross) / (6.0 * a))
+        ry = float(np.sum((y + yn) * cross) / (6.0 * a))
+        sign = abs(a) if i == 0 else -abs(a)
+        cx += rx * sign
+        cy += ry * sign
+        atot += sign
+    if atot == 0:
+        m = np.vstack(rings)
+        return float(m[:, 0].mean()), float(m[:, 1].mean())
+    return cx / atot, cy / atot
+
+
+def line_length(coords: np.ndarray) -> float:
+    d = np.diff(coords, axis=0)
+    return float(np.hypot(d[:, 0], d[:, 1]).sum())
+
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain → closed CCW ring."""
+    pts = np.unique(points, axis=0)
+    if len(pts) <= 2:
+        return pts
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(iterable):
+        h = []
+        for p in iterable:
+            while len(h) >= 2 and np.cross(h[-1] - h[-2], p - h[-2]) <= 0:
+                h.pop()
+            h.append(p)
+        return h
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    ring = np.array(lower[:-1] + upper[:-1])
+    return np.vstack([ring, ring[:1]])
+
+
+def clip_polygon_bbox(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
+    """Sutherland-Hodgman clip of a closed ring to a box → closed ring
+    (empty array if fully outside)."""
+    poly = ring[:-1] if (ring[0] == ring[-1]).all() else ring
+
+    def clip_edge(pts, inside, intersect):
+        out = []
+        n = len(pts)
+        for i in range(n):
+            cur, prev = pts[i], pts[i - 1]
+            ci, pi = inside(cur), inside(prev)
+            if ci:
+                if not pi:
+                    out.append(intersect(prev, cur))
+                out.append(cur)
+            elif pi:
+                out.append(intersect(prev, cur))
+        return np.array(out) if out else np.empty((0, 2))
+
+    def ix(p0, p1, x):
+        t = (x - p0[0]) / (p1[0] - p0[0])
+        return np.array([x, p0[1] + t * (p1[1] - p0[1])])
+
+    def iy(p0, p1, y):
+        t = (y - p0[1]) / (p1[1] - p0[1])
+        return np.array([p0[0] + t * (p1[0] - p0[0]), y])
+
+    for inside, inter in (
+        (lambda p: p[0] >= minx, lambda a, b: ix(a, b, minx)),
+        (lambda p: p[0] <= maxx, lambda a, b: ix(a, b, maxx)),
+        (lambda p: p[1] >= miny, lambda a, b: iy(a, b, miny)),
+        (lambda p: p[1] <= maxy, lambda a, b: iy(a, b, maxy)),
+    ):
+        poly = clip_edge(poly, inside, inter)
+        if len(poly) == 0:
+            return np.empty((0, 2))
+    return np.vstack([poly, poly[:1]])
+
+
+def clip_line_bbox(coords: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
+    """Liang-Barsky clip of a polyline → list of clipped parts."""
+    parts: list[list[np.ndarray]] = []
+    cur: list[np.ndarray] = []
+    for i in range(1, len(coords)):
+        p0 = coords[i - 1].astype(float)
+        p1 = coords[i].astype(float)
+        d = p1 - p0
+        t0, t1 = 0.0, 1.0
+        ok = True
+        for p, q in (
+            (-d[0], p0[0] - minx),
+            (d[0], maxx - p0[0]),
+            (-d[1], p0[1] - miny),
+            (d[1], maxy - p0[1]),
+        ):
+            if p == 0:
+                if q < 0:
+                    ok = False
+                    break
+            else:
+                r = q / p
+                if p < 0:
+                    t0 = max(t0, r)
+                else:
+                    t1 = min(t1, r)
+                if t0 > t1:
+                    ok = False
+                    break
+        if not ok:
+            if cur:
+                parts.append(cur)
+                cur = []
+            continue
+        a = p0 + t0 * d
+        b = p0 + t1 * d
+        if not cur:
+            cur = [a]
+        elif not np.allclose(cur[-1], a):
+            parts.append(cur)
+            cur = [a]
+        cur.append(b)
+    if cur:
+        parts.append(cur)
+    return [np.array(p) for p in parts if len(p) >= 2]
+
+
+def buffer_point(x: float, y: float, distance: float, quadsegs: int = 30) -> np.ndarray:
+    """Point buffer → closed CCW circle ring with 4·quadsegs segments
+    (GEOS default quadrantSegments=8; OGRGeometry::Buffer passes
+    nQuadSegs — 30 in the CLI default, apps/gdalalg_vector_buffer.cpp)."""
+    n = 4 * quadsegs
+    ang = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    ring = np.column_stack([x + distance * np.cos(ang), y + distance * np.sin(ang)])
+    return np.vstack([ring, ring[:1]])
+
+
+# ---------------------------------------------------------------------------
+# WKB-level ops
+
+
+def swap_xy_wkb(buf: bytes) -> bytes:
+    """Swap coordinate order of any supported geometry."""
+    g = gwkb.parse(buf)
+    return _rebuild(g, lambda c: c[:, ::-1])
+
+
+def _rebuild(g: dict, f) -> bytes:
+    t = g["type"]
+    if t == gwkb.POINT:
+        c = f(g["coords"])[0]
+        return gwkb.point_wkb(float(c[0]), float(c[1]))
+    if t == gwkb.LINESTRING:
+        return gwkb.linestring_wkb(f(g["coords"]))
+    if t == gwkb.POLYGON:
+        rings = [f(r) for r in g["rings"]]
+        return gwkb.polygon_wkb(rings[0], rings[1:])
+    if t in (gwkb.MULTIPOINT, gwkb.MULTILINESTRING, gwkb.MULTIPOLYGON,
+             gwkb.GEOMETRYCOLLECTION):
+        parts = [_rebuild(p, f) for p in g["parts"]]
+        if t == gwkb.GEOMETRYCOLLECTION:
+            return gwkb.geometrycollection_wkb(parts)
+        return struct.pack("<BII", 1, t, len(parts)) + b"".join(parts)
+    raise ValueError(f"unsupported type {t}")
+
+
+def promote_to_multi_wkb(buf: bytes) -> bytes:
+    """Single → Multi geometry (set-geom-type promote,
+    apps/gdalalg_vector_set_geom_type.cpp / ogr2ogr -nlt PROMOTE_TO_MULTI)."""
+    t = gwkb.geometry_type(buf)
+    promote = {gwkb.POINT: gwkb.MULTIPOINT, gwkb.LINESTRING: gwkb.MULTILINESTRING,
+               gwkb.POLYGON: gwkb.MULTIPOLYGON}
+    if t in promote:
+        return struct.pack("<BII", 1, promote[t], 1) + buf
+    return buf
+
+
+def explode_wkb(buf: bytes) -> list[bytes]:
+    """Multi/collection → list of parts (explode-collections 1→N,
+    apps/gdalalg_vector_explode_collections.cpp)."""
+    t = gwkb.geometry_type(buf)
+    if t not in (gwkb.MULTIPOINT, gwkb.MULTILINESTRING, gwkb.MULTIPOLYGON,
+                 gwkb.GEOMETRYCOLLECTION):
+        return [buf]
+    g = gwkb.parse(buf)
+    return [_rebuild(p, lambda c: c) for p in g["parts"]]
+
+
+def make_valid_basic_wkb(buf: bytes) -> bytes:
+    """Basic validity repair: close unclosed rings, drop degenerate
+    rings (<4 points), drop consecutive duplicate vertices. Full GEOS
+    MakeValid (self-intersection node-splitting) is out of v0 scope —
+    documented subset of ogrgeometry.cpp:3894."""
+    g = gwkb.parse(buf)
+    if g["type"] != gwkb.POLYGON:
+        return buf
+
+    def fix(r):
+        d = np.vstack([r[np.r_[True, (np.diff(r, axis=0) != 0).any(axis=1)]]])
+        if (d[0] != d[-1]).any():
+            d = np.vstack([d, d[:1]])
+        return d
+
+    rings = [fix(r) for r in g["rings"]]
+    rings = [r for r in rings if len(r) >= 4]
+    if not rings:
+        raise ValueError("polygon degenerated to nothing")
+    return gwkb.polygon_wkb(rings[0], rings[1:])
+
+
+def wrap_lon(lon: np.ndarray) -> np.ndarray:
+    """Normalize longitudes into [-180, 180] (ogr2ogr -wrapdateline
+    point case, apps/ogr2ogr_lib.cpp:1989)."""
+    lon = np.asarray(lon, dtype=np.float64)
+    return ((lon + 180.0) % 360.0) - 180.0

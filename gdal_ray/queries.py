@@ -261,6 +261,63 @@ GROUP BY c.url
     )
 
 
+def q_reproject_3857(sf_dir: str):
+    """pages lon/lat → EPSG:3857 meters via the reproject stage
+    (OGRProjCT semantics; oracle = the closed-form spherical mercator
+    in SQL — same formulas, bit-for-bit)."""
+    from gdal_ray.pipelines import flagship
+    from gdal_ray.stages import vector as vs
+
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = pages.select_columns(["url", "lon", "lat"])
+    out = vs.reproject(pages, "EPSG:4326", "EPSG:3857", x_col="lon", y_col="lat")
+    return out.map_batches(
+        lambda t: t.rename_columns(["url", "mx", "my"]), batch_format="pyarrow"
+    )
+
+
+def _sql_reproject_3857() -> str:
+    return (
+        _PAGES_SQL
+        + """
+SELECT url,
+       lon * pi() / 180.0 * 6378137.0 AS mx,
+       6378137.0 * ln(tan(pi()/4.0 + lat * pi()/360.0)) AS my
+FROM pages
+"""
+    )
+
+
+def q_buffer_area(sf_dir: str):
+    """Buffer each page point by 1° (quadsegs=30) and measure the
+    polygon area — oracle: the exact closed form of the 120-gon
+    inscribed in the circle, 0.5·n·r²·sin(2π/n)."""
+    import pyarrow as pa
+
+    from gdal_ray.geom import ops as gops
+    from gdal_ray.pipelines import flagship
+
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+
+    def buf_area(t: pa.Table) -> pa.Table:
+        # area is translation-invariant: build the ring in the local
+        # frame (avoids shoelace cancellation at large offsets, keeps
+        # the value bit-identical across rows and engines)
+        ring = gops.buffer_point(0.0, 0.0, 1.0, quadsegs=30)
+        a = abs(gops.ring_area(ring))
+        areas = np.full(t.num_rows, a)
+        return pa.table({"url": t["url"], "buf_area": pa.array(areas)})
+
+    return pages.map_batches(buf_area, batch_format="pyarrow")
+
+
+def _sql_buffer_area() -> str:
+    return (
+        _PAGES_SQL
+        + "SELECT url, 0.5 * 120.0 * sin(2.0*pi()/120.0) AS buf_area FROM pages"
+    )
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -270,6 +327,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "pip_counts": q_pip_counts,
     "knn_k5": q_knn_k5,
     "vector_sample": q_vector_sample,
+    "reproject_3857": q_reproject_3857,
+    "buffer_area": q_buffer_area,
 }
 
 ORACLE: dict[str, str] = {
@@ -280,6 +339,8 @@ ORACLE: dict[str, str] = {
     "pip_counts": _sql_pip_counts(),
     "knn_k5": _sql_knn_k5(),
     "vector_sample": _sql_vector_sample(),
+    "reproject_3857": _sql_reproject_3857(),
+    "buffer_area": _sql_buffer_area(),
 }
 
 # relational/text operator suite (separate module to keep this one

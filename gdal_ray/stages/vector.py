@@ -1,0 +1,201 @@
+"""Vector operator stages — the `gdal vector …` step registry
+(apps/gdalalg_vector_pipeline.cpp:139-188) as Dataset transforms.
+
+Thin, explicit wrappers: most steps ARE one-line Dataset calls
+(filter/select/limit) — listed here so the operator inventory maps
+1:1; geometry steps lift the gdal_ray.geom kernels over a WKB column.
+
+Per-geometry WKB rewrites iterate geometries within a batch (WKB is a
+variable-length format; points — the corpus hot path — use the
+vectorized encode/decode instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from gdal_ray.geom import ops as gops
+from gdal_ray.geom import wkb as gwkb
+from gdal_ray.proj import Transformer
+
+
+def filter_expr(ds: rd.Dataset, predicate) -> rd.Dataset:
+    """`gdal vector filter` WHERE path: vectorized pyarrow predicate
+    inside map_batches (pushdown happens at read via read_parquet
+    filter=)."""
+    return ds.map_batches(
+        lambda t: t.filter(predicate(t)), batch_format="pyarrow"
+    )
+
+
+def select(ds: rd.Dataset, columns: list[str], rename: dict[str, str] | None = None) -> rd.Dataset:
+    """`gdal vector select`: projection + rename."""
+    out = ds.select_columns(columns)
+    if rename:
+        new = [rename.get(c, c) for c in columns]
+        out = out.map_batches(
+            lambda t: t.rename_columns(new), batch_format="pyarrow"
+        )
+    return out
+
+
+def limit(ds: rd.Dataset, n: int) -> rd.Dataset:
+    """OGR SQL LIMIT (swq_parser.y:1129)."""
+    return ds.limit(n)
+
+
+def set_field_type(ds: rd.Dataset, column: str, new_type: pa.DataType) -> rd.Dataset:
+    """`gdal vector set-field-type`: CAST column."""
+
+    def cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index(column)
+        return t.set_column(i, column, pc.cast(t[column], new_type))
+
+    return ds.map_batches(cast, batch_format="pyarrow")
+
+
+def make_point(ds: rd.Dataset, lon_col: str, lat_col: str,
+               geom_col: str = "geometry") -> rd.Dataset:
+    """`gdal vector make-point`: numeric columns → WKB point column
+    (vectorized (N,21) encode)."""
+
+    def mk(t: pa.Table) -> pa.Table:
+        lon = t[lon_col].to_numpy(zero_copy_only=False)
+        lat = t[lat_col].to_numpy(zero_copy_only=False)
+        return t.append_column(geom_col, gwkb.encode_points(lon, lat))
+
+    return ds.map_batches(mk, batch_format="pyarrow")
+
+
+def map_wkb(ds: rd.Dataset, fn, geom_col: str = "geometry") -> rd.Dataset:
+    """Lift a bytes→bytes geometry function over the WKB column."""
+
+    def apply(t: pa.Table) -> pa.Table:
+        vals = t[geom_col].to_pylist()
+        out = [fn(v) if v is not None else None for v in vals]
+        i = t.schema.get_field_index(geom_col)
+        return t.set_column(i, gwkb.wkb_field(geom_col), pa.array(out, pa.binary()))
+
+    return ds.map_batches(apply, batch_format="pyarrow")
+
+
+def swap_xy(ds, geom_col="geometry"):
+    return map_wkb(ds, gops.swap_xy_wkb, geom_col)
+
+
+def make_valid(ds, geom_col="geometry"):
+    return map_wkb(ds, gops.make_valid_basic_wkb, geom_col)
+
+
+def set_geom_type_multi(ds, geom_col="geometry"):
+    return map_wkb(ds, gops.promote_to_multi_wkb, geom_col)
+
+
+def simplify(ds, tolerance: float, geom_col="geometry"):
+    def f(buf):
+        g = gwkb.parse(buf)
+        if g["type"] == gwkb.LINESTRING:
+            return gwkb.linestring_wkb(gops.simplify_coords(g["coords"], tolerance))
+        if g["type"] == gwkb.POLYGON:
+            rings = [gops.simplify_coords(r, tolerance) for r in g["rings"]]
+            rings = [r for r in rings if len(r) >= 4]
+            return gwkb.polygon_wkb(rings[0], rings[1:])
+        return buf
+
+    return map_wkb(ds, f, geom_col)
+
+
+def segmentize(ds, max_length: float, geom_col="geometry"):
+    def f(buf):
+        g = gwkb.parse(buf)
+        if g["type"] == gwkb.LINESTRING:
+            return gwkb.linestring_wkb(gops.segmentize_coords(g["coords"], max_length))
+        if g["type"] == gwkb.POLYGON:
+            rings = [gops.segmentize_coords(r, max_length) for r in g["rings"]]
+            return gwkb.polygon_wkb(rings[0], rings[1:])
+        return buf
+
+    return map_wkb(ds, f, geom_col)
+
+
+def buffer_points(ds, distance: float, quadsegs: int = 30, geom_col="geometry"):
+    """`gdal vector buffer` for point geometries."""
+
+    def f(buf):
+        g = gwkb.parse(buf)
+        if g["type"] != gwkb.POINT:
+            raise NotImplementedError("v0 buffers Point geometries only")
+        x, y = g["coords"][0]
+        return gwkb.polygon_wkb(gops.buffer_point(x, y, distance, quadsegs))
+
+    return map_wkb(ds, f, geom_col)
+
+
+def explode_collections(ds, geom_col="geometry"):
+    """1 row per geometry part (flat_map semantics,
+    apps/gdalalg_vector_explode_collections.cpp)."""
+
+    def explode(t: pa.Table) -> pa.Table:
+        idx = []
+        geoms = []
+        for i, v in enumerate(t[geom_col].to_pylist()):
+            if v is None:
+                idx.append(i)
+                geoms.append(None)
+                continue
+            for part in gops.explode_wkb(v):
+                idx.append(i)
+                geoms.append(part)
+        out = t.take(pa.array(idx, pa.int64()))
+        gi = out.schema.get_field_index(geom_col)
+        return out.set_column(gi, gwkb.wkb_field(geom_col), pa.array(geoms, pa.binary()))
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def reproject(ds, src_crs: str, dst_crs: str, x_col: str = "lon",
+              y_col: str = "lat") -> rd.Dataset:
+    """`gdal vector reproject` on coordinate columns: cached per-worker
+    Transformer (OGRProjCT pattern), vectorized, per-point success
+    flags → null coordinates on failure."""
+
+    def rp(t: pa.Table) -> pa.Table:
+        tr = Transformer.from_crs(src_crs, dst_crs)
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        xo, yo, ok = tr.transform_with_errors(x, y)
+        xi = t.schema.get_field_index(x_col)
+        t = t.set_column(xi, x_col, pa.array(xo, pa.float64(), mask=~ok))
+        yi = t.schema.get_field_index(y_col)
+        return t.set_column(yi, y_col, pa.array(yo, pa.float64(), mask=~ok))
+
+    return ds.map_batches(rp, batch_format="pyarrow")
+
+
+def spatial_sort(ds, x_col: str = "lon", y_col: str = "lat",
+                 bounds: tuple[float, float, float, float] | None = None):
+    """`gdal vector sort` hilbert mode (apps/gdalalg_vector_sort.cpp:40
+    + alg/hilbert.cpp): compute the 32-bit Hilbert key over the layer
+    envelope, then a distributed sort on it."""
+    if bounds is None:
+        from ray.data.aggregate import Max, Min
+
+        stats = ds.aggregate(
+            Min(x_col, alias_name="minx"),
+            Min(y_col, alias_name="miny"),
+            Max(x_col, alias_name="maxx"),
+            Max(y_col, alias_name="maxy"),
+        )
+        bounds = (stats["minx"], stats["miny"], stats["maxx"], stats["maxy"])
+    minx, miny, maxx, maxy = bounds
+
+    def key(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        y = t[y_col].to_numpy(zero_copy_only=False)
+        h = gops.hilbert_code(x, y, minx, miny, maxx, maxy)
+        return t.append_column("hilbert_key", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(key, batch_format="pyarrow").sort("hilbert_key")

@@ -1,0 +1,190 @@
+"""Geometry-operation kernels: unit tests + scalar-oracle parity."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.geom import ops, wkb as gwkb
+
+
+class TestHilbert:
+    def test_known_small_values(self):
+        # transcribed scalar check: the curve at 16-bit scale visits
+        # (0,0)=0; the code is a bijection on the 2^16 grid corners
+        assert ops._hilbert_xy(np.array([0]), np.array([0]))[0] == 0
+        xs = np.array([0, 1, 0, 1], dtype=np.uint32)
+        ys = np.array([0, 0, 1, 1], dtype=np.uint32)
+        codes = ops._hilbert_xy(xs, ys)
+        assert len(set(codes.tolist())) == 4
+
+    def test_locality(self):
+        # adjacent grid points should mostly have nearby codes (weak
+        # property; asserts the curve is not a trivial row order)
+        x = np.arange(1000, dtype=np.uint32)
+        c1 = ops._hilbert_xy(x, x)
+        c2 = ops._hilbert_xy(x + 1, x)
+        assert np.median(np.abs(c1.astype(np.int64) - c2.astype(np.int64))) < 10
+
+    def test_domain_scaling_matches_round_rule(self):
+        # round-half-up on the scaled coordinate (std::round for v>=0)
+        c = ops.hilbert_code(
+            np.array([0.0, 100.0]), np.array([0.0, 100.0]), 0, 0, 100, 100
+        )
+        c2 = ops._hilbert_xy(
+            np.array([0, ops.HILBERT_MAX]), np.array([0, ops.HILBERT_MAX])
+        )
+        np.testing.assert_array_equal(c, c2)
+
+
+class TestCoordOps:
+    def test_simplify_collinear(self):
+        line = np.array([[0, 0], [1, 0.001], [2, 0], [3, 2], [4, 0]], float)
+        out = ops.simplify_coords(line, 0.01)
+        np.testing.assert_array_equal(out, [[0, 0], [2, 0], [3, 2], [4, 0]])
+        # large tolerance keeps only endpoints... but (3,2) deviates 2
+        out2 = ops.simplify_coords(line, 3.0)
+        np.testing.assert_array_equal(out2, [[0, 0], [4, 0]])
+
+    def test_segmentize(self):
+        line = np.array([[0, 0], [10, 0]], float)
+        out = ops.segmentize_coords(line, 3.0)
+        assert len(out) == 5  # 4 segments of 2.5
+        d = np.diff(out, axis=0)
+        assert (np.hypot(d[:, 0], d[:, 1]) <= 3.0 + 1e-12).all()
+        np.testing.assert_allclose(out[-1], [10, 0])
+
+    def test_area_centroid(self):
+        sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        hole = np.array([[1, 1], [1, 3], [3, 3], [3, 1], [1, 1]], float)
+        assert ops.polygon_area([sq]) == pytest.approx(16.0)
+        assert ops.polygon_area([sq, hole]) == pytest.approx(12.0)
+        cx, cy = ops.polygon_centroid([sq])
+        assert (cx, cy) == (pytest.approx(2.0), pytest.approx(2.0))
+        # asymmetric hole shifts the centroid away from the hole
+        hole2 = np.array([[0.5, 0.5], [0.5, 1.5], [1.5, 1.5], [1.5, 0.5], [0.5, 0.5]])
+        cx2, cy2 = ops.polygon_centroid([sq, hole2])
+        assert cx2 > 2.0 and cy2 > 2.0
+
+    def test_length(self):
+        assert ops.line_length(np.array([[0, 0], [3, 4]], float)) == 5.0
+
+    def test_convex_hull(self):
+        pts = np.array([[0, 0], [2, 0], [2, 2], [0, 2], [1, 1], [0.5, 0.5]])
+        hull = ops.convex_hull(pts)
+        assert (hull[0] == hull[-1]).all()
+        assert len(hull) == 5  # 4 corners + closure
+        assert ops.ring_area(hull) == pytest.approx(4.0)  # CCW positive
+
+    def test_clip_polygon(self):
+        tri = np.array([[0, 0], [10, 0], [0, 10], [0, 0]], float)
+        out = ops.clip_polygon_bbox(tri, 0, 0, 5, 5)
+        assert abs(ops.ring_area(out)) == pytest.approx(50 - 12.5 - 12.5)
+        gone = ops.clip_polygon_bbox(tri, 20, 20, 30, 30)
+        assert len(gone) == 0
+
+    def test_clip_line(self):
+        line = np.array([[-5, 5], [15, 5]], float)
+        parts = ops.clip_line_bbox(line, 0, 0, 10, 10)
+        assert len(parts) == 1
+        np.testing.assert_allclose(parts[0], [[0, 5], [10, 5]])
+        # line that exits and re-enters
+        zig = np.array([[-5, 5], [5, 5], [5, 15], [8, 15], [8, 5], [15, 5]], float)
+        parts = ops.clip_line_bbox(zig, 0, 0, 10, 10)
+        assert len(parts) == 2
+
+    def test_buffer_point(self):
+        ring = ops.buffer_point(0, 0, 2.0, quadsegs=30)
+        assert abs(ops.ring_area(ring)) == pytest.approx(np.pi * 4, rel=1e-2)
+        r = np.hypot(ring[:, 0], ring[:, 1])
+        np.testing.assert_allclose(r, 2.0, atol=1e-12)
+
+
+class TestWkbOps:
+    def test_swap_xy(self):
+        p = gwkb.point_wkb(1.0, 2.0)
+        out = gwkb.parse(ops.swap_xy_wkb(p))
+        np.testing.assert_array_equal(out["coords"], [[2.0, 1.0]])
+        poly = gwkb.box_polygon_wkb(0, 1, 2, 3)
+        b = gwkb.bounds(ops.swap_xy_wkb(poly))
+        assert b == (1.0, 0.0, 3.0, 2.0)
+
+    def test_promote_and_explode(self):
+        p = gwkb.point_wkb(1.0, 2.0)
+        mp = ops.promote_to_multi_wkb(p)
+        assert gwkb.geometry_type(mp) == gwkb.MULTIPOINT
+        parts = ops.explode_wkb(mp)
+        assert len(parts) == 1
+        assert gwkb.parse(parts[0])["coords"][0].tolist() == [1.0, 2.0]
+        # collection of 2
+        gc = gwkb.geometrycollection_wkb([p, gwkb.box_polygon_wkb(0, 0, 1, 1)])
+        parts = ops.explode_wkb(gc)
+        assert [gwkb.geometry_type(x) for x in parts] == [gwkb.POINT, gwkb.POLYGON]
+
+    def test_make_valid_basic(self):
+        # unclosed ring with duplicate vertex
+        ring = np.array([[0, 0], [4, 0], [4, 0], [4, 4], [0, 4]], float)
+        bad = (
+            b"\x01" + (3).to_bytes(4, "little") + (1).to_bytes(4, "little")
+            + len(ring).to_bytes(4, "little") + ring.astype("<f8").tobytes()
+        )
+        fixed = ops.make_valid_basic_wkb(bad)
+        g = gwkb.parse(fixed)
+        r = g["rings"][0]
+        assert (r[0] == r[-1]).all()
+        assert len(r) == 5  # dup dropped, closure added
+
+    def test_wrap_lon(self):
+        np.testing.assert_allclose(
+            ops.wrap_lon(np.array([190.0, -185.0, 180.0, -180.0, 0.0])),
+            [-170.0, 175.0, -180.0, -180.0, 0.0],  # half-open [-180,180)
+        )
+
+
+class TestVectorStages:
+    def test_make_point_reproject_spatial_sort(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages import vector as vs
+
+        t = pa.table(
+            {
+                "id": pa.array([0, 1, 2], pa.int64()),
+                "lon": pa.array([0.0, 10.0, -10.0]),
+                "lat": pa.array([0.0, 50.0, -50.0]),
+            }
+        )
+        ds = vs.make_point(rd.from_arrow(t), "lon", "lat")
+        rows = ds.take_all()
+        assert gwkb.geometry_type(rows[0]["geometry"]) == gwkb.POINT
+        ds2 = vs.reproject(rd.from_arrow(t), "EPSG:4326", "EPSG:3857")
+        out = ds2.to_pandas()
+        assert out["lon"].iloc[1] == pytest.approx(1113194.9079327357, rel=1e-9)
+        ds3 = vs.spatial_sort(rd.from_arrow(t), bounds=(-10, -50, 10, 50))
+        srt = ds3.to_pandas()
+        assert "hilbert_key" in srt.columns
+        assert srt["hilbert_key"].is_monotonic_increasing
+
+    def test_spatial_sort_auto_bounds(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages import vector as vs
+
+        t = pa.table({"lon": pa.array([5.0, -3.0, 9.0]), "lat": pa.array([1.0, 2.0, -4.0])})
+        out = vs.spatial_sort(rd.from_arrow(t)).to_pandas()
+        assert out["hilbert_key"].is_monotonic_increasing
+
+    def test_explode_stage(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages import vector as vs
+
+        gc = gwkb.geometrycollection_wkb(
+            [gwkb.point_wkb(1, 2), gwkb.point_wkb(3, 4)]
+        )
+        t = pa.table({"id": pa.array([7], pa.int64()),
+                      "geometry": pa.array([gc], pa.binary())})
+        out = vs.explode_collections(rd.from_arrow(t)).to_pandas()
+        assert len(out) == 2
+        assert (out["id"] == 7).all()
