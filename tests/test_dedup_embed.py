@@ -1,0 +1,178 @@
+"""Dedup (MinHash-LSH, SimHash), embedding ANN, and text-analysis
+stage tests with brute-force oracles."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.stages import dedup, embed, text
+
+
+def _docs_with_dups():
+    base = [
+        "The quick brown fox jumps over the lazy dog in the morning sun",
+        "A completely different sentence about databases and query engines",
+        "Rain fell over Jakarta as the monsoon season started early this year",
+        "Deep learning models require large amounts of high quality data",
+    ]
+    texts = []
+    for i, b in enumerate(base):
+        texts.append(b)
+        texts.append(b.replace("the", "teh", 1) + " x")  # near-dup of each
+    texts.append("zzz completely unrelated qqq ppp www short")
+    return pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts, pa.string())}
+    )
+
+
+class TestMinHash:
+    def test_signature_similarity_tracks_jaccard(self):
+        a = dedup.char_shingle_hashes("the quick brown fox jumps", 4)
+        b = dedup.char_shingle_hashes("the quick brown fox jumped", 4)
+        c = dedup.char_shingle_hashes("totally different content here", 4)
+        sa = dedup.minhash_signature(a)
+        sb = dedup.minhash_signature(b)
+        sc = dedup.minhash_signature(c)
+        sim_ab = (sa == sb).mean()
+        sim_ac = (sa == sc).mean()
+        j_ab = dedup.jaccard(a, b)
+        assert abs(sim_ab - j_ab) < 0.2
+        assert sim_ab > 0.6 > sim_ac
+
+    def test_near_duplicates_pipeline(self, ray_session):
+        import ray.data as rd
+
+        t = _docs_with_dups()
+        ds = rd.from_arrow(t)
+        pairs = dedup.near_duplicates(ds, threshold=0.5).to_pandas()
+        found = set(map(tuple, pairs[["a", "b"]].to_numpy()))
+        # each (2i, 2i+1) pair is a near-dup
+        for i in range(4):
+            assert (2 * i, 2 * i + 1) in found
+        # brute-force oracle: no pair above threshold missed
+        texts = t["text"].to_pylist()
+        sh = [dedup.char_shingle_hashes(x, 4) for x in texts]
+        expected = set()
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                if dedup.jaccard(sh[i], sh[j]) >= 0.5:
+                    expected.add((i, j))
+        assert found == expected
+
+    def test_connected_components(self, ray_session):
+        import ray.data as rd
+
+        pairs = pa.table(
+            {"a": pa.array([0, 1, 5, 7], pa.int64()),
+             "b": pa.array([1, 2, 6, 8], pa.int64())}
+        )
+        labels = dedup.connected_components(rd.from_arrow(pairs)).to_pandas()
+        lut = labels.set_index("node")["label"].to_dict()
+        assert lut[0] == lut[1] == lut[2] == 0
+        assert lut[5] == lut[6] == 5
+        assert lut[7] == lut[8] == 7
+
+
+class TestSimHash:
+    def test_near_dup_small_hamming(self):
+        a = dedup.simhash64("the quick brown fox jumps over the lazy dog", 4)
+        b = dedup.simhash64("the quick brown fox jumps over the lazy dogs", 4)
+        c = dedup.simhash64("completely different text with other words", 4)
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < 10 < ham_ac
+
+    def test_deterministic(self):
+        assert dedup.simhash64("hello world") == dedup.simhash64("hello world")
+
+
+class TestEmbed:
+    def test_cosine_topk_matches_bruteforce(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(6)
+        n, d = 500, 16
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+        queries = rng.standard_normal((3, d))
+        out = (
+            embed.cosine_topk(rd.from_arrow(t), queries, k=7)
+            .to_pandas()
+            .sort_values(["query_id", "rank"])
+        )
+        # brute force
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        scores = vn.astype(np.float64) @ qn.T
+        for qi in range(3):
+            s = scores[:, qi]
+            order = np.lexsort((np.arange(n), -s))[:7]
+            got = out[out["query_id"] == qi]["vec_id"].tolist()
+            assert got == order.tolist()
+
+    def test_bucketed_ann_finds_exact_match(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(9)
+        n, d = 300, 8
+        vecs = rng.standard_normal((n, d)).astype(np.float32)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+        # query = an existing vector → same bucket guaranteed, rank 1
+        q = vecs[42:43].astype(np.float64)
+        out = embed.bucketed_cosine_topk(
+            rd.from_arrow(t), q, k=3, n_bits=8
+        ).to_pandas()
+        assert out.iloc[0]["vec_id"] == 42
+        assert out.iloc[0]["score"] == pytest.approx(1.0)
+
+
+class TestText:
+    def test_language_id(self):
+        t = pa.table(
+            {
+                "text": [
+                    "the cat and the dog went to the house in the morning",
+                    "el perro y el gato en la casa de los abuelos",
+                    "der Hund und die Katze sind mit den Kindern",
+                    "xqz 123",
+                ]
+            }
+        )
+        out = text.LanguageID()(t)
+        assert out["lang_pred"].to_pylist() == ["en", "es", "de", "und"]
+
+    def test_quality_score(self):
+        t = pa.table(
+            {
+                "text": [
+                    "The quality of this document is reasonably good and it "
+                    "contains a number of proper sentences to read.",
+                    "1 2 3 4 5 6 7 8 9 0 1 2 3",
+                ]
+            }
+        )
+        out = text.quality_score(t)
+        q = out["quality"].to_pylist()
+        assert q[0] > q[1]
+        assert out["n_tokens"].to_pylist()[1] == 13
+
+    def test_fingerprint_deterministic_distinct(self):
+        t = pa.table({"text": ["abc", "abd", "abc", ""]})
+        out = text.fingerprint64(t)
+        f = out["fingerprint"].to_pylist()
+        assert f[0] == f[2]
+        assert f[0] != f[1]
+        assert isinstance(f[3], int)
