@@ -1,0 +1,124 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed
+metadata; decode/feature stages as actor pools.
+
+The container has no image/audio codecs, so the DECODE step is a
+clearly-marked stub (deterministic fake decoder behind the same
+signature — see ``FakeImageDecoder``) while the Ray-side plumbing is
+real and tested: schema convention, batch sizing for large binary
+payloads, actor signature, output layout.
+
+Schema convention for a media column ``m``:
+  ``m`` (binary)  +  ``m_meta`` (struct<format: string, width: int32,
+  height: int32, n_bytes: int64>)
+
+Batch-size guidance (baked into the helpers): large binary rows must
+cap batch BYTES, not rows — ``media_batch_size(avg_bytes)`` targets
+~64 MiB per batch so ``batch × concurrency`` fits worker heaps
+(SURVEY.md §7.4 wide-row rule).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+TARGET_BATCH_BYTES = 64 * 1024 * 1024
+
+
+def media_batch_size(avg_item_bytes: int) -> int:
+    """Rows per batch so one batch ≈ 64 MiB of payload."""
+    return max(1, TARGET_BATCH_BYTES // max(1, avg_item_bytes))
+
+
+def media_meta(batch: pa.Table, col: str = "media",
+               fmt: str = "unknown") -> pa.Table:
+    """Append the typed metadata struct for a binary media column
+    (cheap, no decode: sizes only)."""
+    data = batch[col]
+    if isinstance(data, pa.ChunkedArray):
+        data = data.combine_chunks()
+    n_bytes = pa.array(
+        [len(v) if v is not None else 0 for v in data.to_pylist()], pa.int64()
+    )
+    meta = pa.StructArray.from_arrays(
+        [
+            pa.array([fmt] * len(batch), pa.string()),
+            pa.nulls(len(batch), pa.int32()),
+            pa.nulls(len(batch), pa.int32()),
+            n_bytes,
+        ],
+        names=["format", "width", "height", "n_bytes"],
+    )
+    return batch.append_column(f"{col}_meta", meta)
+
+
+class ImageDecoder:
+    """Actor-pool decode stage — REAL signature, STUB body.
+
+    In production ``__init__`` loads the codec (e.g. libjpeg-turbo /
+    Pillow) once per actor; ``__call__`` decodes each binary payload
+    to an (H, W, C) uint8 tensor column. Neither library exists in
+    this container, so instantiation raises unless a ``decode_fn`` is
+    injected (tests use FakeImageDecoder).
+    """
+
+    def __init__(self, decode_fn=None, col: str = "media",
+                 out_col: str = "pixels"):
+        if decode_fn is None:
+            raise NotImplementedError(
+                "no image codec in this environment; inject decode_fn "
+                "(signature: bytes -> np.ndarray[H,W,C] uint8) or use "
+                "FakeImageDecoder for plumbing tests"
+            )
+        self.decode = decode_fn
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch[self.col].to_pylist()
+        tensors = [self.decode(p) for p in payloads]
+        shapes = pa.array([list(t.shape) for t in tensors],
+                          pa.list_(pa.int32()))
+        flat = pa.array([t.tobytes() for t in tensors], pa.binary())
+        return batch.append_column(f"{self.out_col}_shape", shapes).append_column(
+            self.out_col, flat
+        )
+
+
+def FakeImageDecoder(col: str = "media", out_col: str = "pixels"):
+    """Deterministic fake decoder: payload bytes → 8×8×3 uint8 tensor
+    derived from a rolling hash of the payload (stable, codec-free) —
+    lets the full actor-pool pipeline run end-to-end."""
+
+    def decode(payload: bytes) -> np.ndarray:
+        if payload is None:
+            payload = b""
+        h = np.frombuffer(payload, dtype=np.uint8)
+        seed = int(h.astype(np.uint64).sum() % (2**32)) if len(h) else 0
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+
+    return ImageDecoder(decode_fn=decode, col=col, out_col=out_col)
+
+
+def resize_stage(batch: pa.Table, out_hw: tuple[int, int] = (4, 4),
+                 col: str = "pixels") -> pa.Table:
+    """Nearest-neighbor tensor resize over the decoded column — a real
+    (non-stub) numpy kernel operating on the fake or real tensors."""
+    shapes = batch[f"{col}_shape"].to_pylist()
+    payloads = batch[col].to_pylist()
+    oh, ow = out_hw
+    out = []
+    for shp, raw in zip(shapes, payloads):
+        t = np.frombuffer(raw, dtype=np.uint8).reshape(shp)
+        h, w = t.shape[0], t.shape[1]
+        yi = (np.arange(oh) * h // oh)
+        xi = (np.arange(ow) * w // ow)
+        out.append(t[yi][:, xi].tobytes())
+    i = batch.schema.get_field_index(col)
+    batch = batch.set_column(i, col, pa.array(out, pa.binary()))
+    j = batch.schema.get_field_index(f"{col}_shape")
+    return batch.set_column(
+        j, f"{col}_shape",
+        pa.array([[oh, ow, 3]] * len(out), pa.list_(pa.int32())),
+    )

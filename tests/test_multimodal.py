@@ -1,0 +1,52 @@
+"""Multimodal plumbing tests (decode stubbed, pipeline real)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.stages import multimodal as mm
+
+
+def test_decoder_requires_codec():
+    with pytest.raises(NotImplementedError):
+        mm.ImageDecoder()
+
+
+def test_media_batch_size():
+    assert mm.media_batch_size(1024 * 1024) == 64
+    assert mm.media_batch_size(0) > 0
+
+
+def test_full_pipeline_with_fake_decoder(ray_session):
+    import ray.data as rd
+
+    payloads = [bytes([i] * (10 + i)) for i in range(20)]
+    t = pa.table(
+        {"id": pa.array(range(20), pa.int64()),
+         "media": pa.array(payloads, pa.binary())}
+    )
+    ds = rd.from_arrow(t)
+    ds = ds.map_batches(lambda b: mm.media_meta(b, "media", "fake"),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(
+        mm.FakeImageDecoder,
+        batch_format="pyarrow",
+        batch_size=mm.media_batch_size(16),
+        concurrency=(1, 2),
+    )
+    ds = ds.map_batches(mm.resize_stage, batch_format="pyarrow")
+    out = ds.to_pandas()
+    assert len(out) == 20
+    assert out["media_meta"][0]["n_bytes"] == 10
+    shp = out["pixels_shape"][0]
+    assert list(shp) == [4, 4, 3]
+    px = np.frombuffer(out["pixels"][0], dtype=np.uint8)
+    assert px.shape == (48,)
+    # determinism: same payload -> same pixels
+    t2 = rd.from_arrow(t).map_batches(
+        mm.FakeImageDecoder, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    ds3 = rd.from_arrow(t).map_batches(
+        mm.FakeImageDecoder, batch_format="pyarrow", concurrency=1
+    ).to_pandas()
+    assert (t2["pixels"] == ds3["pixels"]).all()
