@@ -85,20 +85,23 @@ class ImageDecoder:
         )
 
 
-def FakeImageDecoder(col: str = "media", out_col: str = "pixels"):
+class FakeImageDecoder(ImageDecoder):
     """Deterministic fake decoder: payload bytes → 8×8×3 uint8 tensor
-    derived from a rolling hash of the payload (stable, codec-free) —
-    lets the full actor-pool pipeline run end-to-end."""
+    derived from a hash of the payload (stable, codec-free) — lets the
+    full actor-pool pipeline run end-to-end. A callable CLASS so
+    ``map_batches(FakeImageDecoder, concurrency=...)`` builds a real
+    actor pool."""
 
-    def decode(payload: bytes) -> np.ndarray:
-        if payload is None:
-            payload = b""
-        h = np.frombuffer(payload, dtype=np.uint8)
-        seed = int(h.astype(np.uint64).sum() % (2**32)) if len(h) else 0
-        rng = np.random.default_rng(seed)
-        return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+    def __init__(self, col: str = "media", out_col: str = "pixels"):
+        def decode(payload: bytes) -> np.ndarray:
+            if payload is None:
+                payload = b""
+            h = np.frombuffer(payload, dtype=np.uint8)
+            seed = int(h.astype(np.uint64).sum() % (2**32)) if len(h) else 0
+            rng = np.random.default_rng(seed)
+            return rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
 
-    return ImageDecoder(decode_fn=decode, col=col, out_col=out_col)
+        super().__init__(decode_fn=decode, col=col, out_col=out_col)
 
 
 def resize_stage(batch: pa.Table, out_hw: tuple[int, int] = (4, 4),
