@@ -310,6 +310,124 @@ SELECT MIN(doc_id) AS keep_doc_id FROM documents GROUP BY text
 """
 
 
+# --- session windows (gap-based sessionization) ------------------------
+
+
+def q_events_sessions(sf_dir: str):
+    """Session windows per user (30-min inactivity gap): the
+    streaming-shaped workload as groupby(key).map_groups over
+    ts-sorted groups (the engine is batch — §2.11 — ordering is an
+    explicit sort inside the group, deterministic via (ts, event_id))."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+
+    def sessionize(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=30)
+        sid = gap.cumsum().astype("int64")
+        out = (
+            g.assign(session_idx=sid)
+            .groupby("session_idx")
+            .agg(
+                user_id=("user_id", "first"),
+                n_events=("event_id", "count"),
+                sum_value=("value", "sum"),
+                session_start=("ts", "min"),
+            )
+            .reset_index()
+        )
+        return out[["user_id", "session_idx", "n_events", "sum_value", "session_start"]]
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+SQL_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM e
+)
+SELECT user_id, session_idx, COUNT(*) AS n_events,
+       SUM(value) AS sum_value, MIN(ts) AS session_start
+FROM s GROUP BY 1, 2
+"""
+
+
+# --- semi / anti joins --------------------------------------------------
+
+
+def q_semi_anti(sf_dir: str):
+    """Customers WITH orders (semi) tagged, customers WITHOUT (anti)
+    — broadcast key-set filters (§2.4 mapping)."""
+    from gdal_ray.stages.join import anti_join, semi_join
+
+    custkeys = set(
+        _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
+    )
+    cust = _read(sf_dir, "customer", columns=["c_custkey"])
+    semi = semi_join(cust, custkeys, "c_custkey").map_batches(
+        lambda t: t.append_column("has_orders", pa.array([True] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+    anti = anti_join(cust, custkeys, "c_custkey").map_batches(
+        lambda t: t.append_column("has_orders", pa.array([False] * t.num_rows)),
+        batch_format="pyarrow",
+    )
+    return semi.union(anti)
+
+
+SQL_SEMI_ANTI = """
+SELECT c_custkey, EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+       AS has_orders
+FROM customer c
+"""
+
+
+# --- OGR SQL scalar functions (CONCAT/SUBSTR/LIKE/CAST/UPPER) ----------
+
+
+def q_scalar_funcs(sf_dir: str):
+    """The OGR SQL expression surface (swq_op_registrar.cpp:28-61) as
+    pyarrow kernels: SUBSTR, CONCAT, LIKE, UPPER, CAST."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_name", "p_retailprice"])
+
+    def f(t: pa.Table) -> pa.Table:
+        name5 = pc.utf8_upper(pc.utf8_slice_codeunits(t["p_name"], 0, 5))
+        tagged = pc.binary_join_element_wise(
+            pa.array(["part:"] * t.num_rows), t["p_name"], ""
+        )
+        has_el = pc.match_like(t["p_name"], "%el%")
+        price_int = pc.cast(pc.floor(t["p_retailprice"]), pa.int64())
+        return pa.table(
+            {
+                "p_partkey": t["p_partkey"],
+                "name5": name5,
+                "tagged": tagged,
+                "has_el": has_el,
+                "price_int": price_int,
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_SCALAR_FUNCS = """
+SELECT p_partkey,
+       UPPER(SUBSTR(p_name, 1, 5)) AS name5,
+       'part:' || p_name AS tagged,
+       p_name LIKE '%el%' AS has_el,
+       CAST(FLOOR(p_retailprice) AS BIGINT) AS price_int
+FROM part
+"""
+
+
 RELATIONAL_QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
@@ -322,4 +440,7 @@ RELATIONAL_QUERIES = {
     "events_hourly": (q_events_hourly, SQL_EVENTS_HOURLY),
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
+    "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
 }

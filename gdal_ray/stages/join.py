@@ -105,6 +105,36 @@ class PIPJoiner:
         return out
 
 
+def semi_join(points, keys, key_col: str):
+    """Keep rows whose key is in the broadcast key set (the semi join
+    the reference lacks natively — SURVEY.md §2.4 'semi/anti fall out
+    of our hash join'). ``keys`` = iterable / pa.Array."""
+    key_arr = pa.array(list(keys)) if not isinstance(keys, pa.Array) else keys
+    ref = ray.put(key_arr)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch[key_col], value_set=ray.get(ref)))
+
+    return points.map_batches(f, batch_format="pyarrow")
+
+
+def anti_join(points, keys, key_col: str):
+    """Drop rows whose key is in the broadcast key set."""
+    key_arr = pa.array(list(keys)) if not isinstance(keys, pa.Array) else keys
+    ref = ray.put(key_arr)
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.invert(pc.is_in(batch[key_col], value_set=ray.get(ref)))
+        )
+
+    return points.map_batches(f, batch_format="pyarrow")
+
+
 def broadcast_table(table: pa.Table) -> ray.ObjectRef:
     """``ray.put`` once on the driver; pass the ref to actor ctors."""
     return ray.put(table)

@@ -1,0 +1,91 @@
+"""Warp tests: identity, approx-transformer error bound, round trip."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.raster import model, warp
+
+
+def _src():
+    rng = np.random.default_rng(2)
+    arr = rng.integers(0, 256, (64, 64)).astype(np.uint8)
+    # geographic raster over [0,64]x[0,64] degrees-ish region... use a
+    # realistic lon/lat window: [-10, 22] x [30, 62], 0.5 deg/px
+    gt = (-10.0, 0.5, 0.0, 62.0, 0.0, -0.5)
+    return arr, gt
+
+
+def test_identity_warp():
+    arr, gt = _src()
+    out = warp.warp_array(
+        arr, gt, "EPSG:4326", arr.shape, gt, "EPSG:4326",
+        method="nearest", approx=False,
+    )
+    np.testing.assert_array_equal(out.astype(np.uint8), arr)
+
+
+def test_suggested_output_and_forward_warp():
+    arr, gt = _src()
+    shape, dgt = warp.suggested_warp_output(arr.shape, gt, "EPSG:4326", "EPSG:3857")
+    assert 40 <= shape[0] <= 120 and 40 <= shape[1] <= 120
+    out = warp.warp_array(arr, gt, "EPSG:4326", shape, dgt, "EPSG:3857",
+                          method="nearest", approx=False, nodata=255)
+    # interior is populated from the source value set
+    assert (out >= 0).all()
+    interior = out[10:-10, 10:-10]
+    assert len(np.unique(interior)) > 10
+
+
+def test_approx_error_bound():
+    # the approx transformer must stay within 0.125 px of the exact
+    # transform (the gdalwarp contract, gdalwarp_lib.cpp:1598)
+    arr, gt = _src()
+    shape, dgt = warp.suggested_warp_output(arr.shape, gt, "EPSG:4326", "EPSG:3857")
+    tr = warp.ApproxGridTransform(shape, dgt, "EPSG:3857", gt, "EPSG:4326", step=16)
+    rng = np.random.default_rng(5)
+    px = rng.uniform(0, shape[1], 4000)
+    py = rng.uniform(0, shape[0], 4000)
+    ax, ay = tr(px, py)
+    ex, ey = warp.exact_transform(dgt, "EPSG:3857", gt, "EPSG:4326", px, py)
+    err = np.hypot(ax - ex, ay - ey)
+    assert np.nanmax(err) <= 0.125
+
+
+def test_roundtrip_reprojection_preserves_smooth_data():
+    # smooth gradient: 4326 -> 3857 -> 4326 bilinear round trip ~ equal
+    h, w = 64, 64
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    arr = (xx * 2.0 + yy * 1.0).astype(np.float64)
+    gt = (-10.0, 0.5, 0.0, 62.0, 0.0, -0.5)
+    shape, dgt = warp.suggested_warp_output(arr.shape, gt, "EPSG:4326", "EPSG:3857")
+    mid = warp.warp_array(arr, gt, "EPSG:4326", shape, dgt, "EPSG:3857",
+                          method="bilinear", nodata=np.nan)
+    back = warp.warp_array(mid, dgt, "EPSG:3857", arr.shape, gt, "EPSG:4326",
+                           method="bilinear", nodata=np.nan)
+    # compare away from borders (border pixels lose support)
+    a = arr[4:-4, 4:-4]
+    b = back[4:-4, 4:-4]
+    m = np.isfinite(b)
+    assert m.mean() > 0.95
+    assert np.nanmax(np.abs(a[m] - b[m])) < 1.0  # < 1 source unit
+
+
+def test_tiled_warp_matches_whole():
+    # distributed contract: warping per 16px dst tile with offsets
+    # equals the whole-window warp
+    arr, gt = _src()
+    shape, dgt = warp.suggested_warp_output(arr.shape, gt, "EPSG:4326", "EPSG:3857")
+    whole = warp.warp_array(arr, gt, "EPSG:4326", shape, dgt, "EPSG:3857",
+                            method="nearest", approx=False, nodata=0)
+    h, w = shape
+    tiled = np.zeros_like(whole)
+    for y0 in range(0, h, 16):
+        for x0 in range(0, w, 16):
+            th = min(16, h - y0)
+            tw = min(16, w - x0)
+            tiled[y0:y0+th, x0:x0+tw] = warp.warp_array(
+                arr, gt, "EPSG:4326", (th, tw), dgt, "EPSG:3857",
+                method="nearest", approx=False, nodata=0,
+                dst_y0=y0, dst_x0=x0,
+            )
+    np.testing.assert_array_equal(tiled, whole)
