@@ -252,6 +252,47 @@ def clip_polygon_bbox(ring: np.ndarray, minx, miny, maxx, maxy) -> np.ndarray:
     return np.vstack([poly, poly[:1]])
 
 
+def clip_polygon_convex(ring: np.ndarray, clip_ring: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman clip of a (closed) subject ring by a CONVEX
+    (closed, CCW) clip ring → closed result ring (empty if disjoint).
+
+    This is the per-pair kernel of layer-algebra ``Intersection`` for
+    convex method geometries (ogrlayer.cpp:5361 maps each input
+    feature against method features; GEOS handles general polygons —
+    v0 restricts the method side to convex, which covers admin boxes
+    and buffer circles)."""
+    subject = ring[:-1] if len(ring) and (ring[0] == ring[-1]).all() else ring
+    clip = clip_ring[:-1] if (clip_ring[0] == clip_ring[-1]).all() else clip_ring
+    if ring_area(np.vstack([clip, clip[:1]])) < 0:
+        clip = clip[::-1]  # ensure CCW so "inside" = left of each edge
+    poly = np.asarray(subject, dtype=np.float64)
+    n = len(clip)
+    for i in range(n):
+        if len(poly) == 0:
+            return np.empty((0, 2))
+        a = clip[i]
+        b = clip[(i + 1) % n]
+        ex, ey = b[0] - a[0], b[1] - a[1]
+        # signed side: >=0 left/on the edge (inside for CCW)
+        side = ex * (poly[:, 1] - a[1]) - ey * (poly[:, 0] - a[0])
+        out = []
+        m = len(poly)
+        for j in range(m):
+            cur = poly[j]
+            prev = poly[j - 1]
+            ci = side[j] >= 0
+            pi = side[j - 1] >= 0
+            if ci != pi:
+                t = side[j - 1] / (side[j - 1] - side[j])
+                out.append(prev + t * (cur - prev))
+            if ci:
+                out.append(cur)
+        poly = np.array(out) if out else np.empty((0, 2))
+    if len(poly) < 3:
+        return np.empty((0, 2))
+    return np.vstack([poly, poly[:1]])
+
+
 def clip_line_bbox(coords: np.ndarray, minx, miny, maxx, maxy) -> list[np.ndarray]:
     """Liang-Barsky clip of a polyline → list of clipped parts."""
     parts: list[list[np.ndarray]] = []

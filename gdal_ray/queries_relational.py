@@ -428,6 +428,101 @@ FROM part
 """
 
 
+# --- as-of join ---------------------------------------------------------
+
+
+def q_asof_join(sf_dir: str):
+    """Each event joined to the latest prior 'mark' of the same user
+    (marks = the deterministic subset event_id % 10 == 0). Oracle:
+    DuckDB ASOF JOIN."""
+    from gdal_ray.stages.asof import asof_join
+
+    events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
+    def mk_marks(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        keep = pa.array(eid % 10 == 0)
+        f = t.filter(keep)
+        return pa.table(
+            {"user_id": f["user_id"], "ts": f["ts"], "mark_value": f["value"]}
+        )
+
+    marks = events.map_batches(mk_marks, batch_format="pyarrow")
+    out = asof_join(
+        events, marks, key="user_id", ts="ts", right_cols=["mark_value"]
+    )
+    return out.select_columns(["event_id", "user_id", "mark_value"])
+
+
+SQL_ASOF_JOIN = """
+WITH marks AS (
+  SELECT user_id, ts, value AS mark_value FROM events WHERE event_id % 10 = 0
+)
+SELECT e.event_id, e.user_id, m.mark_value
+FROM events e
+ASOF LEFT JOIN marks m ON e.user_id = m.user_id AND e.ts >= m.ts
+"""
+
+
+# --- layer algebra: convex overlay intersection areas -------------------
+
+_QBOXES = [
+    (-80.0 + 32.0 * i, -60.0, -80.0 + 32.0 * (i + 1), 60.0) for i in range(5)
+]
+
+
+def q_box_overlay(sf_dir: str):
+    """Layer-algebra Intersection of the 100 admin boxes against 5
+    vertical query strips (convex S-H clipping per pair, envelope
+    pretest first); oracle = the closed-form box-intersection area.
+    ``sf_dir`` is unused (fixture geometry) but kept for the driver
+    contract."""
+    import ray.data as rd
+
+    from gdal_ray import fixtures
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.stages.overlay import convex_overlay
+
+    b = fixtures.gen_boundaries()
+    strips = pa.table(
+        {
+            "strip_id": pa.array(range(len(_QBOXES)), pa.int64()),
+            "geometry": pa.array(
+                [gwkb.box_polygon_wkb(*q) for q in _QBOXES], pa.binary()
+            ),
+        }
+    )
+    ds = rd.from_arrow(b.select(["admin_id", "geometry"]))
+    out = convex_overlay(
+        ds, strips, mode="intersection", method_id_col="strip_id"
+    )
+    return out.select_columns(["admin_id", "strip_id", "overlay_area"])
+
+
+def _sql_box_overlay() -> str:
+    from gdal_ray.fixtures import boundary_boxes
+
+    brows = ", ".join(
+        f"({i}, {b[0]!r}, {b[1]!r}, {b[2]!r}, {b[3]!r})"
+        for i, b in enumerate(boundary_boxes())
+    )
+    qrows = ", ".join(
+        f"({i}, {q[0]!r}, {q[1]!r}, {q[2]!r}, {q[3]!r})"
+        for i, q in enumerate(_QBOXES)
+    )
+    return f"""
+WITH b(admin_id, minx, miny, maxx, maxy) AS (VALUES {brows}),
+q(strip_id, qminx, qminy, qmaxx, qmaxy) AS (VALUES {qrows})
+SELECT b.admin_id, q.strip_id,
+       (LEAST(b.maxx, q.qmaxx) - GREATEST(b.minx, q.qminx)) *
+       (LEAST(b.maxy, q.qmaxy) - GREATEST(b.miny, q.qminy)) AS overlay_area
+FROM b CROSS JOIN q
+WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
+  AND LEAST(b.maxy, q.qmaxy) > GREATEST(b.miny, q.qminy)
+"""
+
+
 RELATIONAL_QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
@@ -443,4 +538,6 @@ RELATIONAL_QUERIES = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
+    "asof_join": (q_asof_join, SQL_ASOF_JOIN),
+    "box_overlay": (q_box_overlay, _sql_box_overlay()),
 }

@@ -1,0 +1,81 @@
+"""As-of join — the time-series lookup the reference lacks
+(SURVEY.md §2.4 last row: "no as-of joins in GDAL"; a required custom
+operator for the training-pipeline surface).
+
+Semantics (ASOF JOIN ... MATCH backward): for each left row, the
+single right row with the same key and the greatest right-ts ≤
+left-ts. Shape per the guide: co-partition both sides by key
+(groupby), sort within the group, and merge with
+``pandas.merge_asof`` — a composition of groupby + map_groups, no raw
+actors.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def asof_join(
+    left: rd.Dataset,
+    right: rd.Dataset,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_partitions: int = 8,
+):
+    """Backward as-of join on (key, ts).
+
+    Both sides are tagged and unioned, then ONE groupby(key) shuffle
+    co-locates each key's rows; the per-group merge sorts by ts and
+    applies merge_asof. Right columns arrive suffixed when colliding.
+    """
+    lt = left.map_batches(
+        lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    rt = right.map_batches(
+        lambda t: t.append_column("__side", pa.array([1] * t.num_rows, pa.int8())),
+        batch_format="pyarrow",
+    )
+    # align schemas for the union: missing columns become nulls
+    lcols = set(left.schema().names)
+    rcols = set(right.schema().names)
+
+    def pad(missing):
+        def f(t: pa.Table) -> pa.Table:
+            for c, typ in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, typ))
+            return t
+
+        return f
+
+    lschema = {f.name: f.type for f in left.schema().base_schema}
+    rschema = {f.name: f.type for f in right.schema().base_schema}
+    lt = lt.map_batches(
+        pad([(c, rschema[c]) for c in sorted(rcols - lcols)]),
+        batch_format="pyarrow",
+    )
+    rt = rt.map_batches(
+        pad([(c, lschema[c]) for c in sorted(lcols - rcols)]),
+        batch_format="pyarrow",
+    )
+    both = lt.union(rt)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["__side"] == 0].sort_values(ts, kind="mergesort")
+        rg = g[g["__side"] == 1].sort_values(ts, kind="mergesort")
+        lg = lg[[c for c in lg.columns if c in lcols]]
+        rg = rg[[c for c in rg.columns if c in ([key, ts] + right_cols)]]
+        if len(lg) == 0:
+            return lg.iloc[0:0]
+        out = pd.merge_asof(
+            lg, rg, on=ts, by=key, direction="backward", suffixes=("", suffix)
+        )
+        return out
+
+    return both.groupby(key, num_partitions=num_partitions).map_groups(
+        merge, batch_format="pandas"
+    )

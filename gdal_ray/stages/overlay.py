@@ -1,0 +1,113 @@
+"""Layer algebra — polygon overlay against a broadcast convex method
+layer (Intersection / Identity / Erase subset).
+
+Reference scheme (ogr/ogrsf_frmts/generic/ogrlayer.cpp:5361-5470
+Intersection; :7164 Update; :7513 Clip; :7822 Erase): for each input
+feature, envelope pretest against the method layer, then a per-pair
+GEOS op. Here the per-pair op is Sutherland-Hodgman convex clipping
+(geom.ops.clip_polygon_convex) — exact for the convex method
+geometries the pipelines use (admin boxes, buffer circles); general
+concave overlay is flagged out of v0 (COVERAGE.md).
+
+Shape: method layer broadcast once; input polygons stream through
+``map_batches``. One output row per intersecting (input, method) pair
+(Intersection), or the input row with matched/unmatched tagging
+(Identity), or inputs minus intersecting area markers (Erase = keep
+rows with NO intersection; true geometric subtraction needs concave
+results — out of v0).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from gdal_ray.geom import ops as gops
+from gdal_ray.geom import wkb as gwkb
+
+
+class ConvexOverlay:
+    """map_batches stage. mode ∈ {intersection, identity, erase}."""
+
+    def __init__(self, method_table, mode: str = "intersection",
+                 geom_col: str = "geometry",
+                 method_id_col: str = "admin_id"):
+        if isinstance(method_table, ray.ObjectRef):
+            method_table = ray.get(method_table)
+        self.mode = mode
+        self.geom_col = geom_col
+        self.method_id_col = method_id_col
+        self.method = []
+        for row in method_table.to_pylist():
+            rings = gwkb.polygon_rings(row["geometry"])
+            ring = rings[0]
+            # envelope for the pretest
+            env = (
+                ring[:, 0].min(), ring[:, 1].min(),
+                ring[:, 0].max(), ring[:, 1].max(),
+            )
+            self.method.append((row[self.method_id_col], ring, env))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows_out = []
+        for row in batch.to_pylist():
+            g = row[self.geom_col]
+            if g is None:
+                continue
+            rings = gwkb.polygon_rings(g)
+            subject = rings[0]
+            sminx, sminy = subject[:, 0].min(), subject[:, 1].min()
+            smaxx, smaxy = subject[:, 0].max(), subject[:, 1].max()
+            matched = False
+            for mid, mring, (eminx, eminy, emaxx, emaxy) in self.method:
+                # envelope pretest (reference order, ogrlayer.cpp:5361)
+                if smaxx < eminx or sminx > emaxx or smaxy < eminy or sminy > emaxy:
+                    continue
+                clipped = gops.clip_polygon_convex(subject, mring)
+                if len(clipped) == 0:
+                    continue
+                area = abs(gops.ring_area(clipped))
+                if area == 0.0:
+                    # edge-touch only (degenerate collinear result) —
+                    # GEOS Intersection returns a lower-dimension
+                    # geometry here; we keep polygon semantics (area>0)
+                    continue
+                matched = True
+                if self.mode == "intersection":
+                    out = dict(row)
+                    out[self.geom_col] = gwkb.polygon_wkb(clipped)
+                    out[self.method_id_col] = mid
+                    out["overlay_area"] = area
+                    rows_out.append(out)
+                elif self.mode == "identity":
+                    out = dict(row)
+                    out[self.method_id_col] = mid
+                    rows_out.append(out)
+            if self.mode == "identity" and not matched:
+                out = dict(row)
+                out[self.method_id_col] = None
+                rows_out.append(out)
+            elif self.mode == "erase" and not matched:
+                rows_out.append(dict(row))
+        if not rows_out:
+            # preserve schema with the extra columns
+            schema = batch.schema
+            if self.mode == "intersection":
+                schema = schema.append(pa.field(self.method_id_col, pa.int64()))
+                schema = schema.append(pa.field("overlay_area", pa.float64()))
+            elif self.mode == "identity":
+                schema = schema.append(pa.field(self.method_id_col, pa.int64()))
+            return schema.empty_table()
+        return pa.Table.from_pylist(rows_out)
+
+
+def convex_overlay(ds, method_table: pa.Table, mode: str = "intersection",
+                   concurrency=(1, 4), **kw):
+    ref = ray.put(method_table)
+    return ds.map_batches(
+        ConvexOverlay,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"method_table": ref, "mode": mode, **kw},
+    )
