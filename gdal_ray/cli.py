@@ -1,0 +1,219 @@
+"""`gdal pipeline`-style CLI (apps/gdal.cpp:82 unified entry point;
+pipeline parse apps/gdalalg_abstract_pipeline.h:379: steps split on
+``!``).
+
+Usage:
+  python -m gdal_ray.cli vector pipeline \
+      "read /path/in.parquet ! filter --where 'l_quantity > 45' \
+       ! select --cols l_orderkey,l_quantity ! limit --n 10 \
+       ! write /tmp/out"
+
+Steps (the §2.12 Step protocol: each builder returns a
+Dataset→Dataset transform):
+  read PATH [--cols a,b]          write PATH
+  filter --where 'col OP value'   select --cols a,b
+  limit --n N                     sort --by col [--desc]
+  reproject --src CRS --dst CRS [--x lon --y lat]
+  make-point [--x lon --y lat]    geoparse
+  tile-encode [--zooms 7,9,12]    cell-encode
+  pip-join (admin boundaries fixture)
+  count (terminal: print row count)
+
+The driver contract owns ray.init; standalone runs guard with
+``if not ray.is_initialized()``.
+"""
+
+from __future__ import annotations
+
+import shlex
+import sys
+
+import pyarrow.compute as pc
+
+_OPS = {
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+    "=": pc.equal,
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    "<>": pc.not_equal,
+}
+
+
+def _parse_args(tokens: list[str]) -> dict:
+    out = {}
+    i = 0
+    while i < len(tokens):
+        if tokens[i].startswith("--"):
+            key = tokens[i][2:]
+            if i + 1 < len(tokens) and not tokens[i + 1].startswith("--"):
+                out[key] = tokens[i + 1]
+                i += 2
+            else:
+                out[key] = True
+                i += 1
+        else:
+            out.setdefault("_args", []).append(tokens[i])
+            i += 1
+    return out
+
+
+def _where_predicate(expr: str):
+    parts = shlex.split(expr)
+    if len(parts) != 3 or parts[1] not in _OPS:
+        raise ValueError(f"unsupported WHERE expression: {expr!r} "
+                         "(expected: col OP value)")
+    col, op, raw = parts
+    try:
+        val: object = int(raw)
+    except ValueError:
+        try:
+            val = float(raw)
+        except ValueError:
+            val = raw.strip("'\"")
+    fn = _OPS[op]
+    return lambda t: fn(t[col], val)
+
+
+def build_pipeline(spec: str):
+    """Parse a `!`-separated step spec → (source_fn, [transforms],
+    terminal)."""
+    import ray.data as rd
+
+    steps = [shlex.split(s.strip()) for s in spec.split("!") if s.strip()]
+    if not steps or steps[0][0] != "read":
+        raise ValueError("pipeline must start with: read PATH")
+    transforms = []
+    terminal = ("collect", None)
+    src_args = _parse_args(steps[0][1:])
+    src_path = src_args["_args"][0]
+    cols = src_args.get("cols")
+    source = lambda: rd.read_parquet(  # noqa: E731
+        src_path, columns=cols.split(",") if cols else None
+    )
+    for step in steps[1:]:
+        name = step[0]
+        args = _parse_args(step[1:])
+        if name == "write":
+            terminal = ("write", args["_args"][0])
+        elif name == "count":
+            terminal = ("count", None)
+        elif name == "filter":
+            pred = _where_predicate(args["where"])
+            transforms.append(
+                lambda ds, p=pred: ds.map_batches(
+                    lambda t: t.filter(p(t)), batch_format="pyarrow"
+                )
+            )
+        elif name == "select":
+            cols_ = args["cols"].split(",")
+            transforms.append(lambda ds, c=cols_: ds.select_columns(c))
+        elif name == "limit":
+            transforms.append(lambda ds, n=int(args["n"]): ds.limit(n))
+        elif name == "sort":
+            transforms.append(
+                lambda ds, k=args["by"], d=bool(args.get("desc")): ds.sort(
+                    k, descending=d
+                )
+            )
+        elif name == "reproject":
+            from gdal_ray.stages.vector import reproject
+
+            transforms.append(
+                lambda ds, a=args: reproject(
+                    ds, a["src"], a["dst"], a.get("x", "lon"), a.get("y", "lat")
+                )
+            )
+        elif name == "make-point":
+            from gdal_ray.stages.vector import make_point
+
+            transforms.append(
+                lambda ds, a=args: make_point(
+                    ds, a.get("x", "lon"), a.get("y", "lat")
+                )
+            )
+        elif name == "geoparse":
+            from gdal_ray.geoparse import extract_coords
+
+            transforms.append(
+                lambda ds: ds.map_batches(extract_coords, batch_format="pyarrow")
+            )
+        elif name == "tile-encode":
+            from gdal_ray.pipelines.flagship import encode_tiles
+
+            zooms = tuple(
+                int(z) for z in args.get("zooms", "7,9,12").split(",")
+            )
+            transforms.append(
+                lambda ds, z=zooms: ds.map_batches(
+                    lambda t: encode_tiles(t, z), batch_format="pyarrow"
+                )
+            )
+        elif name == "cell-encode":
+            from gdal_ray.pipelines.flagship import encode_cells
+
+            transforms.append(
+                lambda ds: ds.map_batches(encode_cells, batch_format="pyarrow")
+            )
+        elif name == "pip-join":
+            from gdal_ray import fixtures
+            from gdal_ray.stages.join import pip_join
+
+            transforms.append(
+                lambda ds: pip_join(ds, fixtures.gen_boundaries())
+            )
+        else:
+            raise ValueError(f"unknown pipeline step: {name!r}")
+    return source, transforms, terminal
+
+
+def run_pipeline(spec: str):
+    """Execute a pipeline spec; returns (result, terminal_kind)."""
+    source, transforms, terminal = build_pipeline(spec)
+    ds = source()
+    for t in transforms:
+        ds = t(ds)
+    kind, arg = terminal
+    if kind == "write":
+        ds.write_parquet(arg)
+        return arg, kind
+    if kind == "count":
+        return ds.count(), kind
+    return ds, kind
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) < 3 or argv[0] != "vector" or argv[1] != "pipeline":
+        print(
+            "usage: python -m gdal_ray.cli vector pipeline \"read ... ! ... \"",
+            file=sys.stderr,
+        )
+        return 2
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    res, kind = run_pipeline(argv[2])
+    if kind == "count":
+        print(res)
+    elif kind == "write":
+        print(f"wrote {res}")
+    else:
+        print(res.count())
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

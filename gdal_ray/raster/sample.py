@@ -53,6 +53,10 @@ def sample_points(
             ok &= vals != nodata
         out[ok] = vals[ok]
         return out, ok
+    if method in ("cubic", "cubicspline"):
+        if w < 4 or h < 4:
+            return sample_points(arr, px, py, "bilinear", nodata)
+        return _sample_4x4(arr, px, py, method, nodata)
     if method != "bilinear":
         raise ValueError(f"unsupported method {method}")
     ok = (px >= 0) & (px <= w) & (py >= 0) & (py <= h)
@@ -76,6 +80,62 @@ def sample_points(
     z2 = v10 * (1 - tx) + v11 * tx
     vals = z1 * (1 - ty) + z2 * ty
     out[ok] = vals[ok]
+    return out, ok
+
+
+def _cubic_kernel(x: np.ndarray) -> np.ndarray:
+    """Catmull-Rom (GDAL GRIORA_Cubic weight function,
+    gdal_interpolateatpoint.cpp CubicKernel / gdalwarpkernel.cpp
+    CubicConvolution with a = -0.5)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        1.5 * ax**3 - 2.5 * ax**2 + 1.0,
+        np.where(ax < 2.0, -0.5 * ax**3 + 2.5 * ax**2 - 4.0 * ax + 2.0, 0.0),
+    )
+
+
+def _cubic_spline_kernel(x: np.ndarray) -> np.ndarray:
+    """Cubic B-spline (GRIORA_CubicSpline weight function)."""
+    ax = np.abs(x)
+    return np.where(
+        ax <= 1.0,
+        2.0 / 3.0 - ax**2 + 0.5 * ax**3,
+        np.where(ax < 2.0, ((2.0 - ax) ** 3) / 6.0, 0.0),
+    )
+
+
+def _sample_4x4(arr, px, py, method, nodata):
+    """4×4 weighted kernel (apply4x4Kernel semantics: weight-normalized
+    sum, nodata samples skipped, border replicated)."""
+    h, w = arr.shape
+    ok = (px >= 0) & (px <= w) & (py >= 0) & (py <= h)
+    dfx = px - 0.5
+    dfy = py - 0.5
+    dx0 = np.floor(dfx).astype(np.int64)
+    dy0 = np.floor(dfy).astype(np.int64)
+    tx = dfx - dx0
+    ty = dfy - dy0
+    kern = _cubic_spline_kernel if method == "cubicspline" else _cubic_kernel
+    num = np.zeros(len(px))
+    den = np.zeros(len(px))
+    for ky in range(-1, 3):
+        wy = kern(ky - ty)
+        yy = np.clip(dy0 + ky, 0, h - 1)
+        for kx in range(-1, 3):
+            wx = kern(kx - tx)
+            xx = np.clip(dx0 + kx, 0, w - 1)
+            v = arr[yy, xx].astype(np.float64)
+            wgt = wx * wy
+            if nodata is not None:
+                valid = v != nodata
+                wgt = np.where(valid, wgt, 0.0)
+                v = np.where(valid, v, 0.0)
+            num += v * wgt
+            den += wgt
+    ok &= den != 0.0
+    out = np.full(len(px), np.nan)
+    out[ok] = num[ok] / den[ok]
     return out, ok
 
 

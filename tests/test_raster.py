@@ -217,3 +217,77 @@ class TestRoundTrip:
             assert int(vals[i]) in matches, f"point {i}: {vals[i]} not in {matches}"
             checked += 1
         assert checked >= 30  # cities inside the boundary coverage area
+
+
+class TestCubic:
+    def test_cubic_interpolates_at_centers(self):
+        from gdal_ray.raster import sample
+
+        rng = np.random.default_rng(12)
+        arr = rng.uniform(0, 100, (8, 8))
+        # pixel centers: loc = (i+0.5); Catmull-Rom is interpolating
+        xs = np.array([2.5, 3.5, 4.5])
+        ys = np.array([2.5, 4.5, 5.5])
+        vals, ok = sample.sample_points(arr, xs, ys, method="cubic")
+        assert ok.all()
+        np.testing.assert_allclose(
+            vals, arr[ys.astype(int), xs.astype(int)], rtol=1e-12
+        )
+
+    def test_cubic_linear_precision(self):
+        from gdal_ray.raster import sample
+
+        yy, xx = np.meshgrid(np.arange(10), np.arange(10), indexing="ij")
+        arr = (3.0 * xx + 2.0 * yy).astype(np.float64)
+        rng = np.random.default_rng(13)
+        px = rng.uniform(2.0, 8.0, 50)
+        py = rng.uniform(2.0, 8.0, 50)
+        vals, ok = sample.sample_points(arr, px, py, method="cubic")
+        # centers at i+0.5 hold value 3i+2j → f(px) = 3(px-0.5)+2(py-0.5)
+        expected = 3.0 * (px - 0.5) + 2.0 * (py - 0.5)
+        np.testing.assert_allclose(vals[ok], expected[ok], rtol=1e-10)
+
+    def test_cubicspline_smooths(self):
+        from gdal_ray.raster import sample
+
+        arr = np.zeros((8, 8))
+        arr[4, 4] = 100.0
+        v_cub, _ = sample.sample_points(
+            arr, np.array([4.5]), np.array([4.5]), method="cubic"
+        )
+        v_bsp, _ = sample.sample_points(
+            arr, np.array([4.5]), np.array([4.5]), method="cubicspline"
+        )
+        assert v_cub[0] == pytest.approx(100.0)
+        assert 30.0 < v_bsp[0] < 60.0  # B-spline is approximating
+
+    def test_cubic_nodata_skip(self):
+        from gdal_ray.raster import sample
+
+        arr = np.full((8, 8), 10.0)
+        arr[3, 3] = -9999.0
+        vals, ok = sample.sample_points(
+            arr, np.array([4.0]), np.array([4.0]), method="cubic", nodata=-9999
+        )
+        assert ok[0]
+        assert vals[0] == pytest.approx(10.0)
+
+    def test_small_raster_downgrade_cubic(self):
+        from gdal_ray.raster import sample
+
+        arr = np.array([[1.0, 2.0], [3.0, 4.0]])
+        vals, ok = sample.sample_points(
+            arr, np.array([1.0]), np.array([1.0]), method="cubic"
+        )
+        assert ok[0] and vals[0] == pytest.approx(2.5)
+
+    def test_warp_cubic(self):
+        from gdal_ray.raster import warp
+
+        rng = np.random.default_rng(14)
+        arr = rng.uniform(0, 255, (64, 64))
+        gt = (-10.0, 0.5, 0.0, 62.0, 0.0, -0.5)
+        shape, dgt = warp.suggested_warp_output(arr.shape, gt, "EPSG:4326", "EPSG:3857")
+        out = warp.warp_array(arr, gt, "EPSG:4326", shape, dgt, "EPSG:3857",
+                              method="cubic", nodata=np.nan)
+        assert np.isfinite(out).mean() > 0.8
