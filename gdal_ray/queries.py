@@ -318,6 +318,49 @@ def _sql_buffer_area() -> str:
     )
 
 
+def q_polygonize_counts(sf_dir: str):
+    """Polygonize the burned admin raster (4-connected components,
+    exact outlines) → pixels per admin value. Oracle: DuckDB
+    re-derives each pixel center's max-covering box and counts —
+    independent of the CCL implementation entirely."""
+    import pandas as pd
+
+    from gdal_ray.pipelines import rasterpipe
+    from gdal_ray.raster import polygonize
+
+    arr, gt = rasterpipe.admin_raster()
+    t = polygonize.polygonize_array(
+        arr.astype(np.int32), gt, exclude=-1
+    ).to_pandas()
+    out = (
+        t.groupby("value")["pixel_count"].sum().reset_index()
+        .rename(columns={"value": "admin_id", "pixel_count": "n_pixels"})
+    )
+    out["admin_id"] = out["admin_id"].astype("int64")
+    import pyarrow as _pa
+
+    return _pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _sql_polygonize_counts() -> str:
+    return f"""
+WITH ix(i) AS (SELECT unnest(generate_series(0, 511))),
+iy(j) AS (SELECT unnest(generate_series(0, 511))),
+px AS (
+  SELECT -80.0 + (i + 0.5) * 0.3125 AS cx,
+         60.0 - (j + 0.5) * 0.234375 AS cy
+  FROM ix CROSS JOIN iy
+),
+v AS (
+  SELECT cx, cy, MAX(bnd.admin_id) AS admin_id
+  FROM px JOIN {_boundaries_sql()}
+    ON cx >= bnd.minx AND cx <= bnd.maxx AND cy >= bnd.miny AND cy <= bnd.maxy
+  GROUP BY cx, cy
+)
+SELECT admin_id, COUNT(*) AS n_pixels FROM v GROUP BY admin_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -329,6 +372,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "vector_sample": q_vector_sample,
     "reproject_3857": q_reproject_3857,
     "buffer_area": q_buffer_area,
+    "polygonize_counts": q_polygonize_counts,
 }
 
 ORACLE: dict[str, str] = {
@@ -341,6 +385,7 @@ ORACLE: dict[str, str] = {
     "vector_sample": _sql_vector_sample(),
     "reproject_3857": _sql_reproject_3857(),
     "buffer_area": _sql_buffer_area(),
+    "polygonize_counts": _sql_polygonize_counts(),
 }
 
 # relational/text operator suite (separate module to keep this one

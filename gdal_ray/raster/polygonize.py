@@ -1,0 +1,335 @@
+"""Polygonize / sieve — connected components of equal-valued pixels
+(alg/polygonize.cpp:518, alg/gdalrasterpolygonenumerator.cpp; sieve
+alg/gdalsievefilter.cpp:178).
+
+Single-array path (exact GDAL-style outlines):
+- ``label_array``     — 4- or 8-connected two-pass labeling
+  (row-run union-find, vectorized row merging);
+- ``trace_rings``     — exact component outlines by edge
+  cancellation: every boundary pixel side contributes one directed
+  unit edge (region kept on the LEFT); interior sides cancel; the
+  remaining edges chain into closed rings (exterior + holes, like the
+  reference's arc collector);
+- ``polygonize_array``— per-component (value, pixel_count, WKB
+  polygon in world coords);
+- ``sieve_array``     — components smaller than the threshold merge
+  into their largest-pixel-count neighbor (the reference's rule).
+
+Distributed path (tile tables): per-tile labels + cross-tile border
+equivalences → global labels via the engine's min-label-propagation
+connected components (stages.dedup) → per-component stats. Cross-tile
+GEOMETRY dissolve is deferred (documented in COVERAGE.md); per-tile
+polygons carry the global label so a dissolve is a groupby away.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.geom import wkb as gwkb
+from gdal_ray.raster import model
+
+
+class _UF:
+    __slots__ = ("p",)
+
+    def __init__(self, n):
+        self.p = np.arange(n, dtype=np.int64)
+
+    def find(self, x):
+        p = self.p
+        root = x
+        while p[root] != root:
+            root = p[root]
+        while p[x] != root:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            if ra < rb:
+                self.p[rb] = ra
+            else:
+                self.p[ra] = rb
+
+
+def label_array(arr: np.ndarray, connectivity: int = 4) -> np.ndarray:
+    """Connected-component labels (0..k-1) of equal-valued pixels."""
+    h, w = arr.shape
+    labels = np.full((h, w), -1, dtype=np.int64)
+    # row runs: starts where value changes
+    change = np.ones((h, w), dtype=bool)
+    change[:, 1:] = arr[:, 1:] != arr[:, :-1]
+    run_id = np.cumsum(change.ravel()).reshape(h, w) - 1
+    n_runs = int(run_id.max()) + 1
+    uf = _UF(n_runs)
+    # vertical merges (and diagonals for 8-conn)
+    offs = [0] if connectivity == 4 else [-1, 0, 1]
+    for dx in offs:
+        if dx == 0:
+            a = arr[1:, :]
+            b = arr[:-1, :]
+            ra = run_id[1:, :]
+            rb = run_id[:-1, :]
+        elif dx == 1:
+            a = arr[1:, 1:]
+            b = arr[:-1, :-1]
+            ra = run_id[1:, 1:]
+            rb = run_id[:-1, :-1]
+        else:
+            a = arr[1:, :-1]
+            b = arr[:-1, 1:]
+            ra = run_id[1:, :-1]
+            rb = run_id[:-1, 1:]
+        eq = a == b
+        for x, y in zip(ra[eq].ravel(), rb[eq].ravel()):
+            uf.union(int(x), int(y))
+    roots = np.array([uf.find(i) for i in range(n_runs)], dtype=np.int64)
+    _, compact = np.unique(roots, return_inverse=True)
+    labels = compact[run_id]
+    return labels
+
+
+def trace_rings(mask: np.ndarray) -> list[np.ndarray]:
+    """Exact outline rings of a boolean pixel mask (pixel coords;
+    vertices at integer corners). Region kept on the left of each
+    directed edge; at degree-4 corner-touch vertices the walker takes
+    the leftmost turn so rings never cross."""
+    h, w = mask.shape
+    # directed boundary edges, region on the LEFT (y grows downward):
+    # top side (neighbor up outside): edge right  (x,y)->(x+1,y)
+    # right side:                      edge down   (x+1,y)->(x+1,y+1)
+    # bottom side:                     edge left   (x+1,y+1)->(x,y+1)
+    # left side:                       edge up     (x,y+1)->(x,y)
+    ys, xs = np.nonzero(mask)
+    up = np.zeros_like(mask)
+    up[1:, :] = mask[:-1, :]
+    down = np.zeros_like(mask)
+    down[:-1, :] = mask[1:, :]
+    left = np.zeros_like(mask)
+    left[:, 1:] = mask[:, :-1]
+    right = np.zeros_like(mask)
+    right[:, :-1] = mask[:, 1:]
+    edges: dict[tuple[int, int], list[tuple[int, int]]] = {}
+
+    def add(a, b):
+        edges.setdefault(a, []).append(b)
+
+    for y, x in zip(ys, xs):
+        if not up[y, x]:
+            add((x, y), (x + 1, y))
+        if not right[y, x]:
+            add((x + 1, y), (x + 1, y + 1))
+        if not down[y, x]:
+            add((x + 1, y + 1), (x, y + 1))
+        if not left[y, x]:
+            add((x, y + 1), (x, y))
+    rings = []
+    while edges:
+        start = next(iter(edges))
+        ring = [start]
+        cur = start
+        prev_dir = None
+        while True:
+            outs = edges[cur]
+            if len(outs) == 1 or prev_dir is None:
+                nxt = outs.pop(0)
+            else:
+                # leftmost turn relative to incoming direction
+                best = None
+                best_key = None
+                for cand in outs:
+                    d = (cand[0] - cur[0], cand[1] - cur[1])
+                    # angle turn: cross/dot of prev_dir -> d
+                    cross = prev_dir[0] * d[1] - prev_dir[1] * d[0]
+                    dot = prev_dir[0] * d[0] + prev_dir[1] * d[1]
+                    key = np.arctan2(cross, dot)
+                    if best_key is None or key < best_key:
+                        best_key = key
+                        best = cand
+                outs.remove(best)
+                nxt = best
+            if not edges[cur]:
+                del edges[cur]
+            prev_dir = (nxt[0] - cur[0], nxt[1] - cur[1])
+            cur = nxt
+            ring.append(cur)
+            if cur == start:
+                break
+        rings.append(np.array(ring, dtype=np.float64))
+    return rings
+
+
+def polygonize_array(
+    arr: np.ndarray,
+    gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    connectivity: int = 4,
+    exclude=None,
+) -> pa.Table:
+    """→ table (component_id, value, pixel_count, geometry WKB).
+
+    Rings convert to world coords via ``gt``; exterior = the ring with
+    the largest |area|, remaining rings are holes."""
+    labels = label_array(arr, connectivity)
+    n = int(labels.max()) + 1
+    rows = []
+    for comp in range(n):
+        mask = labels == comp
+        val = arr[mask][0]
+        if exclude is not None and val == exclude:
+            continue
+        rings = trace_rings(mask)
+        areas = [abs(_ring_area(r)) for r in rings]
+        ext = int(np.argmax(areas))
+        ordered = [rings[ext]] + [r for i, r in enumerate(rings) if i != ext]
+        world = []
+        for r in ordered:
+            wx, wy = model.pixel_to_world(gt, r[:, 0], r[:, 1])
+            world.append(np.column_stack([wx, wy]))
+        rows.append(
+            {
+                "component_id": comp,
+                "value": float(val),
+                "pixel_count": int(mask.sum()),
+                "geometry": gwkb.polygon_wkb(world[0], world[1:]),
+            }
+        )
+    return pa.Table.from_pylist(rows)
+
+
+def _ring_area(r: np.ndarray) -> float:
+    x = r[:, 0]
+    y = r[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def sieve_array(arr: np.ndarray, threshold: int, connectivity: int = 4) -> np.ndarray:
+    """Remove components below threshold by merging each into its
+    largest neighboring component (gdalsievefilter.cpp:178 rule),
+    processing smallest-first."""
+    out = arr.copy()
+    for _ in range(arr.size):  # converges long before this bound
+        labels = label_array(out, connectivity)
+        n = int(labels.max()) + 1
+        counts = np.bincount(labels.ravel(), minlength=n)
+        small = np.flatnonzero(counts < threshold)
+        if len(small) == 0:
+            break
+        comp = small[np.argmin(counts[small])]
+        mask = labels == comp
+        # neighbors: dilate by 1 (4-conn)
+        nb = np.zeros_like(mask)
+        nb[1:, :] |= mask[:-1, :]
+        nb[:-1, :] |= mask[1:, :]
+        nb[:, 1:] |= mask[:, :-1]
+        nb[:, :-1] |= mask[:, 1:]
+        nb &= ~mask
+        if not nb.any():
+            break  # the whole raster is one small component
+        nb_labels = labels[nb]
+        nb_counts = np.bincount(nb_labels, minlength=n)
+        target = int(np.argmax(nb_counts))
+        out[mask] = out[labels == target][0]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# distributed: per-tile labels + border merge
+
+
+def tile_labels_and_borders(batch: pa.Table, connectivity: int = 4) -> pa.Table:
+    """Per-tile stage: label each tile; emit one row per tile
+    component (tile-scoped label key ``"bx_by_label"``) plus the
+    tile's border pixels (side, offset, value, label key) for the
+    cross-tile merge."""
+    rows = []
+    for row in batch.to_pylist():
+        arr = model.tile_array(row)
+        labels = label_array(arr, connectivity)
+        n = int(labels.max()) + 1
+        key = f"{row['block_x']}_{row['block_y']}"
+        counts = np.bincount(labels.ravel(), minlength=n)
+        for comp in range(n):
+            rows.append(
+                {
+                    "kind": "component",
+                    "label_key": f"{key}_{comp}",
+                    "value": float(arr[labels == comp][0]),
+                    "pixel_count": int(counts[comp]),
+                    "block_x": row["block_x"],
+                    "block_y": row["block_y"],
+                    "side": "",
+                    "offset": -1,
+                }
+            )
+        for side, vals, labs in (
+            ("top", arr[0, :], labels[0, :]),
+            ("bottom", arr[-1, :], labels[-1, :]),
+            ("left", arr[:, 0], labels[:, 0]),
+            ("right", arr[:, -1], labels[:, -1]),
+        ):
+            for off in range(len(vals)):
+                rows.append(
+                    {
+                        "kind": "border",
+                        "label_key": f"{key}_{labs[off]}",
+                        "value": float(vals[off]),
+                        "pixel_count": 0,
+                        "block_x": row["block_x"],
+                        "block_y": row["block_y"],
+                        "side": side,
+                        "offset": off,
+                    }
+                )
+    return pa.Table.from_pylist(rows)
+
+
+def merge_tile_components(parts_df) -> "object":
+    """Driver-side small-data merge: join opposite borders of adjacent
+    tiles on (position, equal value) → label equivalences → union-find
+    → global component table (value, pixel_count). The border table is
+    O(perimeter), not O(pixels) — it stays tiny relative to the
+    raster; at extreme scale the same equivalences feed
+    stages.dedup.connected_components instead."""
+    import pandas as pd
+
+    comp = parts_df[parts_df["kind"] == "component"]
+    bor = parts_df[parts_df["kind"] == "border"]
+    pairs = []
+    right = bor[bor["side"] == "right"]
+    left = bor[bor["side"] == "left"]
+    m = right.merge(
+        left,
+        left_on=["block_y", "offset", "value"],
+        right_on=["block_y", "offset", "value"],
+        suffixes=("_a", "_b"),
+    )
+    m = m[m["block_x_a"] + 1 == m["block_x_b"]]
+    pairs.append(m[["label_key_a", "label_key_b"]])
+    bottom = bor[bor["side"] == "bottom"]
+    top = bor[bor["side"] == "top"]
+    m2 = bottom.merge(
+        top,
+        left_on=["block_x", "offset", "value"],
+        right_on=["block_x", "offset", "value"],
+        suffixes=("_a", "_b"),
+    )
+    m2 = m2[m2["block_y_a"] + 1 == m2["block_y_b"]]
+    pairs.append(m2[["label_key_a", "label_key_b"]])
+    eq = pd.concat(pairs, ignore_index=True)
+    keys = pd.Index(comp["label_key"].unique())
+    idx = {k: i for i, k in enumerate(keys)}
+    uf = _UF(len(keys))
+    for a, b in zip(eq["label_key_a"], eq["label_key_b"]):
+        uf.union(idx[a], idx[b])
+    roots = {k: uf.find(i) for k, i in idx.items()}
+    comp = comp.assign(global_label=comp["label_key"].map(roots))
+    out = (
+        comp.groupby("global_label")
+        .agg(value=("value", "first"), pixel_count=("pixel_count", "sum"),
+             n_tiles=("label_key", "count"))
+        .reset_index()
+    )
+    return out
