@@ -129,6 +129,10 @@ def run_queries() -> dict:
         "text_stats",
         "dedup_exact",
         "knn_k5",
+        "vector_sample",
+        "embed_topk",
+        "asof_join",
+        "box_overlay",
     ]
     q = entrymod.queries()
     out = {}
