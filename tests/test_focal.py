@@ -1,0 +1,100 @@
+"""Focal/DEM operators + halo exchange + fillnodata tests."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.raster import focal, model
+
+
+class TestKernels:
+    def test_slope_of_plane(self):
+        # z = 3x → dz/dx = 3; slope = atan(3) everywhere (interior)
+        yy, xx = np.meshgrid(np.arange(10), np.arange(10), indexing="ij")
+        arr = 3.0 * xx
+        s = focal.slope(arr)
+        np.testing.assert_allclose(
+            s[1:-1, 1:-1], np.degrees(np.arctan(3.0)), rtol=1e-12
+        )
+        sp = focal.slope(arr, unit="percent")
+        np.testing.assert_allclose(sp[1:-1, 1:-1], 300.0, rtol=1e-12)
+
+    def test_aspect_cardinal(self):
+        yy, xx = np.meshgrid(np.arange(10.0), np.arange(10.0), indexing="ij")
+        # descending to the east (z decreases as x grows): aspect = 90
+        east = focal.aspect(-xx + 100.0)
+        np.testing.assert_allclose(east[1:-1, 1:-1] % 360, 90.0, atol=1e-9)
+        # flat → -9999
+        flat = focal.aspect(np.zeros((5, 5)))
+        assert (flat == -9999.0).all()
+
+    def test_hillshade_range_and_flat(self):
+        flat = focal.hillshade(np.zeros((6, 6)))
+        # flat surface under 45° sun → sin(45°)*254 + 1
+        np.testing.assert_allclose(
+            flat, 1.0 + 254.0 * np.sin(np.radians(45.0)), rtol=1e-12
+        )
+        rng = np.random.default_rng(3)
+        hs = focal.hillshade(rng.uniform(0, 100, (12, 12)))
+        assert (hs >= 1.0).all() and (hs <= 255.0).all()
+
+    def test_tpi_tri_roughness(self):
+        arr = np.zeros((5, 5))
+        arr[2, 2] = 8.0
+        assert focal.tpi(arr)[2, 2] == pytest.approx(8.0)
+        assert focal.tri(arr)[2, 2] == pytest.approx(8.0)
+        assert focal.roughness(arr)[2, 2] == pytest.approx(8.0)
+        assert focal.roughness(arr)[0, 0] == 0.0
+
+    def test_convolve_identity_and_mean(self):
+        rng = np.random.default_rng(4)
+        arr = rng.uniform(0, 10, (8, 8))
+        ident = np.zeros((3, 3))
+        ident[1, 1] = 1.0
+        np.testing.assert_allclose(focal.convolve(arr, ident), arr)
+        mean = focal.convolve(arr, np.ones((3, 3)) / 9.0)
+        assert mean[4, 4] == pytest.approx(arr[3:6, 3:6].mean())
+
+
+class TestFillNodata:
+    def test_fills_hole_with_neighbors(self):
+        arr = np.full((6, 6), 10.0)
+        arr[2:4, 2:4] = -9999.0
+        out = focal.fillnodata(arr, -9999.0)
+        np.testing.assert_allclose(out, 10.0)
+
+    def test_gradient_fill_reasonable(self):
+        yy, xx = np.meshgrid(np.arange(10.0), np.arange(10.0), indexing="ij")
+        arr = xx.copy()
+        arr[5, 5] = -1.0
+        out = focal.fillnodata(arr, -1.0)
+        assert 4.0 < out[5, 5] < 6.0
+
+
+class TestHaloExchange:
+    def test_focal_tiles_match_single_array(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(8)
+        arr = rng.uniform(0, 100, (64, 64))
+        gt = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+        t = model.from_array(arr, "EPSG:3857", gt, tile_size=16)
+        # store as float64 tiles
+        import pyarrow as pa
+
+        rows = []
+        for r in t.to_pylist():
+            a = model.tile_array(r).astype(np.float64)
+            r["dtype"] = "float64"
+            r["data"] = a.tobytes()
+            rows.append(r)
+        ds = rd.from_arrow(pa.Table.from_pylist(rows))
+        out = focal.focal_tiles(ds, focal.slope, halo=1).to_pandas()
+        assembled = np.zeros((64, 64))
+        for _, r in out.iterrows():
+            a = np.frombuffer(r["data"], dtype=np.float64).reshape(
+                r["height"], r["width"]
+            )
+            assembled[r["y0"] : r["y0"] + 16, r["x0"] : r["x0"] + 16] = a
+        whole = focal.slope(arr)
+        # interior must match EXACTLY (halo provides real neighbor data)
+        np.testing.assert_allclose(assembled, whole, rtol=1e-12)
