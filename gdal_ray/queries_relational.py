@@ -523,6 +523,66 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 """
 
 
+# --- COUNT(DISTINCT) / OFFSET / IN+BETWEEN predicates ------------------
+
+
+def q_count_distinct(sf_dir: str):
+    """COUNT(DISTINCT ...) (swq_parser.y:1007): distinct via groupby,
+    then a count of the (tiny) distinct set."""
+    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
+    n_seg = len(ds.unique("c_mktsegment"))
+    n_nat = len(ds.unique("c_nationkey"))
+    return pa.table(
+        {"n_segments": pa.array([n_seg], pa.int64()),
+         "n_nations": pa.array([n_nat], pa.int64())}
+    )
+
+
+SQL_COUNT_DISTINCT = """
+SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
+       COUNT(DISTINCT c_nationkey) AS n_nations
+FROM customer
+"""
+
+
+def q_limit_offset(sf_dir: str):
+    """ORDER BY + LIMIT/OFFSET (swq_parser.y:1129-1137). The offset is
+    applied after a distributed sort+limit; the skipped head is tiny by
+    construction (offset rows only)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    head = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(30)
+    t = head.to_pandas().iloc[20:30].reset_index(drop=True)
+    return pa.Table.from_pandas(t, preserve_index=False)
+
+
+SQL_LIMIT_OFFSET = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20
+"""
+
+
+def q_predicates(sf_dir: str):
+    """IN / BETWEEN / IS-style predicates (swq registry)."""
+    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_brand"])
+
+    def f(t: pa.Table) -> pa.Table:
+        between = pc.and_(
+            pc.greater_equal(t["p_size"], 5), pc.less_equal(t["p_size"], 30)
+        )
+        inset = pc.is_in(
+            t["p_brand"], value_set=pa.array(["Brand#1", "Brand#13"])
+        )
+        return t.filter(pc.and_(between, inset))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+SQL_PREDICATES = """
+SELECT p_partkey, p_size, p_brand FROM part
+WHERE p_size BETWEEN 5 AND 30 AND p_brand IN ('Brand#1', 'Brand#13')
+"""
+
+
 RELATIONAL_QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
     "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
@@ -540,4 +600,7 @@ RELATIONAL_QUERIES = {
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
+    "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
+    "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
+    "predicates": (q_predicates, SQL_PREDICATES),
 }
