@@ -163,7 +163,8 @@ def from_face_ij(face, i, j):
         bits = _LOOKUP_POS[bits]
         n = n | ((bits >> 2) << (k * 2 * _LOOKUP_BITS))
         bits = bits & (_SWAP_MASK | _INVERT_MASK)
-    return n * 2 + 1
+    with np.errstate(over="ignore"):  # faces 4-5 deliberately wrap into
+        return n * 2 + 1              # the int64 sign bit (uint64 ids)
 
 
 def to_face_ij(cell_id):

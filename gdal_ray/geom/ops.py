@@ -138,7 +138,9 @@ def segmentize_coords(coords: np.ndarray, max_length: float) -> np.ndarray:
         k = max(1, int(np.ceil(L / max_length - 1e-12)))
         if k > 1:
             t = np.linspace(0.0, 1.0, k + 1)[1:]
-            out.append(p0 + t[:, None] * (p1 - p0))
+            pts = p0 + t[:, None] * (p1 - p0)
+            pts[-1] = p1  # keep original vertices bit-exact
+            out.append(pts)
         else:
             out.append(p1[None, :])
     return np.vstack(out)

@@ -137,39 +137,43 @@ def near_duplicates(
     id_col: str = "doc_id",
     k: int = 4,
     threshold: float = 0.8,
+    num_partitions: int = 2,
 ):
     """Verified near-duplicate pairs: LSH candidates → exact n-gram
-    Jaccard ≥ threshold (verification needs the texts: the small
-    candidate set joins back against a broadcast id→text lookup built
-    from the deduped candidate ids — at 100 TB this becomes a
-    hash-join on id instead; documented)."""
-    import ray
+    Jaccard ≥ threshold.
 
+    The verification texts arrive via DISTRIBUTED hash joins on the
+    candidate ids (candidates ⋈ texts on a, then on b) — nothing is
+    materialized on the driver, so the corpus side streams at any
+    scale; the candidate set (already deduped across bands) is the
+    only shuffled pair table."""
     cand = minhash_candidate_pairs(ds, text_col, id_col, k)
-    texts_tbl = ds.select_columns([id_col, text_col])
-    # candidate ids are a small subset: broadcast id→text for them
-    texts = {}
-    for b in texts_tbl.iter_batches(batch_format="pyarrow"):
-        ids = b[id_col].to_pylist()
-        txt = b[text_col].to_pylist()
-        texts.update(zip(ids, txt))
-    ref = ray.put(texts)
+    texts = ds.select_columns([id_col, text_col])
+    ta = texts.rename_columns({id_col: "a", text_col: "text_a"})
+    tb = texts.rename_columns({id_col: "b", text_col: "text_b"})
+    cand = cand.join(
+        ta, join_type="inner", on=("a",), num_partitions=num_partitions
+    )
+    cand = cand.join(
+        tb, join_type="inner", on=("b",), num_partitions=num_partitions
+    )
 
     def verify(batch: pa.Table) -> pa.Table:
-        lut = ray.get(ref)
         a = batch["a"].to_pylist()
         b = batch["b"].to_pylist()
+        tx_a = batch["text_a"].to_pylist()
+        tx_b = batch["text_b"].to_pylist()
         keep_a, keep_b, jac = [], [], []
         cache: dict = {}
 
-        def sh(i):
+        def sh(i, t):
             s = cache.get(i)
             if s is None:
-                s = cache[i] = char_shingle_hashes(lut.get(i) or "", k)
+                s = cache[i] = char_shingle_hashes(t or "", k)
             return s
 
-        for x, y in zip(a, b):
-            j = jaccard(sh(x), sh(y))
+        for x, y, txa, txb in zip(a, b, tx_a, tx_b):
+            j = jaccard(sh(x, txa), sh(y, txb))
             if j >= threshold:
                 keep_a.append(x)
                 keep_b.append(y)

@@ -105,6 +105,119 @@ class PIPJoiner:
         return out
 
 
+def cell_partitioned_pip(
+    points,
+    polygons,
+    zoom: int = 7,
+    id_cols: tuple[str, ...] = ("admin_id",),
+    lon_col: str = "lon",
+    lat_col: str = "lat",
+    num_partitions: int = 16,
+):
+    """PIP join for polygon sides too large to broadcast (SURVEY.md
+    §7.3 shuffle fallback): partition BOTH sides by covering XYZ tile
+    at ``zoom`` and probe per group.
+
+    - polygons flat-map to every tile their envelope covers
+      (replication factor = the cost knob, SURVEY.md §7.4);
+    - points key by their own tile (exactly one), so each (point,
+      polygon) pair is tested exactly once — no dedupe pass;
+    - per-group probe builds a GridPolygonIndex over the group's
+      polygons only (bounded by the cell) inside ``map_groups``.
+
+    ``polygons``: a Dataset with geometry + id columns.
+    """
+    import numpy as np
+
+    from gdal_ray import tiles as tl
+    from gdal_ray.geom import wkb as gwkb
+
+    def poly_tiles(batch: pa.Table) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            minx, miny, maxx, maxy = gwkb.bounds(row["geometry"])
+            tx0, ty0 = tl.lonlat_to_tile(minx, miny, zoom)
+            tx1, ty1 = tl.lonlat_to_tile(maxx, maxy, zoom)
+            for tx in range(int(min(tx0, tx1)), int(max(tx0, tx1)) + 1):
+                for ty in range(int(min(ty0, ty1)), int(max(ty0, ty1)) + 1):
+                    r = dict(row)
+                    r["cell"] = int(tl.tile_id(zoom, tx, ty))
+                    r["side"] = 1
+                    rows.append(r)
+        return pa.Table.from_pylist(rows)
+
+    def point_tiles(batch: pa.Table) -> pa.Table:
+        lon = batch[lon_col].to_numpy(zero_copy_only=False)
+        lat = batch[lat_col].to_numpy(zero_copy_only=False)
+        tx, ty = tl.lonlat_to_tile(lon, lat, zoom)
+        cell = tl.tile_id(zoom, tx, ty)
+        return batch.append_column("cell", pa.array(cell)).append_column(
+            "side", pa.array(np.zeros(len(lon), dtype=np.int8))
+        )
+
+    ptiles = polygons.map_batches(poly_tiles, batch_format="pyarrow")
+    pts = points.map_batches(point_tiles, batch_format="pyarrow")
+    # align schemas for the union (nulls for the other side's columns)
+    pcols = {f.name: f.type for f in polygons.schema().base_schema}
+    qcols = {f.name: f.type for f in points.schema().base_schema}
+
+    def pad(missing):
+        def f(t: pa.Table) -> pa.Table:
+            for c, typ in missing:
+                t = t.append_column(c, pa.nulls(t.num_rows, typ))
+            return t
+
+        return f
+
+    ptiles = ptiles.map_batches(
+        pad([(c, qcols[c]) for c in sorted(set(qcols) - set(pcols))]),
+        batch_format="pyarrow",
+    )
+    pts = pts.map_batches(
+        pad([(c, pcols[c]) for c in sorted(set(pcols) - set(qcols))]),
+        batch_format="pyarrow",
+    )
+    both = ptiles.union(pts)
+
+    def probe(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = group.to_pandas()
+        polys = df[df["side"] == 1]
+        ptsg = df[df["side"] == 0]
+        if len(polys) == 0 or len(ptsg) == 0:
+            empty = {c: pa.array([], group.schema.field(c).type)
+                     for c in ([lon_col, lat_col] + list(id_cols))}
+            return pa.table(empty)
+        idx = GridPolygonIndex(
+            list(polys["geometry"]),
+            ids=np.arange(len(polys), dtype=np.int64),
+        )
+        px = ptsg[lon_col].to_numpy()
+        py = ptsg[lat_col].to_numpy()
+        pi, poly_pos = idx.query_points(px, py)
+        out = {
+            lon_col: pa.array(px[pi]),
+            lat_col: pa.array(py[pi]),
+        }
+        for c in id_cols:
+            out[c] = pa.array(
+                polys[c].to_numpy()[poly_pos],
+                group.schema.field(c).type,
+            )
+        # passthrough extra point columns
+        for c in ptsg.columns:
+            if c in (lon_col, lat_col, "cell", "side", *id_cols, "geometry"):
+                continue
+            if c in qcols:
+                out[c] = pa.array(ptsg[c].to_numpy()[pi])
+        return pa.table(out)
+
+    return both.groupby("cell", num_partitions=num_partitions).map_groups(
+        probe, batch_format="pyarrow"
+    )
+
+
 def semi_join(points, keys, key_col: str):
     """Keep rows whose key is in the broadcast key set (the semi join
     the reference lacks natively — SURVEY.md §2.4 'semi/anti fall out
