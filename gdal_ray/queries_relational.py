@@ -57,7 +57,7 @@ def q_lineitem_agg(sf_dir: str):
         return t.append_column("revenue", rev)
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+    return ds.groupby(["l_returnflag", "l_linestatus"], num_partitions=4).aggregate(
         Sum("l_quantity", alias_name="sum_qty"),
         Sum("revenue", alias_name="sum_revenue"),
         Mean("l_discount", alias_name="avg_disc"),
@@ -136,7 +136,7 @@ def q_join_orders_customer(sf_dir: str):
     """orders ⋈ customer via per-customer aggregate: pre-aggregate the
     big side BEFORE the join so the shuffle carries one row per key."""
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    per_cust = orders.groupby("o_custkey").aggregate(
+    per_cust = orders.groupby("o_custkey", num_partitions=8).aggregate(
         Sum("o_totalprice", alias_name="sum_spent"),
         Count(alias_name="n_orders"),
     )
@@ -197,7 +197,7 @@ def q_union_names(sf_dir: str):
     n = _read(sf_dir, "nation", columns=["n_name"]).map_batches(
         lambda t: t.rename_columns(["name"]), batch_format="pyarrow"
     )
-    return r.union(n).groupby("name").aggregate(Count(alias_name="n"))
+    return r.union(n).groupby("name", num_partitions=2).aggregate(Count(alias_name="n"))
 
 
 SQL_UNION_NAMES = """
@@ -252,7 +252,7 @@ def q_events_hourly(sf_dir: str):
 
     return (
         ds.map_batches(bucket, batch_format="pyarrow")
-        .groupby(["hour", "event_type"])
+        .groupby(["hour", "event_type"], num_partitions=4)
         .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
     )
 
@@ -302,7 +302,7 @@ def q_dedup_exact(sf_dir: str):
     distinct text (hash-partition groupby + deterministic first —
     SURVEY.md §2.6 dedup design)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.groupby("text").aggregate(Min("doc_id", alias_name="keep_doc_id")).select_columns(["keep_doc_id"])
+    return ds.groupby("text", num_partitions=8).aggregate(Min("doc_id", alias_name="keep_doc_id")).select_columns(["keep_doc_id"])
 
 
 SQL_DEDUP_EXACT = """
@@ -339,7 +339,7 @@ def q_events_sessions(sf_dir: str):
         )
         return out[["user_id", "session_idx", "n_events", "sum_value", "session_start"]]
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return ds.groupby("user_id", num_partitions=8).map_groups(sessionize, batch_format="pandas")
 
 
 SQL_EVENTS_SESSIONS = """
