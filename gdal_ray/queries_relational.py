@@ -523,6 +523,38 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 """
 
 
+# --- range (interval) join ---------------------------------------------
+
+_BANDS = [
+    {"band_id": i, "lo": float(i * 5), "hi": float(i * 5 + 7)} for i in range(10)
+]
+
+
+def q_range_join(sf_dir: str):
+    """lineitem quantities joined to overlapping quantity bands
+    (broadcast interval probe; one row per (row, band) match)."""
+    from gdal_ray.stages.asof import range_join
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_quantity"])
+    out = range_join(ds, _BANDS, value_col="l_quantity",
+                     interval_cols=["band_id"])
+    return out.select_columns(
+        ["l_orderkey", "l_linenumber", "l_quantity", "band_id"]
+    )
+
+
+def _sql_range_join() -> str:
+    rows = ", ".join(
+        f"({b['band_id']}, {b['lo']!r}, {b['hi']!r})" for b in _BANDS
+    )
+    return f"""
+SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, b.band_id
+FROM lineitem l
+JOIN (VALUES {rows}) AS b(band_id, lo, hi)
+  ON l.l_quantity >= b.lo AND l.l_quantity <= b.hi
+"""
+
+
 # --- COUNT(DISTINCT) / OFFSET / IN+BETWEEN predicates ------------------
 
 
@@ -600,6 +632,7 @@ RELATIONAL_QUERIES = {
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
+    "range_join": (q_range_join, _sql_range_join()),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "predicates": (q_predicates, SQL_PREDICATES),

@@ -17,6 +17,60 @@ import pyarrow as pa
 import ray.data as rd
 
 
+def range_join(
+    left: rd.Dataset,
+    intervals,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+    interval_cols: list[str] | None = None,
+    closed: str = "both",
+):
+    """Interval join: each left row matched to every interval with
+    lo ≤ value ≤ hi (the range join the reference only approximates
+    via spatial filters — SURVEY.md §2.4 last row).
+
+    The interval side is broadcast (small side: banding tables,
+    histograms, SLA windows); the probe is one vectorized comparison
+    matrix per batch, emitting one row per (row, interval) match.
+    For two large sides, bucket both by value range and reuse the
+    cell-partitioned-join pattern (stages.join.cell_partitioned_pip).
+    """
+    import numpy as np
+    import ray
+
+    if not isinstance(intervals, pa.Table):
+        intervals = pa.Table.from_pylist(list(intervals))
+    lo = np.asarray(intervals[lo_col].to_pylist(), dtype=np.float64)
+    hi = np.asarray(intervals[hi_col].to_pylist(), dtype=np.float64)
+    cols = interval_cols or [
+        c for c in intervals.column_names if c not in (lo_col, hi_col)
+    ]
+    extra = {c: intervals[c] for c in cols}
+    ref = ray.put((lo, hi, {c: v.to_pylist() for c, v in extra.items()}))
+
+    def probe(batch: pa.Table) -> pa.Table:
+        lo_, hi_, ex = ray.get(ref)
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if closed == "both":
+            m = (v[:, None] >= lo_[None, :]) & (v[:, None] <= hi_[None, :])
+        elif closed == "left":
+            m = (v[:, None] >= lo_[None, :]) & (v[:, None] < hi_[None, :])
+        else:
+            raise ValueError(closed)
+        ri, ii = np.nonzero(m)
+        out = batch.take(pa.array(ri))
+        for c, vals in ex.items():
+            out = out.append_column(
+                c, pa.array([vals[j] for j in ii])
+            )
+        out = out.append_column("lo", pa.array(lo_[ii]))
+        out = out.append_column("hi", pa.array(hi_[ii]))
+        return out
+
+    return left.map_batches(probe, batch_format="pyarrow")
+
+
 def asof_join(
     left: rd.Dataset,
     right: rd.Dataset,
