@@ -523,6 +523,48 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 """
 
 
+# --- STDDEV_POP / STDDEV_SAMP (explicit OGR SQL aggregates) ------------
+
+
+def q_stddev(sf_dir: str):
+    """STDDEV_POP + STDDEV_SAMP (ogr/ogr_swq.h:67-75 lists both)."""
+    from ray.data.aggregate import Std
+
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+    return ds.groupby("l_returnflag", num_partitions=2).aggregate(
+        Std("l_quantity", ddof=0, alias_name="std_pop"),
+        Std("l_quantity", ddof=1, alias_name="std_samp"),
+    )
+
+
+SQL_STDDEV = """
+SELECT l_returnflag, STDDEV_POP(l_quantity) AS std_pop,
+       STDDEV_SAMP(l_quantity) AS std_samp
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_approx_count_distinct(sf_dir: str):
+    """HyperLogLog approximate COUNT DISTINCT (mergeable sketch —
+    rows-only: the estimate is approximate by design; accuracy is
+    pinned to <5% in tests/test_sketch.py)."""
+    from gdal_ray.stages.sketch import approx_count_distinct
+
+    ds = _read(sf_dir, "lineitem", columns=["l_orderkey"])
+    est = approx_count_distinct(ds, "l_orderkey")
+    return pa.table({"approx_distinct_orderkeys": pa.array([est], pa.float64())})
+
+
+def q_reservoir_sample(sf_dir: str):
+    """Deterministic uniform 50-row sample (seeded key-hash top-k —
+    rows-only: sampling is engine-defined; determinism + uniformity
+    pinned in tests/test_sketch.py)."""
+    from gdal_ray.stages.sketch import reservoir_sample
+
+    ds = _read(sf_dir, "orders", columns=["o_orderkey"])
+    return reservoir_sample(ds, 50, "o_orderkey", seed=42)
+
+
 # --- range (interval) join ---------------------------------------------
 
 _BANDS = [
@@ -633,6 +675,9 @@ RELATIONAL_QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),
+    "stddev": (q_stddev, SQL_STDDEV),
+    "approx_count_distinct": (q_approx_count_distinct, None),
+    "reservoir_sample": (q_reservoir_sample, None),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
     "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
     "predicates": (q_predicates, SQL_PREDICATES),

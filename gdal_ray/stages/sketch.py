@@ -1,0 +1,149 @@
+"""Mergeable sketches: HyperLogLog + deterministic reservoir sampling.
+
+The reference has no sketches (SURVEY.md §2.5 "no sketches"); at
+corpus scale they are required engine citizens (guide: "emit one
+serialized sketch per batch and merge"). Both operators follow the
+mergeable-partial pattern: one small state object per batch, a tiny
+final merge — no all-to-all of raw rows.
+
+- ``HLL``: classic HyperLogLog (2^p registers, 64-bit hash, bias
+  correction per Flajolet et al. 2007); partial = the register array
+  (numpy max-merge).
+- ``reservoir_sample``: EXACT uniform n-of-N sampling, distributed
+  and deterministic: assign each row the 64-bit hash of a seeded key,
+  take the global top-n by (hash, tiebreak) — a fixed-size
+  distributed top-k instead of a sequential reservoir (same uniform
+  distribution over permutations of distinct keys, reproducible
+  across runs and parallelism; cf. the sampling-over-joins literature
+  in PAPERS.md where key-hash sampling composes through joins).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+_PRIME = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Deterministic 64-bit mix (splitmix-style) of int64/uint64 input."""
+    x = values.astype(np.uint64) + np.uint64(seed) * _PRIME
+    with np.errstate(over="ignore"):
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hash_any(arr: pa.ChunkedArray | pa.Array, seed: int = 0) -> np.ndarray:
+    """64-bit hashes for an Arrow column (ints directly; strings via
+    polynomial bytes hash)."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_integer(arr.type):
+        return _hash64(arr.to_numpy(zero_copy_only=False), seed)
+    # strings/binary: cheap per-row polynomial (hot path note: for pure
+    # text ids prefer a precomputed fingerprint column)
+    out = np.empty(len(arr), dtype=np.uint64)
+    P = np.uint64(1099511628211)
+    with np.errstate(over="ignore"):
+        for i, v in enumerate(arr.to_pylist()):
+            b = np.frombuffer((v or "").encode() if isinstance(v, str) else (v or b""),
+                              dtype=np.uint8).astype(np.uint64)
+            h = np.uint64(14695981039346656037 + seed)
+            for chunk_start in range(0, len(b), 1 << 20):
+                seg = b[chunk_start : chunk_start + (1 << 20)]
+                pw = np.empty(len(seg), dtype=np.uint64)
+                pw[0] = np.uint64(1)
+                if len(seg) > 1:
+                    pw[1:] = np.cumprod(np.full(len(seg) - 1, P, dtype=np.uint64))
+                h = h * (P ** np.uint64(len(seg))) + (seg * pw[::-1]).sum(
+                    dtype=np.uint64
+                )
+            out[i] = h
+    return _hash64(out, seed)
+
+
+class HLL:
+    """HyperLogLog with 2^p registers."""
+
+    def __init__(self, p: int = 12):
+        self.p = p
+        self.m = 1 << p
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def add_hashes(self, h: np.ndarray) -> "HLL":
+        idx = (h >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = (h << np.uint64(self.p)) | (np.uint64(1) << np.uint64(self.p - 1))
+        # rank = leading zeros of the remaining bits + 1
+        lz = np.zeros(len(h), dtype=np.uint8)
+        cur = rest.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            mask = cur >> np.uint64(64 - shift) == 0
+            lz = np.where(mask, lz + shift, lz)
+            cur = np.where(mask, cur << np.uint64(shift), cur)
+        rank = (lz + 1).astype(np.uint8)
+        np.maximum.at(self.registers, idx, rank)
+        return self
+
+    def merge(self, other: "HLL") -> "HLL":
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1.0 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        e = alpha * m * m / inv.sum()
+        if e <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                e = m * np.log(m / zeros)
+        return float(e)
+
+    def serialize(self) -> bytes:
+        return self.registers.tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, p: int = 12) -> "HLL":
+        h = cls(p)
+        h.registers = np.frombuffer(data, dtype=np.uint8).copy()
+        return h
+
+
+def approx_count_distinct(ds, column: str, p: int = 12, seed: int = 0) -> float:
+    """Distributed HLL: one serialized sketch per batch → driver merge
+    of the tiny register arrays."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        h = HLL(p).add_hashes(hash_any(batch[column], seed))
+        return pa.table({"sketch": pa.array([h.serialize()], pa.binary())})
+
+    parts = ds.map_batches(sketch, batch_format="pyarrow").take_all()
+    acc = HLL(p)
+    for row in parts:
+        acc.merge(HLL.deserialize(row["sketch"], p))
+    return acc.estimate()
+
+
+def reservoir_sample(ds, n: int, key_col: str, seed: int = 42):
+    """Exact uniform sample of n rows, deterministic and
+    parallelism-independent: global top-n by seeded key hash.
+
+    Shape: per-batch local top-n (cheap argpartition) → single small
+    merge; only n rows per batch ever move."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        h = hash_any(batch[key_col], seed)
+        k = min(n, len(h))
+        if k == 0:
+            return batch.append_column("__rs", pa.array([], pa.uint64()))
+        part = np.argpartition(h, k - 1)[:k]
+        out = batch.take(pa.array(part))
+        return out.append_column("__rs", pa.array(h[part].astype(np.int64)))
+
+    local_ds = ds.map_batches(local, batch_format="pyarrow")
+    merged = local_ds.sort("__rs").limit(n)
+    return merged.drop_columns(["__rs"])

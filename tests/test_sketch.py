@@ -1,0 +1,82 @@
+"""HLL + reservoir sampling tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray.stages import sketch
+
+
+class TestHLL:
+    def test_accuracy_within_bounds(self):
+        # p=12 → relative error ~1.04/sqrt(4096) ≈ 1.6%
+        for true_n in (1000, 50_000, 500_000):
+            h = sketch.HLL(12)
+            vals = np.arange(true_n, dtype=np.int64)
+            h.add_hashes(sketch._hash64(vals))
+            est = h.estimate()
+            assert abs(est - true_n) / true_n < 0.06
+
+    def test_merge_equals_union(self):
+        a = sketch.HLL(12).add_hashes(sketch._hash64(np.arange(0, 30000)))
+        b = sketch.HLL(12).add_hashes(sketch._hash64(np.arange(20000, 60000)))
+        u = sketch.HLL(12).add_hashes(sketch._hash64(np.arange(0, 60000)))
+        merged = a.merge(b)
+        assert merged.estimate() == pytest.approx(u.estimate(), rel=1e-12)
+
+    def test_serialize_roundtrip(self):
+        h = sketch.HLL(10).add_hashes(sketch._hash64(np.arange(1000)))
+        h2 = sketch.HLL.deserialize(h.serialize(), 10)
+        assert h2.estimate() == h.estimate()
+
+    def test_distributed(self, ray_session, sf_mid):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_mid}/lineitem.parquet", columns=["l_orderkey"])
+        est = sketch.approx_count_distinct(ds, "l_orderkey")
+        exact = len(ds.unique("l_orderkey"))
+        assert abs(est - exact) / exact < 0.05
+
+    def test_string_column(self):
+        h = sketch.hash_any(pa.array(["a", "b", "a", None]))
+        assert h[0] == h[2]
+        assert h[0] != h[1]
+
+
+class TestReservoir:
+    def test_exact_size_and_determinism(self, ray_session, sf_small):
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_small}/lineitem.parquet",
+                             columns=["l_orderkey", "l_linenumber"])
+        # composite unique key
+        import pyarrow.compute as pc
+
+        ds = ds.map_batches(
+            lambda t: t.append_column(
+                "rowkey",
+                pc.add(pc.multiply(t["l_orderkey"], 10), pc.cast(t["l_linenumber"], pa.int64())),
+            ),
+            batch_format="pyarrow",
+        )
+        s1 = sketch.reservoir_sample(ds, 100, "rowkey", seed=7).to_pandas()
+        s2 = sketch.reservoir_sample(ds, 100, "rowkey", seed=7).to_pandas()
+        assert len(s1) == 100
+        assert sorted(s1["rowkey"]) == sorted(s2["rowkey"])
+        s3 = sketch.reservoir_sample(ds, 100, "rowkey", seed=8).to_pandas()
+        assert sorted(s3["rowkey"]) != sorted(s1["rowkey"])
+
+    def test_uniformity(self, ray_session):
+        import ray.data as rd
+
+        # sample 200 of 2000 over many seeds: each item's inclusion
+        # frequency ≈ 10%
+        t = pa.table({"k": pa.array(np.arange(2000, dtype=np.int64))})
+        counts = np.zeros(2000)
+        trials = 30
+        for seed in range(trials):
+            s = sketch.reservoir_sample(rd.from_arrow(t), 200, "k", seed=seed)
+            counts[np.array(s.to_pandas()["k"])] += 1
+        freq = counts / trials
+        assert abs(freq.mean() - 0.1) < 1e-9  # exactly 200/2000 overall
+        assert freq.std() < 0.08  # no pathological bias
