@@ -360,6 +360,55 @@ FROM s GROUP BY 1, 2
 """
 
 
+# --- sliding (hopping) windows -----------------------------------------
+
+
+def q_events_sliding(sf_dir: str):
+    """1-hour windows hopping every 15 min: each event contributes to
+    4 windows (vectorized repeat + window-start arithmetic — integer
+    epoch math, exact in both engines)."""
+    import numpy as np
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    SIZE, HOP = 3600, 900
+
+    def assign(t: pa.Table) -> pa.Table:
+        ts_us = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        epoch = ts_us // 1_000_000
+        base = (epoch // HOP) * HOP
+        k = np.arange(SIZE // HOP, dtype=np.int64)
+        starts = base[:, None] - k[None, :] * HOP  # (N, 4)
+        n = len(epoch)
+        rows = np.repeat(np.arange(n), SIZE // HOP)
+        return pa.table(
+            {
+                "window_start": pa.array(
+                    starts.ravel() * 1_000_000, pa.timestamp("us")
+                ),
+                "value": t["value"].take(pa.array(rows)),
+            }
+        )
+
+    return (
+        ds.map_batches(assign, batch_format="pyarrow")
+        .groupby("window_start", num_partitions=4)
+        .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="sum_value"))
+    )
+
+
+SQL_EVENTS_SLIDING = """
+WITH offs(k) AS (VALUES (0), (1), (2), (3)),
+w AS (
+  SELECT to_timestamp(((epoch_us(ts) // 1000000) // 900) * 900 - k * 900)::TIMESTAMP
+           AS window_start,
+         value
+  FROM events CROSS JOIN offs
+)
+SELECT window_start, COUNT(*) AS n_events, SUM(value) AS sum_value
+FROM w GROUP BY window_start
+"""
+
+
 # --- semi / anti joins --------------------------------------------------
 
 
@@ -670,6 +719,7 @@ RELATIONAL_QUERIES = {
     "text_stats": (q_text_stats, SQL_TEXT_STATS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
