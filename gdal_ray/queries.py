@@ -22,6 +22,7 @@ from collections.abc import Callable
 from typing import Any
 
 import numpy as np
+import pyarrow as pa
 
 from gdal_ray.geoparse import GAZETTEER
 
@@ -361,6 +362,75 @@ SELECT admin_id, COUNT(*) AS n_pixels FROM v GROUP BY admin_id
 """
 
 
+def q_grid_idw(sf_dir: str):
+    """GDALGrid InvDistNearestNeighbor (alg/gdalgrid.cpp:241): a 32×32
+    output grid over [-80,80]×[-60,60] interpolated from the 500-point
+    reference set (k=5, power=2). Oracle: per-pixel kNN via SQL window
+    rank + 1/d² weights."""
+    import ray.data as rd
+
+    from gdal_ray import fixtures
+    from gdal_ray.stages.knn import idw_estimate
+
+    W = H = 32
+    xs = -80.0 + (np.arange(W) + 0.5) * (160.0 / W)
+    ys = 60.0 - (np.arange(H) + 0.5) * (120.0 / H)
+    PX, PY = np.meshgrid(xs, ys)
+    pix = pa.table(
+        {
+            "pixel_id": pa.array(np.arange(W * H, dtype=np.int64)),
+            "lon": pa.array(PX.ravel()),
+            "lat": pa.array(PY.ravel()),
+        }
+    )
+    out = idw_estimate(
+        rd.from_arrow(pix), fixtures.gen_ref_points(500), k=5, power=2.0,
+        concurrency=1,
+    )
+    return out.select_columns(["pixel_id", "idw_value"])
+
+
+def _sql_grid_idw() -> str:
+    return f"""
+WITH ix(i) AS (SELECT unnest(generate_series(0, 31))),
+iy(j) AS (SELECT unnest(generate_series(0, 31))),
+px AS (
+  SELECT j * 32 + i AS pixel_id,
+         CAST(-80.0 AS DOUBLE) + (i + CAST(0.5 AS DOUBLE)) * 5.0 AS lon,
+         CAST(60.0 AS DOUBLE) - (j + CAST(0.5 AS DOUBLE)) * 3.75 AS lat
+  FROM ix CROSS JOIN iy
+),
+d AS (
+  SELECT px.pixel_id,
+         (px.lon - ref.rlon)*(px.lon - ref.rlon)
+           + (px.lat - ref.rlat)*(px.lat - ref.rlat) AS d2,
+         ref.point_id
+  FROM px CROSS JOIN {_ref_points_sql()}
+),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY pixel_id ORDER BY d2, point_id) AS r
+  FROM d
+),
+v AS (SELECT * FROM {_ref_points_sql_with_value()})
+SELECT rk.pixel_id,
+       SUM(v.value / rk.d2) / SUM(1.0 / rk.d2) AS idw_value
+FROM rk JOIN v ON v.point_id = rk.point_id
+WHERE rk.r <= 5
+GROUP BY rk.pixel_id
+"""
+
+
+def _ref_points_sql_with_value(n: int = 500) -> str:
+    from gdal_ray.fixtures import gen_ref_points
+
+    t = gen_ref_points(n)
+    rows = ", ".join(
+        f"({int(i)}, {v!r})"
+        for i, v in zip(t["point_id"].to_pylist(), t["value"].to_pylist())
+    )
+    return f"(VALUES {rows}) AS refv(point_id, value)"
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -373,6 +443,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "reproject_3857": q_reproject_3857,
     "buffer_area": q_buffer_area,
     "polygonize_counts": q_polygonize_counts,
+    "grid_idw": q_grid_idw,
 }
 
 ORACLE: dict[str, str] = {
@@ -386,6 +457,7 @@ ORACLE: dict[str, str] = {
     "reproject_3857": _sql_reproject_3857(),
     "buffer_area": _sql_buffer_area(),
     "polygonize_counts": _sql_polygonize_counts(),
+    "grid_idw": _sql_grid_idw(),
 }
 
 # relational/text operator suite (separate module to keep this one
