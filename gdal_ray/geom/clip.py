@@ -1,0 +1,236 @@
+"""General polygon overlay — Greiner–Hormann clipping.
+
+Closes the concave×concave gap left by the convex Sutherland-Hodgman
+path (stages/overlay.py): intersection / union / difference of two
+SIMPLE polygons (possibly concave; holes and self-intersections out
+of scope — documented), per Greiner & Hormann, "Efficient clipping of
+arbitrary polygons", ACM TOG 1998.
+
+Degeneracy handling: vanilla G-H breaks when vertices fall exactly on
+the other polygon's edges. We detect degenerate intersections
+(alpha ≈ 0/1 or collinear overlap) and retry with the CLIP polygon
+perturbed by a tiny deterministic offset (documented tolerance — the
+same pragmatic approach GDAL applications use via GEOS snap-rounding).
+
+Result: list of closed rings (an overlay of simple polygons can have
+several output components).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_ray.geom.predicates import PolygonEdges
+
+_EPS = 1e-12
+
+
+class _V:
+    __slots__ = ("xy", "next", "prev", "inter", "entry", "neighbor", "alpha",
+                 "visited")
+
+    def __init__(self, xy):
+        self.xy = np.asarray(xy, dtype=np.float64)
+        self.next = None
+        self.prev = None
+        self.inter = False
+        self.entry = True
+        self.neighbor = None
+        self.alpha = 0.0
+        self.visited = False
+
+
+def _ring_list(coords) -> _V:
+    coords = np.asarray(coords, dtype=np.float64)
+    if (coords[0] == coords[-1]).all():
+        coords = coords[:-1]
+    verts = [_V(c) for c in coords]
+    n = len(verts)
+    for i, v in enumerate(verts):
+        v.next = verts[(i + 1) % n]
+        v.prev = verts[(i - 1) % n]
+    return verts[0]
+
+
+def _iter_ring(head: _V):
+    v = head
+    while True:
+        yield v
+        v = v.next
+        if v is head:
+            break
+
+
+def _seg_intersect(p1, p2, q1, q2):
+    """→ (alphaP, alphaQ) in (0,1)² if proper crossing, else None;
+    'degenerate' string if touching/collinear within eps."""
+    d1 = p2 - p1
+    d2 = q2 - q1
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(denom) < _EPS:
+        # parallel: check collinear overlap (degenerate)
+        cross = d1[0] * (q1[1] - p1[1]) - d1[1] * (q1[0] - p1[0])
+        if abs(cross) < _EPS:
+            return "degenerate"
+        return None
+    t = ((q1[0] - p1[0]) * d2[1] - (q1[1] - p1[1]) * d2[0]) / denom
+    u = ((q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0]) / denom
+    tol = 1e-9
+    if -tol < t < tol or 1 - tol < t < 1 + tol or -tol < u < tol or 1 - tol < u < 1 + tol:
+        if -tol <= t <= 1 + tol and -tol <= u <= 1 + tol:
+            return "degenerate"
+        return None
+    if 0 < t < 1 and 0 < u < 1:
+        return (t, u)
+    return None
+
+
+def _insert_intersections(headP: _V, headQ: _V) -> int:
+    """Insert paired intersection vertices; returns count; raises
+    ValueError('degenerate') on touch/collinear cases."""
+    count = 0
+    pverts = list(_iter_ring(headP))
+    qverts = list(_iter_ring(headQ))
+    # collect per original edge, insert sorted by alpha afterwards
+    for pv in pverts:
+        p1, p2 = pv.xy, pv.next.xy if not pv.next.inter else None
+        # find true next original vertex
+        nxt = pv.next
+        while nxt.inter:
+            nxt = nxt.next
+        p2 = nxt.xy
+        if pv.inter:
+            continue
+        for qv in qverts:
+            if qv.inter:
+                continue
+            qn = qv.next
+            while qn.inter:
+                qn = qn.next
+            res = _seg_intersect(pv.xy, p2, qv.xy, qn.xy)
+            if res == "degenerate":
+                raise ValueError("degenerate")
+            if res is None:
+                continue
+            t, u = res
+            ip = _V(pv.xy + t * (p2 - pv.xy))
+            iq = _V(ip.xy.copy())
+            ip.inter = iq.inter = True
+            ip.alpha, iq.alpha = t, u
+            ip.neighbor, iq.neighbor = iq, ip
+            _insert_sorted(pv, ip)
+            _insert_sorted(qv, iq)
+            count += 1
+    return count
+
+
+def _insert_sorted(orig: _V, nv: _V):
+    """Insert nv after orig among the intersection vertices on orig's
+    edge, ordered by alpha."""
+    cur = orig
+    while cur.next.inter and cur.next.alpha < nv.alpha:
+        cur = cur.next
+    nv.next = cur.next
+    nv.prev = cur
+    cur.next.prev = nv
+    cur.next = nv
+
+
+def _mark_entries(head: _V, other_ring: np.ndarray, forward_inside_keep: bool):
+    """Alternate entry/exit flags starting from whether the first
+    vertex is outside the other polygon."""
+    edges = PolygonEdges([other_ring])
+    first = head
+    inside = bool(edges.contains_points(
+        np.array([first.xy[0]]), np.array([first.xy[1]])
+    )[0])
+    status = not inside  # next intersection is an ENTRY iff we start outside
+    for v in _iter_ring(head):
+        if v.inter:
+            v.entry = status
+            status = not status
+
+
+def _collect(headP: _V, opP_forward: bool, opQ_forward: bool):
+    """Trace result rings."""
+    rings = []
+    for start in _iter_ring(headP):
+        if not start.inter or start.visited:
+            continue
+        ring = []
+        cur = start
+        on_p = True
+        while True:
+            cur.visited = True
+            if cur.neighbor is not None:
+                cur.neighbor.visited = True
+            if cur.entry:
+                while True:
+                    cur = cur.next
+                    ring.append(cur.xy)
+                    if cur.inter:
+                        break
+            else:
+                while True:
+                    cur = cur.prev
+                    ring.append(cur.xy)
+                    if cur.inter:
+                        break
+            cur = cur.neighbor
+            on_p = not on_p
+            if cur is start or cur.neighbor is start or cur.visited and (
+                abs(cur.xy[0] - start.xy[0]) < _EPS
+                and abs(cur.xy[1] - start.xy[1]) < _EPS
+            ):
+                break
+        if len(ring) >= 3:
+            r = np.array(ring)
+            rings.append(np.vstack([r, r[:1]]))
+    return rings
+
+
+def _area(ring: np.ndarray) -> float:
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+
+
+def _ensure_ccw(coords: np.ndarray) -> np.ndarray:
+    c = np.asarray(coords, dtype=np.float64)
+    if (c[0] != c[-1]).any():
+        c = np.vstack([c, c[:1]])
+    if _area(c) < 0:
+        c = c[::-1]
+    return c
+
+
+def polygon_intersection(subject, clip, _retry: int = 0) -> list[np.ndarray]:
+    """Intersection of two simple polygons → list of closed rings."""
+    S = _ensure_ccw(subject)
+    C = _ensure_ccw(clip)
+    headP = _ring_list(S)
+    headQ = _ring_list(C)
+    try:
+        n = _insert_intersections(headP, headQ)
+    except ValueError:
+        if _retry >= 3:
+            raise ValueError("degenerate polygon overlay (touching edges)")
+        # deterministic tiny perturbation of the clip polygon
+        span = max(C[:, 0].ptp(), C[:, 1].ptp(), 1.0)
+        delta = span * (1e-9 * (_retry + 1))
+        return polygon_intersection(S, C[:-1] + delta, _retry + 1)
+    if n == 0:
+        # no crossings: containment or disjoint
+        eS = PolygonEdges([S])
+        eC = PolygonEdges([C])
+        if eC.contains_points(np.array([S[0, 0]]), np.array([S[0, 1]]))[0]:
+            return [S]
+        if eS.contains_points(np.array([C[0, 0]]), np.array([C[0, 1]]))[0]:
+            return [C]
+        return []
+    _mark_entries(headP, C, True)
+    _mark_entries(headQ, S, True)
+    return _collect(headP, True, True)
+
+
+def intersection_area(subject, clip) -> float:
+    return sum(abs(_area(r)) for r in polygon_intersection(subject, clip))

@@ -57,6 +57,10 @@ def sample_points(
         if w < 4 or h < 4:
             return sample_points(arr, px, py, "bilinear", nodata)
         return _sample_4x4(arr, px, py, method, nodata)
+    if method == "lanczos":
+        if w < 6 or h < 6:
+            return sample_points(arr, px, py, "bilinear", nodata)
+        return _sample_lanczos(arr, px, py, nodata)
     if method != "bilinear":
         raise ValueError(f"unsupported method {method}")
     ok = (px >= 0) & (px <= w) & (py >= 0) & (py <= h)
@@ -124,6 +128,47 @@ def _sample_4x4(arr, px, py, method, nodata):
         yy = np.clip(dy0 + ky, 0, h - 1)
         for kx in range(-1, 3):
             wx = kern(kx - tx)
+            xx = np.clip(dx0 + kx, 0, w - 1)
+            v = arr[yy, xx].astype(np.float64)
+            wgt = wx * wy
+            if nodata is not None:
+                valid = v != nodata
+                wgt = np.where(valid, wgt, 0.0)
+                v = np.where(valid, v, 0.0)
+            num += v * wgt
+            den += wgt
+    ok &= den != 0.0
+    out = np.full(len(px), np.nan)
+    out[ok] = num[ok] / den[ok]
+    return out, ok
+
+
+def _lanczos_kernel(x: np.ndarray, a: int = 3) -> np.ndarray:
+    """Lanczos windowed sinc (GDAL GRA_Lanczos, 6×6 window a=3 —
+    alg/gdalwarper.h:35 kernel list, weight fn gdalwarpkernel.cpp)."""
+    ax = np.abs(x)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        v = np.sinc(x) * np.sinc(x / a)
+    return np.where(ax < a, v, 0.0)
+
+
+def _sample_lanczos(arr, px, py, nodata, a: int = 3):
+    """6×6 Lanczos window, weight-normalized, border-replicated."""
+    h, w = arr.shape
+    ok = (px >= 0) & (px <= w) & (py >= 0) & (py <= h)
+    dfx = px - 0.5
+    dfy = py - 0.5
+    dx0 = np.floor(dfx).astype(np.int64)
+    dy0 = np.floor(dfy).astype(np.int64)
+    tx = dfx - dx0
+    ty = dfy - dy0
+    num = np.zeros(len(px))
+    den = np.zeros(len(px))
+    for ky in range(-a + 1, a + 1):
+        wy = _lanczos_kernel(ky - ty, a)
+        yy = np.clip(dy0 + ky, 0, h - 1)
+        for kx in range(-a + 1, a + 1):
+            wx = _lanczos_kernel(kx - tx, a)
             xx = np.clip(dx0 + kx, 0, w - 1)
             v = arr[yy, xx].astype(np.float64)
             wgt = wx * wy

@@ -32,10 +32,15 @@ class ConvexOverlay:
 
     def __init__(self, method_table, mode: str = "intersection",
                  geom_col: str = "geometry",
-                 method_id_col: str = "admin_id"):
+                 method_id_col: str = "admin_id",
+                 general: bool = False):
+        """``general=True`` switches the per-pair kernel from convex
+        Sutherland-Hodgman to Greiner-Hormann (geom.clip) — concave
+        method polygons allowed, multiple output components per pair."""
         if isinstance(method_table, ray.ObjectRef):
             method_table = ray.get(method_table)
         self.mode = mode
+        self.general = general
         self.geom_col = geom_col
         self.method_id_col = method_id_col
         self.method = []
@@ -64,10 +69,20 @@ class ConvexOverlay:
                 # envelope pretest (reference order, ogrlayer.cpp:5361)
                 if smaxx < eminx or sminx > emaxx or smaxy < eminy or sminy > emaxy:
                     continue
-                clipped = gops.clip_polygon_convex(subject, mring)
-                if len(clipped) == 0:
-                    continue
-                area = abs(gops.ring_area(clipped))
+                if self.general:
+                    from gdal_ray.geom.clip import polygon_intersection
+
+                    pieces = polygon_intersection(subject, mring)
+                    if not pieces:
+                        continue
+                    # largest piece carries the row; area sums all pieces
+                    clipped = max(pieces, key=lambda r: abs(gops.ring_area(r)))
+                    area = sum(abs(gops.ring_area(r)) for r in pieces)
+                else:
+                    clipped = gops.clip_polygon_convex(subject, mring)
+                    if len(clipped) == 0:
+                        continue
+                    area = abs(gops.ring_area(clipped))
                 if area == 0.0:
                     # edge-touch only (degenerate collinear result) —
                     # GEOS Intersection returns a lower-dimension

@@ -1,0 +1,126 @@
+"""Greiner–Hormann general polygon intersection tests (vs convex S-H,
+closed forms, and a rasterized area oracle)."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.geom import clip as gh
+from gdal_ray.geom import ops as gops
+
+
+def box(x0, y0, x1, y1):
+    return np.array([[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float)
+
+
+def _raster_area(subject, clipper, res=512):
+    """Monte-Carlo-free oracle: pixel-center rasterization of both."""
+    from gdal_ray.geom.predicates import PolygonEdges
+
+    allpts = np.vstack([subject, clipper])
+    minx, miny = allpts.min(axis=0) - 1
+    maxx, maxy = allpts.max(axis=0) + 1
+    xs = np.linspace(minx, maxx, res)
+    ys = np.linspace(miny, maxy, res)
+    X, Y = np.meshgrid(xs, ys)
+    es = PolygonEdges([subject])
+    ec = PolygonEdges([clipper])
+    inside = es.contains_points(X.ravel(), Y.ravel()) & ec.contains_points(
+        X.ravel(), Y.ravel()
+    )
+    cell = ((maxx - minx) / (res - 1)) * ((maxy - miny) / (res - 1))
+    return inside.sum() * cell
+
+
+class TestBasics:
+    def test_box_box(self):
+        out = gh.polygon_intersection(box(0, 0, 10, 10), box(5, 5, 20, 20))
+        assert len(out) == 1
+        assert gh.intersection_area(box(0, 0, 10, 10), box(5, 5, 20, 20)) == pytest.approx(25.0)
+
+    def test_disjoint_and_contained(self):
+        assert gh.polygon_intersection(box(0, 0, 1, 1), box(5, 5, 6, 6)) == []
+        out = gh.polygon_intersection(box(0, 0, 10, 10), box(2, 2, 4, 4))
+        assert len(out) == 1
+        assert abs(gh._area(out[0])) == pytest.approx(4.0)
+        out2 = gh.polygon_intersection(box(2, 2, 4, 4), box(0, 0, 10, 10))
+        assert abs(gh._area(out2[0])) == pytest.approx(4.0)
+
+    def test_triangle_box(self):
+        tri = np.array([[0, 0], [10, 0], [0, 10], [0, 0]], float)
+        a = gh.intersection_area(tri, box(0, 0, 5, 5))
+        assert a == pytest.approx(50 - 12.5 - 12.5)
+
+    def test_concave_two_components(self):
+        # C-shape clipped by a bar crossing its opening → 2 pieces
+        c_shape = np.array(
+            [[0, 0], [10, 0], [10, 2], [3, 2], [3, 8], [10, 8], [10, 10],
+             [0, 10], [0, 0]], float)
+        bar = box(5, -1, 12, 11)
+        out = gh.polygon_intersection(c_shape, bar)
+        assert len(out) == 2
+        total = sum(abs(gh._area(r)) for r in out)
+        # two bars: x∈[5,10], y∈[0,2] and y∈[8,10] → 2·(5·2)=20
+        assert total == pytest.approx(20.0)
+
+    def test_matches_convex_sh(self):
+        rng = np.random.default_rng(23)
+        for _ in range(20):
+            # random convex quad (hull of 6 points) vs random box
+            pts = rng.uniform(0, 20, (6, 2))
+            hull = gops.convex_hull(pts)
+            if len(hull) < 4:
+                continue
+            x0, y0 = rng.uniform(0, 10, 2)
+            w, h = rng.uniform(3, 10, 2)
+            sh = gops.clip_polygon_bbox(hull, x0, y0, x0 + w, y0 + h)
+            sh_area = abs(gops.ring_area(sh)) if len(sh) else 0.0
+            gh_area = gh.intersection_area(hull, box(x0, y0, x0 + w, y0 + h))
+            assert gh_area == pytest.approx(sh_area, abs=1e-6)
+
+    def test_random_concave_vs_raster_oracle(self):
+        rng = np.random.default_rng(29)
+        for trial in range(5):
+            # star-ish concave polygon
+            ang = np.sort(rng.uniform(0, 2 * np.pi, 9))
+            rad = rng.uniform(2, 10, 9)
+            subject = np.column_stack(
+                [10 + rad * np.cos(ang), 10 + rad * np.sin(ang)]
+            )
+            subject = np.vstack([subject, subject[:1]])
+            clipper = box(*rng.uniform(4, 8, 2), *rng.uniform(12, 16, 2))
+            a = gh.intersection_area(subject, clipper)
+            oracle = _raster_area(subject, clipper)
+            assert a == pytest.approx(oracle, abs=max(0.05 * oracle, 0.3))
+
+    def test_degenerate_touch_retries(self):
+        # shared edge: perturbation fallback must return ≈0 or the
+        # shared sliver, not crash
+        a = gh.intersection_area(box(0, 0, 10, 10), box(10, 0, 20, 10))
+        assert a == pytest.approx(0.0, abs=1e-3)
+
+
+def test_general_overlay_stage(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.stages.overlay import convex_overlay
+
+    # concave L-shaped method polygon — convex path would be wrong here
+    l_ring = np.array(
+        [[0, 0], [10, 0], [10, 3], [3, 3], [3, 10], [0, 10], [0, 0]], float)
+    method = pa.table(
+        {"zone_id": pa.array([0], pa.int64()),
+         "geometry": pa.array([gwkb.polygon_wkb(l_ring)], pa.binary())}
+    )
+    subject = pa.table(
+        {"sid": pa.array([0], pa.int64()),
+         "geometry": pa.array([gwkb.box_polygon_wkb(1, 1, 9, 9)], pa.binary())}
+    )
+    out = convex_overlay(
+        rd.from_arrow(subject), method, mode="intersection",
+        method_id_col="zone_id", general=True,
+    ).to_pandas()
+    assert len(out) == 1
+    # box [1,9]^2 ∩ L = 8x2 bottom strip + 2x8 left strip - 2x2 overlap
+    assert out.iloc[0]["overlay_area"] == pytest.approx(8 * 2 + 2 * 8 - 4)

@@ -291,3 +291,49 @@ class TestCubic:
         out = warp.warp_array(arr, gt, "EPSG:4326", shape, dgt, "EPSG:3857",
                               method="cubic", nodata=np.nan)
         assert np.isfinite(out).mean() > 0.8
+
+
+class TestLanczos:
+    def test_interpolates_at_centers(self):
+        from gdal_ray.raster import sample
+
+        rng = np.random.default_rng(15)
+        arr = rng.uniform(0, 100, (10, 10))
+        xs = np.array([4.5, 5.5])
+        ys = np.array([4.5, 3.5])
+        vals, ok = sample.sample_points(arr, xs, ys, method="lanczos")
+        assert ok.all()
+        np.testing.assert_allclose(
+            vals, arr[ys.astype(int), xs.astype(int)], rtol=1e-9
+        )
+
+    def test_constant_field_preserved(self):
+        from gdal_ray.raster import sample
+
+        arr = np.full((12, 12), 7.0)
+        rng = np.random.default_rng(16)
+        px = rng.uniform(1, 11, 40)
+        py = rng.uniform(1, 11, 40)
+        vals, ok = sample.sample_points(arr, px, py, method="lanczos")
+        np.testing.assert_allclose(vals[ok], 7.0, rtol=1e-9)
+
+    def test_small_raster_downgrade(self):
+        from gdal_ray.raster import sample
+
+        arr = np.random.default_rng(1).uniform(0, 1, (4, 4))
+        vals, ok = sample.sample_points(
+            arr, np.array([2.0]), np.array([2.0]), method="lanczos"
+        )
+        assert ok[0]  # silently bilinear
+
+    def test_warp_lanczos(self):
+        from gdal_ray.raster import warp
+
+        arr = np.random.default_rng(2).uniform(0, 255, (64, 64))
+        gt = (-10.0, 0.5, 0.0, 62.0, 0.0, -0.5)
+        shape, dgt = warp.suggested_warp_output(arr.shape, gt, "EPSG:4326", "EPSG:3857")
+        out = warp.warp_array(arr, gt, "EPSG:4326", shape, dgt, "EPSG:3857",
+                              method="lanczos", nodata=np.nan)
+        assert np.isfinite(out).mean() > 0.8
+        m = np.isfinite(out)
+        assert out[m].min() > -60 and out[m].max() < 320  # bounded ringing
