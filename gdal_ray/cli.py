@@ -204,7 +204,12 @@ def main(argv=None) -> int:
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
-    res, kind = run_pipeline(argv[2])
+    try:
+        res, kind = run_pipeline(argv[2])
+    except ValueError as exc:
+        print(f"error: {exc}", file=sys.stderr)
+        ray.shutdown()
+        return 2
     if kind == "count":
         print(res)
     elif kind == "write":
