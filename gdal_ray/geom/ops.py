@@ -425,6 +425,96 @@ def make_valid_basic_wkb(buf: bytes) -> bytes:
     return gwkb.polygon_wkb(rings[0], rings[1:])
 
 
+def _self_intersections(ring: np.ndarray):
+    """Proper crossings between non-adjacent edges of an open ring →
+    list of (i, j, t_i, t_j, point)."""
+    n = len(ring)
+    out = []
+    for i in range(n):
+        p1, p2 = ring[i], ring[(i + 1) % n]
+        d1 = p2 - p1
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent via wrap
+            q1, q2 = ring[j], ring[(j + 1) % n]
+            d2 = q2 - q1
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(denom) < 1e-15:
+                continue
+            t = ((q1[0] - p1[0]) * d2[1] - (q1[1] - p1[1]) * d2[0]) / denom
+            u = ((q1[0] - p1[0]) * d1[1] - (q1[1] - p1[1]) * d1[0]) / denom
+            if 1e-12 < t < 1 - 1e-12 and 1e-12 < u < 1 - 1e-12:
+                out.append((i, j, t, u, p1 + t * d1))
+    return out
+
+
+def make_valid_ring(coords: np.ndarray) -> list[np.ndarray]:
+    """Split a self-intersecting ring into simple closed rings — the
+    node-splitting core of GEOS MakeValid's linework method
+    (ogrgeometry.cpp:3894 MakeValid): intersection vertices are
+    inserted, then each loop between two visits of the same node is
+    extracted as its own simple ring (bowtie → 2 triangles)."""
+    r = np.asarray(coords, dtype=np.float64)
+    if (r[0] == r[-1]).all():
+        r = r[:-1]
+    inters = _self_intersections(r)
+    if not inters:
+        return [np.vstack([r, r[:1]])]
+    # build vertex sequence with intersection points inserted (tagged
+    # by a canonical node key so both insertions share identity)
+    per_edge: dict[int, list] = {}
+    for (i, j, t, u, pt) in inters:
+        key = (round(pt[0], 12), round(pt[1], 12))
+        per_edge.setdefault(i, []).append((t, key, pt))
+        per_edge.setdefault(j, []).append((u, key, pt))
+    seq: list[tuple] = []  # (point, node_key or None)
+    for i in range(len(r)):
+        seq.append((r[i], None))
+        for t, key, pt in sorted(per_edge.get(i, []), key=lambda e: e[0]):
+            seq.append((pt, key))
+    # loop extraction: stack of (point, key); on repeated key pop a ring
+    rings = []
+    stack: list[tuple] = []
+    open_nodes: dict = {}
+    for pt, key in seq:
+        if key is not None and key in open_nodes:
+            start = open_nodes.pop(key)
+            loop = [p for p, _ in stack[start:]] + [pt]
+            # remove the loop from the stack, keep the node point
+            for k in [kk for kk, v in open_nodes.items() if v > start]:
+                del open_nodes[k]
+            del stack[start:]
+            stack.append((pt, key))
+            open_nodes[key] = len(stack) - 1
+            if len(loop) >= 3:
+                lr = np.array(loop)
+                rings.append(np.vstack([lr, lr[:1]]))
+        else:
+            stack.append((pt, key))
+            if key is not None:
+                open_nodes[key] = len(stack) - 1
+    if len(stack) >= 3:
+        lr = np.array([p for p, _ in stack])
+        rings.append(np.vstack([lr, lr[:1]]))
+    # drop degenerate zero-area remnants
+    return [rg for rg in rings if abs(ring_area(rg)) > 1e-12]
+
+
+def make_valid_wkb(buf: bytes) -> bytes:
+    """Full repair: basic fixes + self-intersection node splitting.
+    Simple input → POLYGON out; split input → MULTIPOLYGON of the
+    simple parts (exterior rings only; holes pass through the basic
+    path)."""
+    g = gwkb.parse(buf)
+    if g["type"] != gwkb.POLYGON:
+        return buf
+    basic = gwkb.parse(make_valid_basic_wkb(buf))
+    parts = make_valid_ring(basic["rings"][0])
+    if len(parts) == 1:
+        return gwkb.polygon_wkb(parts[0], basic["rings"][1:])
+    return gwkb.multipolygon_wkb([(p, []) for p in parts])
+
+
 def wrap_lon(lon: np.ndarray) -> np.ndarray:
     """Normalize longitudes into [-180, 180] (ogr2ogr -wrapdateline
     point case, apps/ogr2ogr_lib.cpp:1989)."""

@@ -188,3 +188,37 @@ class TestVectorStages:
         out = vs.explode_collections(rd.from_arrow(t)).to_pandas()
         assert len(out) == 2
         assert (out["id"] == 7).all()
+
+
+class TestMakeValidFull:
+    def test_bowtie_splits_into_two_triangles(self):
+        bow = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], float)
+        parts = ops.make_valid_ring(bow)
+        assert len(parts) == 2
+        areas = sorted(abs(ops.ring_area(p)) for p in parts)
+        assert areas == [pytest.approx(4.0), pytest.approx(4.0)]
+        # each part is simple now
+        for p in parts:
+            assert ops._self_intersections(p[:-1]) == []
+
+    def test_valid_ring_unchanged(self):
+        sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]], float)
+        parts = ops.make_valid_ring(sq)
+        assert len(parts) == 1
+        np.testing.assert_array_equal(parts[0], sq)
+
+    def test_wkb_roundtrip_multipolygon(self):
+        bow = np.array([[0, 0], [4, 4], [4, 0], [0, 4], [0, 0]], float)
+        fixed = ops.make_valid_wkb(gwkb.polygon_wkb(bow))
+        assert gwkb.geometry_type(fixed) == gwkb.MULTIPOLYGON
+        g = gwkb.parse(fixed)
+        assert len(g["parts"]) == 2
+
+    def test_figure_with_spike(self):
+        # ring with a double crossing (pentagram-ish)
+        star = np.array(
+            [[0, 0], [10, 0], [2, 6], [5, -4], [8, 6], [0, 0]], float)
+        parts = ops.make_valid_ring(star)
+        assert len(parts) >= 2
+        for p in parts:
+            assert ops._self_intersections(p[:-1]) == []
