@@ -234,3 +234,83 @@ def polygon_intersection(subject, clip, _retry: int = 0) -> list[np.ndarray]:
 
 def intersection_area(subject, clip) -> float:
     return sum(abs(_area(r)) for r in polygon_intersection(subject, clip))
+
+
+def _overlay(subject, clip, invert_s: bool, invert_c: bool, mode: str,
+             _retry: int = 0) -> list[np.ndarray]:
+    """Shared G-H driver; entry-flag inversion selects the op
+    (Greiner-Hormann §4: intersection / union / difference are the
+    same traversal under flipped entry marks)."""
+    S = _ensure_ccw(subject)
+    C = _ensure_ccw(clip)
+    headP = _ring_list(S)
+    headQ = _ring_list(C)
+    try:
+        n = _insert_intersections(headP, headQ)
+    except ValueError:
+        if _retry >= 3:
+            raise ValueError("degenerate polygon overlay (touching edges)")
+        span = max(C[:, 0].ptp(), C[:, 1].ptp(), 1.0)
+        return _overlay(S, C[:-1] + span * 1e-9 * (_retry + 1),
+                        invert_s, invert_c, mode, _retry + 1)
+    if n == 0:
+        eS = PolygonEdges([S])
+        eC = PolygonEdges([C])
+        s_in_c = bool(eC.contains_points(np.array([S[0, 0]]), np.array([S[0, 1]]))[0])
+        c_in_s = bool(eS.contains_points(np.array([C[0, 0]]), np.array([C[0, 1]]))[0])
+        if mode == "union":
+            if s_in_c:
+                return [C]
+            if c_in_s:
+                return [S]
+            return [S, C]
+        if mode == "difference":
+            if s_in_c:
+                return []
+            if c_in_s:
+                # hole: return exterior + CW hole ring
+                return [S, C[::-1]]
+            return [S]
+        raise AssertionError(mode)
+    _mark_entries(headP, C, True)
+    _mark_entries(headQ, S, True)
+    if invert_s:
+        for v in _iter_ring(headP):
+            if v.inter:
+                v.entry = not v.entry
+    if invert_c:
+        for v in _iter_ring(headQ):
+            if v.inter:
+                v.entry = not v.entry
+    rings = _collect(headP, True, True)
+    # traversal orientation depends on walk direction: normalize CCW
+    # (crossing-case results of simple inputs have no holes; the hole
+    # case only arises on the no-intersection containment paths above)
+    return [r if _area(r) > 0 else r[::-1] for r in rings]
+
+
+def polygon_union(subject, clip) -> list[np.ndarray]:
+    """Union of two simple polygons (GEOS Union, ogrgeometry.cpp:4986).
+
+    Disjoint inputs → both rings; overlapping → merged outline(s)."""
+    return _overlay(subject, clip, True, True, "union")
+
+
+def polygon_difference(subject, clip) -> list[np.ndarray]:
+    """subject − clip (GEOS Difference, ogrgeometry.cpp:5304).
+
+    A fully-contained clip returns [exterior, reversed-clip]: the CW
+    second ring is the hole (signed-area convention)."""
+    return _overlay(subject, clip, True, False, "difference")
+
+
+def union_area(subject, clip) -> float:
+    rings = polygon_union(subject, clip)
+    return sum(_area(r) for r in rings) if len(rings) > 1 else sum(
+        abs(_area(r)) for r in rings
+    )
+
+
+def difference_area(subject, clip) -> float:
+    # signed sum: CW hole rings subtract
+    return sum(_area(r) for r in polygon_difference(subject, clip))

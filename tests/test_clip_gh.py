@@ -124,3 +124,50 @@ def test_general_overlay_stage(ray_session):
     assert len(out) == 1
     # box [1,9]^2 ∩ L = 8x2 bottom strip + 2x8 left strip - 2x2 overlap
     assert out.iloc[0]["overlay_area"] == pytest.approx(8 * 2 + 2 * 8 - 4)
+
+
+class TestUnionDifference:
+    def test_union_overlapping_boxes(self):
+        a = box(0, 0, 10, 10)
+        b = box(5, 5, 15, 15)
+        rings = gh.polygon_union(a, b)
+        assert len(rings) == 1
+        assert abs(gh._area(rings[0])) == pytest.approx(100 + 100 - 25)
+
+    def test_union_disjoint(self):
+        rings = gh.polygon_union(box(0, 0, 1, 1), box(5, 5, 6, 6))
+        assert len(rings) == 2
+        assert sum(abs(gh._area(r)) for r in rings) == pytest.approx(2.0)
+
+    def test_difference_overlapping(self):
+        a = box(0, 0, 10, 10)
+        b = box(5, 5, 15, 15)
+        assert gh.difference_area(a, b) == pytest.approx(100 - 25)
+
+    def test_difference_contained_makes_hole(self):
+        a = box(0, 0, 10, 10)
+        b = box(3, 3, 5, 5)
+        rings = gh.polygon_difference(a, b)
+        assert len(rings) == 2
+        areas = sorted(gh._area(r) for r in rings)
+        assert areas[0] == pytest.approx(-4.0)   # CW hole
+        assert areas[1] == pytest.approx(100.0)
+        assert gh.difference_area(a, b) == pytest.approx(96.0)
+
+    def test_difference_disjoint_and_swallowed(self):
+        assert gh.difference_area(box(0, 0, 2, 2), box(5, 5, 6, 6)) == pytest.approx(4.0)
+        assert gh.polygon_difference(box(3, 3, 4, 4), box(0, 0, 10, 10)) == []
+
+    def test_identities_on_random_boxes(self):
+        rng = np.random.default_rng(31)
+        for _ in range(15):
+            a = box(*rng.uniform(0, 5, 2), *rng.uniform(6, 12, 2))
+            x0, y0 = rng.uniform(2, 8, 2)
+            b = box(x0, y0, x0 + rng.uniform(1, 6), y0 + rng.uniform(1, 6))
+            ia = gh.intersection_area(a, b)
+            ua = gh.union_area(a, b)
+            da = gh.difference_area(a, b)
+            area_a = abs(gh._area(a))
+            area_b = abs(gh._area(b))
+            assert ua == pytest.approx(area_a + area_b - ia, abs=1e-6)
+            assert da == pytest.approx(area_a - ia, abs=1e-6)
