@@ -572,6 +572,85 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 """
 
 
+# --- layer algebra union areas (Greiner-Hormann through the engine) ----
+
+
+def q_box_union(sf_dir: str):
+    """Pairwise union areas of the admin boxes against the 5 query
+    strips (polygon_union traversal; oracle = inclusion-exclusion in
+    closed form). Fixture geometry; sf_dir unused."""
+    import numpy as np
+    import ray.data as rd
+
+    from gdal_ray.fixtures import boundary_boxes
+    from gdal_ray.geom.clip import union_area
+
+    strips = _QBOXES
+
+    def boxring(b):
+        x0, y0, x1, y1 = b
+        return np.array(
+            [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
+        )
+
+    def compute(batch: pa.Table) -> pa.Table:
+        out_a, out_s, out_area = [], [], []
+        for row in batch.to_pylist():
+            bb = (row["minx"], row["miny"], row["maxx"], row["maxy"])
+            for sid, q in enumerate(strips):
+                # strict overlap only (shared-edge touches are the
+                # degenerate family excluded from both sides)
+                if not (min(bb[2], q[2]) > max(bb[0], q[0])
+                        and min(bb[3], q[3]) > max(bb[1], q[1])):
+                    continue
+                out_a.append(row["admin_id"])
+                out_s.append(sid)
+                out_area.append(union_area(boxring(bb), boxring(q)))
+        return pa.table(
+            {
+                "admin_id": pa.array(out_a, pa.int64()),
+                "strip_id": pa.array(out_s, pa.int64()),
+                "union_area": pa.array(out_area, pa.float64()),
+            }
+        )
+
+    boxes = boundary_boxes()
+    t = pa.table(
+        {
+            "admin_id": pa.array(range(len(boxes)), pa.int64()),
+            "minx": pa.array([b[0] for b in boxes]),
+            "miny": pa.array([b[1] for b in boxes]),
+            "maxx": pa.array([b[2] for b in boxes]),
+            "maxy": pa.array([b[3] for b in boxes]),
+        }
+    )
+    return rd.from_arrow(t).map_batches(compute, batch_format="pyarrow")
+
+
+def _sql_box_union() -> str:
+    from gdal_ray.fixtures import boundary_boxes
+
+    brows = ", ".join(
+        f"({i}, {b[0]!r}, {b[1]!r}, {b[2]!r}, {b[3]!r})"
+        for i, b in enumerate(boundary_boxes())
+    )
+    qrows = ", ".join(
+        f"({i}, {q[0]!r}, {q[1]!r}, {q[2]!r}, {q[3]!r})"
+        for i, q in enumerate(_QBOXES)
+    )
+    return f"""
+WITH b(admin_id, minx, miny, maxx, maxy) AS (VALUES {brows}),
+q(strip_id, qminx, qminy, qmaxx, qmaxy) AS (VALUES {qrows})
+SELECT b.admin_id, q.strip_id,
+       (b.maxx-b.minx)*(b.maxy-b.miny) + (q.qmaxx-q.qminx)*(q.qmaxy-q.qminy)
+       - (LEAST(b.maxx,q.qmaxx)-GREATEST(b.minx,q.qminx))
+         * (LEAST(b.maxy,q.qmaxy)-GREATEST(b.miny,q.qminy)) AS union_area
+FROM b CROSS JOIN q
+WHERE LEAST(b.maxx,q.qmaxx) > GREATEST(b.minx,q.qminx)
+  AND LEAST(b.maxy,q.qmaxy) > GREATEST(b.miny,q.qminy)
+"""
+
+
 # --- STDDEV_POP / STDDEV_SAMP (explicit OGR SQL aggregates) ------------
 
 
@@ -725,6 +804,7 @@ RELATIONAL_QUERIES = {
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),
+    "box_union": (q_box_union, _sql_box_union()),
     "stddev": (q_stddev, SQL_STDDEV),
     "approx_count_distinct": (q_approx_count_distinct, None),
     "reservoir_sample": (q_reservoir_sample, None),
