@@ -314,3 +314,14 @@ def union_area(subject, clip) -> float:
 def difference_area(subject, clip) -> float:
     # signed sum: CW hole rings subtract
     return sum(_area(r) for r in polygon_difference(subject, clip))
+
+
+def polygon_symdifference(a, b) -> list[np.ndarray]:
+    """(A−B) ∪ (B−A) by composition (GEOS SymDifference,
+    ogrgeometry.cpp:5423). Result ring lists concatenate — the two
+    difference regions are disjoint by construction."""
+    return polygon_difference(a, b) + polygon_difference(b, a)
+
+
+def symdifference_area(a, b) -> float:
+    return sum(_area(r) for r in polygon_symdifference(a, b))

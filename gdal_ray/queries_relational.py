@@ -672,6 +672,26 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_quantiles(sf_dir: str):
+    """Median + P90 (distributed Quantile aggregate; DuckDB
+    quantile_cont oracle — linear interpolation matches exactly)."""
+    from ray.data.aggregate import Quantile
+
+    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
+    row = ds.aggregate(
+        Quantile("o_totalprice", q=0.5, alias_name="med_price"),
+        Quantile("o_totalprice", q=0.9, alias_name="p90_price"),
+    )
+    return pa.table({k: [v] for k, v in sorted(row.items())})
+
+
+SQL_QUANTILES = """
+SELECT quantile_cont(o_totalprice, 0.5) AS med_price,
+       quantile_cont(o_totalprice, 0.9) AS p90_price
+FROM orders
+"""
+
+
 def q_approx_count_distinct(sf_dir: str):
     """HyperLogLog approximate COUNT DISTINCT (mergeable sketch —
     rows-only: the estimate is approximate by design; accuracy is
@@ -806,6 +826,7 @@ RELATIONAL_QUERIES = {
     "range_join": (q_range_join, _sql_range_join()),
     "box_union": (q_box_union, _sql_box_union()),
     "stddev": (q_stddev, SQL_STDDEV),
+    "quantiles": (q_quantiles, SQL_QUANTILES),
     "approx_count_distinct": (q_approx_count_distinct, None),
     "reservoir_sample": (q_reservoir_sample, None),
     "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),

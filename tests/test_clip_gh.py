@@ -171,3 +171,16 @@ class TestUnionDifference:
             area_b = abs(gh._area(b))
             assert ua == pytest.approx(area_a + area_b - ia, abs=1e-6)
             assert da == pytest.approx(area_a - ia, abs=1e-6)
+
+
+def test_symdifference():
+    a = box(0, 0, 10, 10)
+    b = box(5, 5, 15, 15)
+    # A⊕B = A + B − 2·I = 100 + 100 − 50 = 150
+    assert gh.symdifference_area(a, b) == pytest.approx(150.0)
+    # disjoint: sum of areas
+    assert gh.symdifference_area(box(0, 0, 2, 2), box(5, 5, 6, 6)) == pytest.approx(5.0)
+    # identical-ish (offset to avoid degenerate touching): tiny ring area
+    assert gh.symdifference_area(a, box(0.001, 0.001, 10.001, 10.001)) == pytest.approx(
+        2 * (100.0 - 9.999 * 9.999), rel=1e-6
+    )
