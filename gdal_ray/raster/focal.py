@@ -176,12 +176,13 @@ def halo_exchange(tiles_ds, halo: int = 1, tile_size: int | None = None):
     w+2·halo) array per tile (missing neighbors edge-replicate).
     Output rows add ``halo`` and keep the original tile geometry.
 
-    halo == 1 only for now (3×3 stencils — slope/aspect/hillshade/
-    tpi/tri/roughness/neighbors): the corner replicate-fill for absent
-    diagonal neighbors is scalar, exact only at halo 1.
+    Any halo ≥ 1 (3×3 stencils need 1; NxN convolution needs N//2) —
+    corner blocks with no diagonal neighbor replicate directionally
+    from whichever side strip exists (matching ``np.pad(..., 'edge')``
+    of the full raster at its true borders).
     """
-    if halo != 1:
-        raise NotImplementedError("halo_exchange supports halo=1 (3x3 stencils)")
+    if halo < 1:
+        raise ValueError("halo must be >= 1")
 
     def contribute(batch: pa.Table) -> pa.Table:
         rows = []
@@ -288,12 +289,18 @@ def halo_exchange(tiles_ds, halo: int = 1, tile_size: int | None = None):
         for key_, ys, xs, side_v, side_h in corner_specs:
             if key_ in got:
                 continue
-            # replicate from the nearest filled cell: prefer the
-            # vertical side strip (real data) else the horizontal, else
-            # the tile corner itself
-            y_src = ys.start if side_v else (halo if ys.start == 0 else halo + ch - 1)
-            x_src = xs.start if side_h else (halo if xs.start == 0 else halo + cw - 1)
-            pad[ys, xs] = pad[y_src, x_src]
+            # directional replication (np.pad 'edge' semantics at true
+            # raster borders): a top strip present → extend it leftward/
+            # rightward column-wise; a side strip present → extend it
+            # up/down row-wise; neither → constant corner pixel
+            y_edge = halo if ys.start == 0 else halo + ch - 1
+            x_edge = halo if xs.start == 0 else halo + cw - 1
+            if side_v:  # vertical (top/bottom) strip has real data
+                pad[ys, xs] = pad[ys, x_edge : x_edge + 1]
+            elif side_h:  # horizontal (left/right) strip has real data
+                pad[ys, xs] = pad[y_edge : y_edge + 1, xs]
+            else:
+                pad[ys, xs] = pad[y_edge, x_edge]
         out = dict(c)
         out.pop("tgt_bx")
         out.pop("tgt_by")

@@ -98,3 +98,30 @@ class TestHaloExchange:
         whole = focal.slope(arr)
         # interior must match EXACTLY (halo provides real neighbor data)
         np.testing.assert_allclose(assembled, whole, rtol=1e-12)
+
+
+def test_halo2_convolution_matches_single_array(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(33)
+    arr = rng.uniform(0, 100, (48, 48))
+    gt = (0.0, 1.0, 0.0, 48.0, 0.0, -1.0)
+    t = model.from_array(arr, "EPSG:3857", gt, tile_size=16)
+    rows = []
+    for r in t.to_pylist():
+        a = model.tile_array(r).astype(np.float64)
+        r["dtype"] = "float64"
+        r["data"] = a.tobytes()
+        rows.append(r)
+    ds = rd.from_arrow(pa.Table.from_pylist(rows))
+    k5 = np.ones((5, 5)) / 25.0
+    out = focal.focal_tiles(ds, focal.convolve, halo=2, kernel=k5).to_pandas()
+    assembled = np.zeros((48, 48))
+    for _, r in out.iterrows():
+        a = np.frombuffer(r["data"], dtype=np.float64).reshape(
+            r["height"], r["width"]
+        )
+        assembled[r["y0"] : r["y0"] + 16, r["x0"] : r["x0"] + 16] = a
+    whole = focal.convolve(arr, k5)
+    np.testing.assert_allclose(assembled, whole, rtol=1e-12)
