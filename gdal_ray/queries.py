@@ -431,6 +431,48 @@ def _ref_points_sql_with_value(n: int = 500) -> str:
     return f"(VALUES {rows}) AS refv(point_id, value)"
 
 
+def q_dem_slope(sf_dir: str):
+    """gdaldem slope (Horn's method) over an analytic 64×64 DEM
+    ``z = 20·sin(i/5) + 15·cos(j/7)``; the oracle evaluates the same
+    stencil in SQL from the closed-form surface (index-clamped edges =
+    our edge replication). sf_dir unused (analytic fixture)."""
+    import ray.data as rd
+
+    from gdal_ray.raster import focal
+
+    i, j = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
+    dem = 20.0 * np.sin(i / 5.0) + 15.0 * np.cos(j / 7.0)
+    s = focal.slope(dem, ewres=1.0, nsres=1.0)
+    return pa.table(
+        {
+            "pixel_id": pa.array((i * 64 + j).ravel().astype(np.int64)),
+            "slope_deg": pa.array(s.ravel()),
+        }
+    )
+
+
+def _sql_dem_slope() -> str:
+    # z(i,j) with clamped indices (edge replication); Horn stencil:
+    # dzdx over j (columns), dzdy over i (rows)
+    z = ("(20.0*sin(LEAST(GREATEST({i},0),63)/5.0)"
+         " + 15.0*cos(LEAST(GREATEST({j},0),63)/7.0))")
+
+    def zz(di, dj):
+        return z.format(i=f"(i+({di}))", j=f"(j+({dj}))")
+
+    dzdx = (f"((({zz(-1,1)} + 2*{zz(0,1)} + {zz(1,1)})"
+            f" - ({zz(-1,-1)} + 2*{zz(0,-1)} + {zz(1,-1)})) / 8.0)")
+    dzdy = (f"((({zz(1,-1)} + 2*{zz(1,0)} + {zz(1,1)})"
+            f" - ({zz(-1,-1)} + 2*{zz(-1,0)} + {zz(-1,1)})) / 8.0)")
+    return f"""
+WITH ii(i) AS (SELECT unnest(generate_series(0, 63))),
+jj(j) AS (SELECT unnest(generate_series(0, 63)))
+SELECT i * 64 + j AS pixel_id,
+       degrees(atan(sqrt({dzdx}*{dzdx} + {dzdy}*{dzdy}))) AS slope_deg
+FROM ii CROSS JOIN jj
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -444,6 +486,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "buffer_area": q_buffer_area,
     "polygonize_counts": q_polygonize_counts,
     "grid_idw": q_grid_idw,
+    "dem_slope": q_dem_slope,
 }
 
 ORACLE: dict[str, str] = {
@@ -458,6 +501,7 @@ ORACLE: dict[str, str] = {
     "buffer_area": _sql_buffer_area(),
     "polygonize_counts": _sql_polygonize_counts(),
     "grid_idw": _sql_grid_idw(),
+    "dem_slope": _sql_dem_slope(),
 }
 
 # relational/text operator suite (separate module to keep this one
