@@ -286,6 +286,97 @@ def tile_labels_and_borders(batch: pa.Table, connectivity: int = 4) -> pa.Table:
     return pa.Table.from_pylist(rows)
 
 
+def dissolve_components(tiles_table: pa.Table, parts_df, tile_size: int,
+                        gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+                        connectivity: int = 4) -> pa.Table:
+    """Cross-tile GEOMETRY dissolve: for each global component,
+    assemble ONLY its tiles' masks into a bbox-bounded canvas and
+    trace exact outlines there — memory is O(component bbox), never
+    O(raster). Completes the distributed polygonize (the per-tile
+    labels + border merge give counts; this gives the polygons)."""
+    rows_by_block = {
+        (r["block_x"], r["block_y"]): r for r in tiles_table.to_pylist()
+    }
+    comp = parts_df[parts_df["kind"] == "component"]
+    out_rows = []
+    from collections import defaultdict
+
+    # global_label -> member label_keys
+    members = defaultdict(list)
+    roots = _global_roots(parts_df)
+    for lk in comp["label_key"]:
+        members[roots[lk]].append(lk)
+    for glabel, keys in members.items():
+        blocks = sorted({tuple(map(int, k.rsplit("_", 1)[0].split("_")))
+                         for k in keys})
+        bxs = [b[0] for b in blocks]
+        bys = [b[1] for b in blocks]
+        bx0, by0 = min(bxs), min(bys)
+        W = (max(bxs) - bx0 + 1) * tile_size
+        H = (max(bys) - by0 + 1) * tile_size
+        canvas = np.zeros((H, W), dtype=bool)
+        value = None
+        for bx, by in blocks:
+            row = rows_by_block[(bx, by)]
+            arr = model.tile_array(row)
+            labels = label_array(arr, connectivity)
+            local = [int(k.rsplit("_", 1)[1]) for k in keys
+                     if k.rsplit("_", 1)[0] == f"{bx}_{by}"]
+            m = np.isin(labels, local)
+            if value is None and m.any():
+                value = float(arr[m][0])
+            oy = (by - by0) * tile_size
+            ox = (bx - bx0) * tile_size
+            canvas[oy : oy + arr.shape[0], ox : ox + arr.shape[1]] = m
+        rings = trace_rings(canvas)
+        areas = [abs(_ring_area(r)) for r in rings]
+        ext = int(np.argmax(areas))
+        ordered = [rings[ext]] + [r for i, r in enumerate(rings) if i != ext]
+        world = []
+        # shift canvas pixel coords to global pixel coords, then world
+        for r in ordered:
+            gx = r[:, 0] + bx0 * tile_size
+            gy = r[:, 1] + by0 * tile_size
+            wx, wy = model.pixel_to_world(gt, gx, gy)
+            world.append(np.column_stack([wx, wy]))
+        out_rows.append(
+            {
+                "global_label": glabel,
+                "value": value,
+                "pixel_count": int(canvas.sum()),
+                "geometry": gwkb.polygon_wkb(world[0], world[1:]),
+            }
+        )
+    return pa.Table.from_pylist(out_rows)
+
+
+def _global_roots(parts_df) -> dict:
+    """label_key → global root (same union-find as
+    merge_tile_components, factored for reuse)."""
+    import pandas as pd
+
+    comp = parts_df[parts_df["kind"] == "component"]
+    bor = parts_df[parts_df["kind"] == "border"]
+    pairs = []
+    right = bor[bor["side"] == "right"]
+    left = bor[bor["side"] == "left"]
+    m = right.merge(left, on=["block_y", "offset", "value"], suffixes=("_a", "_b"))
+    m = m[m["block_x_a"] + 1 == m["block_x_b"]]
+    pairs.append(m[["label_key_a", "label_key_b"]])
+    bottom = bor[bor["side"] == "bottom"]
+    top = bor[bor["side"] == "top"]
+    m2 = bottom.merge(top, on=["block_x", "offset", "value"], suffixes=("_a", "_b"))
+    m2 = m2[m2["block_y_a"] + 1 == m2["block_y_b"]]
+    pairs.append(m2[["label_key_a", "label_key_b"]])
+    eq = pd.concat(pairs, ignore_index=True)
+    keys = pd.Index(comp["label_key"].unique())
+    idx = {k: i for i, k in enumerate(keys)}
+    uf = _UF(len(keys))
+    for a, b in zip(eq["label_key_a"], eq["label_key_b"]):
+        uf.union(idx[a], idx[b])
+    return {k: keys[uf.find(i)] for k, i in idx.items()}
+
+
 def merge_tile_components(parts_df) -> "object":
     """Driver-side small-data merge: join opposite borders of adjacent
     tiles on (position, equal value) → label equivalences → union-find

@@ -129,3 +129,39 @@ class TestDistributed:
         got = sorted(zip(merged["value"], merged["pixel_count"]))
         exp = sorted(zip(glob["value"], glob["pixel_count"]))
         assert got == exp
+
+
+class TestDistributedGeometry:
+    def test_dissolve_matches_single_array_polygons(self, ray_session):
+        import ray.data as rd
+
+        arr = np.zeros((64, 64), np.int32)
+        arr[10:40, 20:50] = 1   # spans several 16px tiles
+        arr[30:60, 5:15] = 2
+        arr[45:50, 40:45] = 3   # single-tile island
+        gt = (0.0, 1.0, 0.0, 64.0, 0.0, -1.0)
+        tiles_t = model.from_array(arr.astype(np.uint8), "EPSG:3857",
+                                   gt, tile_size=16)
+        parts = rd.from_arrow(tiles_t).map_batches(
+            polygonize.tile_labels_and_borders, batch_format="pyarrow"
+        ).to_pandas()
+        dissolved = polygonize.dissolve_components(
+            tiles_t, parts, 16, gt
+        ).to_pandas()
+        single = polygonize.polygonize_array(arr, gt).to_pandas()
+
+        got = sorted(zip(dissolved["value"], dissolved["pixel_count"]))
+        exp = sorted(zip(single["value"], single["pixel_count"]))
+        assert got == exp
+        # geometry parity: same ring counts and areas per value
+        from gdal_ray.geom import ops as gops
+
+        for val in (0.0, 1.0, 2.0, 3.0):
+            gd = dissolved[dissolved["value"] == val].iloc[0]["geometry"]
+            gs = single[single["value"] == val].iloc[0]["geometry"]
+            rd_ = gwkb.polygon_rings(gd)
+            rs_ = gwkb.polygon_rings(gs)
+            assert len(rd_) == len(rs_)
+            a_d = sorted(round(abs(gops.ring_area(r)), 6) for r in rd_)
+            a_s = sorted(round(abs(gops.ring_area(r)), 6) for r in rs_)
+            assert a_d == a_s
