@@ -572,6 +572,38 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 """
 
 
+# --- grouped top-k (window-function rank analogue) ----------------------
+
+
+def q_topk_per_user(sf_dir: str):
+    """Top-3 events per user by value (the ROW_NUMBER() OVER
+    (PARTITION BY …) surface as groupby().map_groups)."""
+    import numpy as np
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
+
+    def topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
+        g = g.assign(rank=np.arange(1, len(g) + 1))
+        return g[["user_id", "rank", "event_id", "value"]]
+
+    return ds.groupby("user_id", num_partitions=4).map_groups(
+        topk, batch_format="pandas"
+    )
+
+
+SQL_TOPK_PER_USER = """
+WITH rk AS (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events
+)
+SELECT user_id, rank, event_id, value FROM rk WHERE rank <= 3
+"""
+
+
 # --- layer algebra union areas (Greiner-Hormann through the engine) ----
 
 
@@ -825,6 +857,7 @@ RELATIONAL_QUERIES = {
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),
     "box_union": (q_box_union, _sql_box_union()),
+    "topk_per_user": (q_topk_per_user, SQL_TOPK_PER_USER),
     "stddev": (q_stddev, SQL_STDDEV),
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "approx_count_distinct": (q_approx_count_distinct, None),

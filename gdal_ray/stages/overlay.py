@@ -126,3 +126,119 @@ def convex_overlay(ds, method_table: pa.Table, mode: str = "intersection",
         concurrency=concurrency,
         fn_constructor_kwargs={"method_table": ref, "mode": mode, **kw},
     )
+
+
+def cell_partitioned_overlay(
+    left_ds,
+    right_ds,
+    left_id: str = "left_id",
+    right_id: str = "right_id",
+    zoom: int = 6,
+    num_partitions: int = 8,
+):
+    """Polygon×polygon Intersection when BOTH sides are large
+    (the full layer-algebra scale path, SURVEY.md §7.3): each polygon
+    replicates to the tiles its envelope covers; per tile, pairwise
+    envelope pretest → Greiner-Hormann intersection.
+
+    A pair whose envelopes span several common tiles would compute the
+    same intersection in each — the pair is assigned to ONE owner tile
+    (the min common tile of the two envelope covers) so every pair is
+    evaluated exactly once and no dedupe shuffle is needed.
+
+    → rows (left_id, right_id, overlay_area, geometry of the largest
+    piece).
+    """
+    import numpy as np
+
+    from gdal_ray import tiles as tl
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.geom.clip import polygon_intersection
+
+    def cover(batch: pa.Table, side: int, idcol: str) -> pa.Table:
+        rows = []
+        for row in batch.to_pylist():
+            minx, miny, maxx, maxy = gwkb.bounds(row["geometry"])
+            ta, tb = tl.lonlat_to_tile(minx, miny, zoom)
+            tc, td = tl.lonlat_to_tile(maxx, maxy, zoom)
+            tx0, tx1 = int(min(ta, tc)), int(max(ta, tc))
+            ty0, ty1 = int(min(tb, td)), int(max(tb, td))
+            for tx in range(tx0, tx1 + 1):
+                for ty in range(ty0, ty1 + 1):
+                    rows.append(
+                        {
+                            "cell": int(tl.tile_id(zoom, tx, ty)),
+                            "side": side,
+                            "pid": row[idcol],
+                            "geometry": row["geometry"],
+                            "tx0": tx0, "tx1": tx1, "ty0": ty0, "ty1": ty1,
+                            "minx": minx, "miny": miny,
+                            "maxx": maxx, "maxy": maxy,
+                        }
+                    )
+        return pa.Table.from_pylist(rows)
+
+    lt = left_ds.map_batches(
+        lambda b: cover(b, 0, left_id), batch_format="pyarrow"
+    )
+    rt = right_ds.map_batches(
+        lambda b: cover(b, 1, right_id), batch_format="pyarrow"
+    )
+    both = lt.union(rt)
+
+    def probe(group: pa.Table) -> pa.Table:
+        df = group.to_pylist()
+        cell = df[0]["cell"]
+        L = [r for r in df if r["side"] == 0]
+        R = [r for r in df if r["side"] == 1]
+        out = []
+        for a in L:
+            ra = None
+            for b in R:
+                # envelope pretest
+                if (a["maxx"] < b["minx"] or a["minx"] > b["maxx"]
+                        or a["maxy"] < b["miny"] or a["miny"] > b["maxy"]):
+                    continue
+                # owner-tile rule: the common cover is the rectangle
+                # [max(tx0), min(tx1)] × [max(ty0), min(ty1)] (non-
+                # empty since the envelopes overlap); evaluate the
+                # pair only in its min corner tile → exactly once
+                otx = max(a["tx0"], b["tx0"])
+                oty = max(a["ty0"], b["ty0"])
+                owner = int(tl.tile_id(zoom, otx, oty))
+                if owner != cell:
+                    continue
+                if ra is None:
+                    ra = gwkb.polygon_rings(a["geometry"])[0]
+                rb = gwkb.polygon_rings(b["geometry"])[0]
+                pieces = polygon_intersection(ra, rb)
+                if not pieces:
+                    continue
+                from gdal_ray.geom import ops as gops
+
+                area = sum(abs(gops.ring_area(p)) for p in pieces)
+                if area == 0.0:
+                    continue
+                biggest = max(pieces, key=lambda p: abs(gops.ring_area(p)))
+                out.append(
+                    {
+                        left_id: a["pid"],
+                        right_id: b["pid"],
+                        "overlay_area": area,
+                        "geometry": gwkb.polygon_wkb(biggest),
+                    }
+                )
+        if not out:
+            return pa.table(
+                {
+                    left_id: pa.array([], pa.int64()),
+                    right_id: pa.array([], pa.int64()),
+                    "overlay_area": pa.array([], pa.float64()),
+                    "geometry": pa.array([], pa.binary()),
+                }
+            )
+        return pa.Table.from_pylist(out)
+
+    return both.groupby("cell", num_partitions=num_partitions).map_groups(
+        probe, batch_format="pyarrow"
+    )

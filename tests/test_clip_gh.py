@@ -184,3 +184,47 @@ def test_symdifference():
     assert gh.symdifference_area(a, box(0.001, 0.001, 10.001, 10.001)) == pytest.approx(
         2 * (100.0 - 9.999 * 9.999), rel=1e-6
     )
+
+
+def test_cell_partitioned_overlay_matches_direct(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.stages.overlay import cell_partitioned_overlay
+
+    rng = np.random.default_rng(37)
+    def mk(n, seed_off):
+        r = np.random.default_rng(seed_off)
+        rows = []
+        for i in range(n):
+            x0 = r.uniform(-60, 40)
+            y0 = r.uniform(-40, 30)
+            w, h = r.uniform(3, 25, 2)
+            rows.append({"pid": i, "geometry": gwkb.box_polygon_wkb(
+                x0, y0, x0 + w, y0 + h)})
+        return pa.Table.from_pylist(rows)
+
+    A = mk(30, 1).rename_columns(["a_id", "geometry"])
+    B = mk(25, 2).rename_columns(["b_id", "geometry"])
+    out = cell_partitioned_overlay(
+        rd.from_arrow(A), rd.from_arrow(B), left_id="a_id", right_id="b_id",
+        zoom=4, num_partitions=4,
+    ).to_pandas()
+    # direct oracle: closed-form box intersection per pair
+    import itertools
+
+    expected = {}
+    for ra, rb in itertools.product(A.to_pylist(), B.to_pylist()):
+        ba = gwkb.bounds(ra["geometry"])
+        bb = gwkb.bounds(rb["geometry"])
+        ix = min(ba[2], bb[2]) - max(ba[0], bb[0])
+        iy = min(ba[3], bb[3]) - max(ba[1], bb[1])
+        if ix > 0 and iy > 0:
+            expected[(ra["a_id"], rb["b_id"])] = ix * iy
+    got = {(r["a_id"], r["b_id"]): r["overlay_area"]
+           for _, r in out.iterrows()}
+    assert set(got) == set(expected)       # each pair exactly once
+    assert len(got) == len(out)            # no duplicate rows
+    for k, v in expected.items():
+        assert got[k] == pytest.approx(v, rel=1e-9)
