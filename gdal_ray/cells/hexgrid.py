@@ -148,6 +148,35 @@ def neighbors(cell):
     return np.stack(out, axis=-1)
 
 
+def polyfill(ring_lonlat: np.ndarray, res: int) -> np.ndarray:
+    """Hex cells whose CENTER lies inside the polygon — the
+    h3.polygon_to_cells analogue (center-containment mode), the
+    replicate-polygon-to-cells primitive of the PIP shuffle fallback
+    (SURVEY.md §7.4).
+
+    Candidates come from the polygon bbox in mercator axial space;
+    the exact test is the engine's even-odd PIP."""
+    from gdal_ray.geom.predicates import PolygonEdges
+
+    ring = np.asarray(ring_lonlat, dtype=np.float64)
+    mx, my = tiles.lonlat_to_meters(ring[:, 0], ring[:, 1])
+    mring = np.column_stack([mx, my])
+    size, c, s = _res_params(res)
+    # candidate axial range from the rotated bbox (pad by one hex)
+    x = c * mx + s * my
+    y = -s * mx + c * my
+    qf = (SQRT3 / 3.0 * x - y / 3.0) / size
+    rf = (2.0 / 3.0 * y) / size
+    q0, q1 = int(np.floor(qf.min())) - 1, int(np.ceil(qf.max())) + 1
+    r0, r1 = int(np.floor(rf.min())) - 1, int(np.ceil(rf.max())) + 1
+    qq, rr = np.meshgrid(np.arange(q0, q1 + 1), np.arange(r0, r1 + 1))
+    cand = pack(res, qq.ravel(), rr.ravel())
+    cx, cy = cell_to_xy(cand)
+    edges = PolygonEdges([mring])
+    inside = edges.contains_points(cx, cy)
+    return np.unique(cand[inside])
+
+
 def cell_boundary_xy(cell):
     """Hexagon vertices (6×2 per cell, mercator meters) — tests/viz."""
     res, q, r = unpack(cell)

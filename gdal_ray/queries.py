@@ -473,6 +473,57 @@ FROM ii CROSS JOIN jj
 """
 
 
+def q_zonal_stats(sf_dir: str):
+    """Zonal mean/min/max of an analytic value raster (128², z =
+    i + 2j) over the admin boxes (RASTER_SEQUENTIAL strategy);
+    oracle re-derives every pixel's zone (last-burn-wins MAX) and
+    aggregates in SQL. sf_dir unused (analytic fixture)."""
+    from gdal_ray import fixtures
+    from gdal_ray.raster import model, rasterize, zonal
+
+    N = 128
+    i, j = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    vals = (i + 2.0 * j).astype(np.float64)
+    _, gt = model.make_grid((-80.0, -60.0, 80.0, 60.0), N, N, "EPSG:4326")
+    shapes = [
+        (row["geometry"], float(row["admin_id"]))
+        for row in fixtures.gen_boundaries().to_pylist()
+    ]
+    zones = rasterize.rasterize_array(
+        shapes, N, N, gt, dtype="float64", init=-1.0
+    ).astype(np.int64)
+    t = zonal.combine_zonal(zonal.zonal_partials(vals, zones, 100))
+    out = t.to_pandas()[["zone", "n", "min", "max", "mean"]]
+    out = out.rename(columns={"zone": "admin_id", "n": "n_pixels"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _sql_zonal_stats() -> str:
+    # 128² grid over [-80,80]×[-60,60]: resx = 160/128 = 1.25 (exact),
+    # resy = 120/128 = 0.9375 (exact binary)
+    return f"""
+WITH ii(i) AS (SELECT unnest(generate_series(0, 127))),
+jj(j) AS (SELECT unnest(generate_series(0, 127))),
+px AS (
+  SELECT i, j,
+         CAST(-80.0 AS DOUBLE) + (j + CAST(0.5 AS DOUBLE)) * 1.25 AS cx,
+         CAST(60.0 AS DOUBLE) - (i + CAST(0.5 AS DOUBLE)) * 0.9375 AS cy,
+         CAST(i AS DOUBLE) + 2.0 * CAST(j AS DOUBLE) AS val
+  FROM ii CROSS JOIN jj
+),
+z AS (
+  SELECT px.i, px.j, px.val, MAX(bnd.admin_id) AS admin_id
+  FROM px JOIN {_boundaries_sql()}
+    ON px.cx >= bnd.minx AND px.cx <= bnd.maxx
+   AND px.cy >= bnd.miny AND px.cy <= bnd.maxy
+  GROUP BY px.i, px.j, px.val
+)
+SELECT admin_id, COUNT(*) AS n_pixels, MIN(val) AS min, MAX(val) AS max,
+       AVG(val) AS mean
+FROM z GROUP BY admin_id
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -487,6 +538,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "polygonize_counts": q_polygonize_counts,
     "grid_idw": q_grid_idw,
     "dem_slope": q_dem_slope,
+    "zonal_stats": q_zonal_stats,
 }
 
 ORACLE: dict[str, str] = {
@@ -502,6 +554,7 @@ ORACLE: dict[str, str] = {
     "polygonize_counts": _sql_polygonize_counts(),
     "grid_idw": _sql_grid_idw(),
     "dem_slope": _sql_dem_slope(),
+    "zonal_stats": _sql_zonal_stats(),
 }
 
 # relational/text operator suite (separate module to keep this one

@@ -133,3 +133,35 @@ class TestHexGrid:
         # res-7 circumradius ~ km scale (H3 res 7 edge ≈ 1.2 km)
         size = hexgrid.R0 / (7.0 ** 3.5)
         assert 4000 < size < 7000  # mercator meters at equator ≈ true meters
+
+
+class TestCovering:
+    def test_s2_cover_bbox_contains_all_points(self):
+        cover = s2.cover_bbox(10.0, 40.0, 18.0, 47.0, level=8)
+        assert len(cover) > 1
+        rng = np.random.default_rng(41)
+        lon = rng.uniform(10.0, 18.0, 2000)
+        lat = rng.uniform(40.0, 47.0, 2000)
+        cells = s2.lonlat_to_cell(lon, lat, 8)
+        assert np.isin(cells, cover).all()
+
+    def test_hex_polyfill_matches_center_containment(self):
+        ring = np.array(
+            [[0.0, 0.0], [20.0, 0.0], [20.0, 15.0], [0.0, 15.0], [0.0, 0.0]]
+        )
+        cells = hexgrid.polyfill(ring, res=5)
+        assert len(cells) > 5
+        # every returned cell's center is inside the box
+        lon, lat = hexgrid.cell_to_lonlat(cells)
+        assert ((lon >= -0.01) & (lon <= 20.01)).all()
+        assert ((lat >= -0.01) & (lat <= 15.01)).all()
+        # completeness: any random interior point's cell is in the set
+        rng = np.random.default_rng(43)
+        plon = rng.uniform(1.0, 19.0, 500)
+        plat = rng.uniform(1.0, 14.0, 500)
+        pc_ = hexgrid.lonlat_to_cell(plon, plat, 5)
+        clon, clat = hexgrid.cell_to_lonlat(pc_)
+        inside_center = (
+            (clon >= 0) & (clon <= 20) & (clat >= 0) & (clat <= 15)
+        )
+        assert np.isin(pc_[inside_center], cells).all()
