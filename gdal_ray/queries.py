@@ -324,7 +324,6 @@ def q_polygonize_counts(sf_dir: str):
     exact outlines) → pixels per admin value. Oracle: DuckDB
     re-derives each pixel center's max-covering box and counts —
     independent of the CCL implementation entirely."""
-    import pandas as pd
 
     from gdal_ray.pipelines import rasterpipe
     from gdal_ray.raster import polygonize

@@ -191,7 +191,6 @@ def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int = 2)
     rows. Each round: label[x] = min(label of all neighbors ∪ self);
     converges in O(diameter) groupby rounds (guide pattern —
     driver-side union-find avoided)."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
     # edges both directions + self loops

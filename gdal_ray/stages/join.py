@@ -180,8 +180,6 @@ def cell_partitioned_pip(
     both = ptiles.union(pts)
 
     def probe(group: pa.Table) -> pa.Table:
-        import pandas as pd
-
         df = group.to_pandas()
         polys = df[df["side"] == 1]
         ptsg = df[df["side"] == 0]
