@@ -194,6 +194,57 @@ def _area(ring: np.ndarray) -> float:
     return 0.5 * float(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
 
 
+def _interior_point(ring: np.ndarray, all_ys: np.ndarray) -> np.ndarray:
+    """A point strictly inside a simple ring: midpoint of the first
+    horizontal-chord crossing pair. The chord height is the midpoint of
+    two ADJACENT values in the combined vertex-y set of every result
+    ring, so it avoids all rings' horizontal edges (a chord at a vertex
+    height of another ring breaks the subsequent containment test)."""
+    ymin = ring[:, 1].min()
+    above = all_ys[all_ys > ymin + 1e-300]
+    ystar = 0.5 * (ymin + above[0]) if len(above) else ymin
+    p = ring[:-1]
+    q = np.roll(p, -1, axis=0)
+    xs = []
+    for (x1, y1), (x2, y2) in zip(p, q):
+        if (y1 <= ystar) != (y2 <= ystar):
+            t = (ystar - y1) / (y2 - y1)
+            xs.append(x1 + t * (x2 - x1))
+    xs.sort()
+    if len(xs) < 2:
+        return np.array([ring[:, 0].mean(), ystar])
+    return np.array([0.5 * (xs[0] + xs[1]), ystar])
+
+
+def _orient_nested(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """Orient result rings by containment depth: depth-even rings are
+    shells (CCW, positive area), depth-odd rings are holes (CW) — the
+    traversal's own orientation is direction-of-walk dependent and NOT
+    reliable (a union of interlocking concave polygons emits its hole
+    ring in either direction). Signed-area sums are then correct."""
+    if len(rings) <= 1:
+        return [r if _area(r) > 0 else r[::-1] for r in rings]
+    all_ys = np.unique(np.concatenate([r[:, 1] for r in rings]))
+    pts = [_interior_point(r, all_ys) for r in rings]
+    out = []
+    for i, r in enumerate(rings):
+        depth = 0
+        for j, other in enumerate(rings):
+            if i == j:
+                continue
+            e = PolygonEdges([other])
+            if e.contains_points(
+                np.array([pts[i][0]]), np.array([pts[i][1]])
+            )[0]:
+                depth += 1
+        want_ccw = depth % 2 == 0
+        a = _area(r)
+        if (a > 0) != want_ccw:
+            r = r[::-1]
+        out.append(r)
+    return out
+
+
 def _ensure_ccw(coords: np.ndarray) -> np.ndarray:
     c = np.asarray(coords, dtype=np.float64)
     if (c[0] != c[-1]).any():
@@ -283,10 +334,7 @@ def _overlay(subject, clip, invert_s: bool, invert_c: bool, mode: str,
             if v.inter:
                 v.entry = not v.entry
     rings = _collect(headP, True, True)
-    # traversal orientation depends on walk direction: normalize CCW
-    # (crossing-case results of simple inputs have no holes; the hole
-    # case only arises on the no-intersection containment paths above)
-    return [r if _area(r) > 0 else r[::-1] for r in rings]
+    return _orient_nested(rings)
 
 
 def polygon_union(subject, clip) -> list[np.ndarray]:
@@ -305,10 +353,9 @@ def polygon_difference(subject, clip) -> list[np.ndarray]:
 
 
 def union_area(subject, clip) -> float:
-    rings = polygon_union(subject, clip)
-    return sum(_area(r) for r in rings) if len(rings) > 1 else sum(
-        abs(_area(r)) for r in rings
-    )
+    # rings are containment-oriented (shells CCW, holes CW): the signed
+    # sum IS the union area, including the interlocking-concave hole case
+    return sum(_area(r) for r in polygon_union(subject, clip))
 
 
 def difference_area(subject, clip) -> float:

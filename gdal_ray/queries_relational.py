@@ -49,27 +49,65 @@ def q_lineitem_agg(sf_dir: str):
     )
 
     def prep(t: pa.Table) -> pa.Table:
+        """Exact integer arithmetic: prices/discounts are 2-dp money, so
+        sums of scaled int64 are order-independent and bit-identical to
+        the oracle's — float sums are not (6.6e-7 drift at 1e8 scale)."""
         import datetime
 
         cutoff = pa.scalar(datetime.datetime(1998, 9, 1), pa.timestamp("us"))
         t = t.filter(pc.less(t["l_shipdate"], cutoff))
-        rev = pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"]))
-        return t.append_column("revenue", rev)
+        qty_i = pc.round(t["l_quantity"]).cast(pa.int64())
+        price_c = pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())
+        disc_c = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())
+        rev_e4 = pc.multiply(price_c, pc.subtract(pa.scalar(100, pa.int64()), disc_c))
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty_i": qty_i,
+                "rev_e4": rev_e4,
+                "disc_c": disc_c,
+            }
+        )
 
     ds = ds.map_batches(prep, batch_format="pyarrow")
-    return ds.groupby(["l_returnflag", "l_linestatus"], num_partitions=4).aggregate(
-        Sum("l_quantity", alias_name="sum_qty"),
-        Sum("revenue", alias_name="sum_revenue"),
-        Mean("l_discount", alias_name="avg_disc"),
+    agg = ds.groupby(["l_returnflag", "l_linestatus"], num_partitions=4).aggregate(
+        Sum("qty_i", alias_name="qty_sum"),
+        Sum("rev_e4", alias_name="rev_sum"),
+        Sum("disc_c", alias_name="disc_sum"),
         Count(alias_name="n_rows"),
     )
+
+    def finish(t: pa.Table) -> pa.Table:
+        # mirror the oracle's expression order exactly: int → /const → /n
+        qty = t["qty_sum"].cast(pa.float64())
+        rev = pc.divide(t["rev_sum"].cast(pa.float64()), 10000.0)
+        disc = pc.divide(
+            pc.divide(t["disc_sum"].cast(pa.float64()), 100.0),
+            t["n_rows"].cast(pa.float64()),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "sum_qty": qty,
+                "sum_revenue": rev,
+                "avg_disc": disc,
+                "n_rows": t["n_rows"],
+            }
+        )
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 SQL_LINEITEM_AGG = """
 SELECT l_returnflag, l_linestatus,
-       SUM(l_quantity) AS sum_qty,
-       SUM(l_extendedprice * (1.0 - l_discount)) AS sum_revenue,
-       AVG(l_discount) AS avg_disc,
+       CAST(SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS DOUBLE)
+         / 10000.0 AS sum_revenue,
+       CAST(SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 / CAST(COUNT(*) AS DOUBLE) AS avg_disc,
        COUNT(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate < TIMESTAMP '1998-09-01'
@@ -81,20 +119,39 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def q_global_agg(sf_dir: str):
+    """Global aggregates with order-independent exactness: sum/avg over
+    2-dp money go through int64 cents (float sums drift with reduce
+    order); min/max are exact in any order."""
     ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-    row = ds.aggregate(
-        Sum("o_totalprice", alias_name="sum_price"),
+
+    def to_cents(t: pa.Table) -> pa.Table:
+        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
+        return t.append_column("cents", cents)
+
+    row = ds.map_batches(to_cents, batch_format="pyarrow").aggregate(
+        Sum("cents", alias_name="cents_sum"),
         Min("o_totalprice", alias_name="min_price"),
         Max("o_totalprice", alias_name="max_price"),
-        Mean("o_totalprice", alias_name="avg_price"),
         Count(alias_name="n_orders"),
     )
-    return pa.table({k: [v] for k, v in sorted(row.items())})
+    n = row["n_orders"]
+    vals = {
+        "sum_price": float(row["cents_sum"]) / 100.0,
+        "min_price": row["min_price"],
+        "max_price": row["max_price"],
+        "avg_price": float(row["cents_sum"]) / 100.0 / float(n),
+        "n_orders": n,
+    }
+    return pa.table({k: [v] for k, v in sorted(vals.items())})
 
 
 SQL_GLOBAL_AGG = """
-SELECT SUM(o_totalprice) AS sum_price, MIN(o_totalprice) AS min_price,
-       MAX(o_totalprice) AS max_price, AVG(o_totalprice) AS avg_price,
+SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_price,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price,
+       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         / CAST(COUNT(*) AS DOUBLE) AS avg_price,
        COUNT(*) AS n_orders
 FROM orders
 """
@@ -326,17 +383,21 @@ def q_events_sessions(sf_dir: str):
         g = g.sort_values(["ts", "event_id"])
         gap = g["ts"].diff() > pd.Timedelta(minutes=30)
         sid = gap.cumsum().astype("int64")
+        # 2-dp values summed as int64 cents: order-independent, matches
+        # the oracle bit-for-bit (float sums drift ~1e-14 with order)
+        cents = (g["value"] * 100).round().astype("int64")
         out = (
-            g.assign(session_idx=sid)
+            g.assign(session_idx=sid, value_c=cents)
             .groupby("session_idx")
             .agg(
                 user_id=("user_id", "first"),
                 n_events=("event_id", "count"),
-                sum_value=("value", "sum"),
+                cents_sum=("value_c", "sum"),
                 session_start=("ts", "min"),
             )
             .reset_index()
         )
+        out["sum_value"] = out["cents_sum"].astype("float64") / 100.0
         return out[["user_id", "session_idx", "n_events", "sum_value", "session_start"]]
 
     return ds.groupby("user_id", num_partitions=8).map_groups(sessionize, batch_format="pandas")
@@ -354,8 +415,10 @@ s AS (
                              ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM e
 )
-SELECT user_id, session_idx, COUNT(*) AS n_events,
-       SUM(value) AS sum_value, MIN(ts) AS session_start
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0
+         AS sum_value,
+       MIN(ts) AS session_start
 FROM s GROUP BY 1, 2
 """
 
@@ -615,7 +678,7 @@ def q_box_union(sf_dir: str):
     import ray.data as rd
 
     from gdal_ray.fixtures import boundary_boxes
-    from gdal_ray.geom.clip import union_area
+    from gdal_ray.geom.clip import _area, polygon_union
 
     strips = _QBOXES
 
@@ -624,6 +687,26 @@ def q_box_union(sf_dir: str):
         return np.array(
             [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], float
         )
+
+    def snapped_union_area(a, b, bb, q):
+        """Union area with result vertices snapped back to the input
+        coordinate grid: the G-H degenerate-retry path perturbs shared
+        edges by ~1e-7, which snapping undoes (true vertices of an
+        axis-aligned overlay always lie on input coordinate lines).
+        Both sides then ROUND(.,4) — deterministic bit-equal compare."""
+        xs = np.unique(np.array([bb[0], bb[2], q[0], q[2]]))
+        ys = np.unique(np.array([bb[1], bb[3], q[1], q[3]]))
+        tot = 0.0
+        for r in polygon_union(a, b):
+            r = r.copy()
+            ix = np.abs(r[:, 0][:, None] - xs[None, :]).argmin(1)
+            near = np.abs(r[:, 0] - xs[ix]) < 1e-6
+            r[:, 0] = np.where(near, xs[ix], r[:, 0])
+            iy = np.abs(r[:, 1][:, None] - ys[None, :]).argmin(1)
+            near = np.abs(r[:, 1] - ys[iy]) < 1e-6
+            r[:, 1] = np.where(near, ys[iy], r[:, 1])
+            tot += _area(r)
+        return round(tot, 4)
 
     def compute(batch: pa.Table) -> pa.Table:
         out_a, out_s, out_area = [], [], []
@@ -637,7 +720,9 @@ def q_box_union(sf_dir: str):
                     continue
                 out_a.append(row["admin_id"])
                 out_s.append(sid)
-                out_area.append(union_area(boxring(bb), boxring(q)))
+                out_area.append(
+                    snapped_union_area(boxring(bb), boxring(q), bb, q)
+                )
         return pa.table(
             {
                 "admin_id": pa.array(out_a, pa.int64()),
@@ -674,9 +759,9 @@ def _sql_box_union() -> str:
 WITH b(admin_id, minx, miny, maxx, maxy) AS (VALUES {brows}),
 q(strip_id, qminx, qminy, qmaxx, qmaxy) AS (VALUES {qrows})
 SELECT b.admin_id, q.strip_id,
-       (b.maxx-b.minx)*(b.maxy-b.miny) + (q.qmaxx-q.qminx)*(q.qmaxy-q.qminy)
+       ROUND((b.maxx-b.minx)*(b.maxy-b.miny) + (q.qmaxx-q.qminx)*(q.qmaxy-q.qminy)
        - (LEAST(b.maxx,q.qmaxx)-GREATEST(b.minx,q.qminx))
-         * (LEAST(b.maxy,q.qmaxy)-GREATEST(b.miny,q.qminy)) AS union_area
+         * (LEAST(b.maxy,q.qmaxy)-GREATEST(b.miny,q.qminy)), 4) AS union_area
 FROM b CROSS JOIN q
 WHERE LEAST(b.maxx,q.qmaxx) > GREATEST(b.minx,q.qminx)
   AND LEAST(b.maxy,q.qmaxy) > GREATEST(b.miny,q.qminy)

@@ -118,17 +118,40 @@ def asof_join(
     )
     both = lt.union(rt)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
+    # canonical output schema: every group block must agree (empty
+    # groups otherwise degrade int columns to float64 via pandas NaN)
+    lbase = left.schema().base_schema
+    rbase = right.schema().base_schema
+    fields = [lbase.field(c) for c in lbase.names]
+    for c in right_cols:
+        out_name = c + suffix if c in lcols else c
+        fields.append(pa.field(out_name, rbase.field(c).type))
+    target = pa.schema(fields)
+
+    def merge(g: pd.DataFrame) -> pa.Table:
+        import pyarrow.compute as pc
+
         lg = g[g["__side"] == 0].sort_values(ts, kind="mergesort")
         rg = g[g["__side"] == 1].sort_values(ts, kind="mergesort")
         lg = lg[[c for c in lg.columns if c in lcols]]
         rg = rg[[c for c in rg.columns if c in ([key, ts] + right_cols)]]
-        if len(lg) == 0:
-            return lg.iloc[0:0]
         out = pd.merge_asof(
             lg, rg, on=ts, by=key, direction="backward", suffixes=("", suffix)
         )
-        return out
+        out = out.reindex(columns=target.names)
+        # Arrow-native NULL (not float NaN) for unmatched right columns —
+        # pd.merge_asof emits NaN, which DuckDB/SQL semantics (and the
+        # driver's value hash) distinguish from NULL.
+        t = pa.Table.from_pandas(out, preserve_index=False)
+        cols = []
+        for f in target:
+            col = t[f.name]
+            if pa.types.is_floating(col.type):
+                col = pc.if_else(pc.is_nan(col), pa.scalar(None, col.type), col)
+            if col.type != f.type:
+                col = col.cast(f.type)
+            cols.append(col)
+        return pa.table(dict(zip(target.names, cols)))
 
     return both.groupby(key, num_partitions=num_partitions).map_groups(
         merge, batch_format="pandas"

@@ -228,3 +228,45 @@ def test_cell_partitioned_overlay_matches_direct(ray_session):
     assert len(got) == len(out)            # no duplicate rows
     for k, v in expected.items():
         assert got[k] == pytest.approx(v, rel=1e-9)
+
+
+def test_interlocking_concave_union_hole():
+    """Union of two interlocking U-shapes produces a hole ring — the
+    result must orient shells CCW and holes CW so signed-area sums are
+    the true union area (round-2 ADVICE regression: the hole ring was
+    being flipped positive, adding 36 instead of subtracting)."""
+    import numpy as np
+
+    from gdal_ray.geom.clip import _area, polygon_union, union_area
+
+    A = np.array(
+        [(0, 0), (10, 0), (10, 6), (8, 6), (8, 2), (2, 2), (2, 6), (0, 6),
+         (0, 0)], float)
+    B = np.array(
+        [(0, 10), (0, 4), (2, 4), (2, 8), (8, 8), (8, 4), (10, 4), (10, 10),
+         (0, 10)], float)
+    # truth: outer 10x10 square minus the 6x6 enclosed hole = 64
+    assert union_area(A, B) == pytest.approx(64.0, abs=1e-5)
+    rings = polygon_union(A, B)
+    areas = sorted(_area(r) for r in rings)
+    assert areas[0] == pytest.approx(-36.0, abs=1e-5)   # hole, CW
+    assert areas[-1] == pytest.approx(100.0, abs=1e-5)  # shell, CCW
+
+
+def test_difference_components_all_ccw():
+    """U minus a crossing slab = three disjoint shells — every ring
+    must come out CCW (traversal direction alone gives mixed signs)."""
+    import numpy as np
+
+    from gdal_ray.geom.clip import _area, polygon_difference
+
+    U = np.array(
+        [(0, 0), (10, 0), (10, 6), (8, 6), (8, 2), (2, 2), (2, 6), (0, 6),
+         (0, 0)], float)
+    slab = np.array(
+        [(-1, 3), (11, 3), (11, 5), (-1, 5), (-1, 3)], float)
+    rings = polygon_difference(U, slab)
+    assert len(rings) == 3
+    for r in rings:
+        assert _area(r) > 0
+    assert sum(_area(r) for r in rings) == pytest.approx(28.0, abs=1e-5)
