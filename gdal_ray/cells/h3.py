@@ -1,0 +1,872 @@
+"""Genuine H3 cell indexing (latLngToCell), resolutions 0-15.
+
+A from-scratch numpy implementation of the *public H3 spec*
+(h3geo.org; reference C implementation uber/h3: faceijk.c,
+coordijk.c, h3Index.c). Nothing here is a code port — the algorithm
+is re-derived vectorized over numpy arrays — but the two irreducible
+spec *data* tables (icosahedron orientation + base-cell numbering)
+are reproduced, because H3 id parity is impossible without them:
+
+- ``FACE_CENTER_GEO`` / ``FACE_AX_AZ`` — the H3 icosahedron
+  orientation (Dymaxion-like, all 12 vertices in ocean) and the
+  azimuth of each face's Class-II i-axis.  Validated at import-test
+  time: the 20 centers must form a *regular* icosahedron to 1e-9 and
+  every i-axis azimuth must point exactly at an icosahedron vertex.
+- ``BASE_CELL_DATA`` — home (face, i, j, k) for each of the 122
+  res-0 cells, the 12 pentagon flags, and the pentagon cw-offset
+  faces.  Validated structurally: the derived 122 cell centers must
+  be pairwise distinct, cover every face-grid position (no orphans /
+  collisions), put pentagons exactly on icosahedron vertices, and
+  agree with frozen golden H3 ids.
+
+The per-face 3x3x3 base-cell lookup (faceIjkBaseCells in the C
+library) is NOT tabulated — it is derived numerically at first use
+from ``BASE_CELL_DATA`` + the projection (position matching for the
+cell, azimuth comparison for the ccw-60-degree rotation count),
+which gives an independent cross-check of the tables.
+
+Reference-parity role: SURVEY.md section 2 cell-index row; the
+north-star rule names "H3 (res 7-9)" explicitly.  The reference
+repo's analogue is the DGGS cell-id role in gdal2tiles-style tiling
+(reference: swig/python/gdal-utils/osgeo_utils/gdal2tiles.py tile
+keys); H3 ids here serve as shuffle keys exactly like tile ids.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# ---------------------------------------------------------------- constants
+M_SQRT7 = 2.6457513110645905905016157536392604257102
+M_SIN60 = 0.8660254037844386467637231707529361834714
+# gnomonic unit scale of the res-0 hex grid (H3 spec constant; equals
+# (3 - sqrt 5)/2 to within 1 double ulp)
+RES0_U_GNOMONIC = 0.38196601125010500003
+# rotation between Class II and Class III resolutions: asin(sqrt(3/28))
+M_AP7_ROT_RADS = 0.333473172251832115336090755351601070065900389
+
+# H3 icosahedron face centers, (lat, lng) radians — spec table
+# (reference C library faceijk.c faceCenterGeo).
+FACE_CENTER_GEO = np.array([
+    (0.803582649718989942, 1.248397419617396099),
+    (1.307747883455638156, 2.536945009877921159),
+    (1.054751253523952054, -1.347517358900396623),
+    (0.600191595538186799, -0.450603909469755746),
+    (0.491715428198773866, 0.401988202911306943),
+    (0.172745327415618701, 1.678146885280433686),
+    (0.605929321571350690, 2.953923329812411617),
+    (0.427370518328979641, -1.888876200336285401),
+    (-0.079066118549212831, -0.733429513380867741),
+    (-0.230961644455383637, 0.506495587332349035),
+    (0.079066118549212831, 2.408163140208925497),
+    (0.230961644455383637, -2.635097066257444203),
+    (-0.172745327415618701, -1.463445768309359553),
+    (-0.605929321571350690, -0.187669323777381622),
+    (-0.427370518328979641, 1.252716453253507838),
+    (-0.600191595538186799, 2.690988744120037492),
+    (-0.491715428198773866, -2.739604450678486295),
+    (-0.803582649718989942, -1.893195233972397139),
+    (-1.307747883455638156, -0.604647643711872080),
+    (-1.054751253523952054, 1.794075294689396615),
+], dtype=np.float64)
+
+# azimuth (radians, geographic) from each face center to the face's
+# Class-II i-axis — spec table (faceijk.c faceAxesAzRadsCII column 0;
+# columns 1-2 are only needed for cell boundaries, not indexing).
+FACE_AX_AZ = np.array([
+    5.619958268523939882,
+    5.760339081714187279,
+    0.780213654393430055,
+    0.430469363979999913,
+    6.130269123335111400,
+    2.692877706530642877,
+    2.982963003477243874,
+    3.532912002790141181,
+    3.494305004259568154,
+    3.003214169499538391,
+    5.930472956509811562,
+    0.138378484090254847,
+    0.448714947059150361,
+    0.158629650112549365,
+    5.891865957979238535,
+    2.711123289609793325,
+    3.294508837434268316,
+    3.804819692245439833,
+    3.664438879055192436,
+    2.361378999196363184,
+], dtype=np.float64)
+
+# Base cell data — spec table (baseCells.c baseCellData): for each of
+# the 122 res-0 cells: home face, home (i, j, k), pentagon flag, and
+# for pentagons the two clockwise-offset faces (-1 = none).
+# fmt: off
+BASE_CELL_DATA = [
+    # (face, i, j, k, pent, cw0, cw1)
+    (1, 1, 0, 0, 0, -1, -1),   # 0
+    (2, 1, 1, 0, 0, -1, -1),   # 1
+    (1, 0, 0, 0, 0, -1, -1),   # 2
+    (2, 1, 0, 0, 0, -1, -1),   # 3
+    (0, 2, 0, 0, 1, -1, -1),   # 4 (pentagon)
+    (1, 1, 1, 0, 0, -1, -1),   # 5
+    (1, 0, 0, 1, 0, -1, -1),   # 6
+    (2, 0, 0, 0, 0, -1, -1),   # 7
+    (0, 1, 0, 0, 0, -1, -1),   # 8
+    (2, 0, 1, 0, 0, -1, -1),   # 9
+    (1, 0, 1, 0, 0, -1, -1),   # 10
+    (1, 0, 1, 1, 0, -1, -1),   # 11
+    (3, 1, 0, 0, 0, -1, -1),   # 12
+    (3, 1, 1, 0, 0, -1, -1),   # 13
+    (11, 2, 0, 0, 1, 2, 6),    # 14 (pentagon)
+    (4, 1, 0, 0, 0, -1, -1),   # 15
+    (0, 0, 0, 0, 0, -1, -1),   # 16
+    (6, 0, 1, 0, 0, -1, -1),   # 17
+    (0, 0, 0, 1, 0, -1, -1),   # 18
+    (2, 0, 1, 1, 0, -1, -1),   # 19
+    (7, 0, 0, 1, 0, -1, -1),   # 20
+    (2, 0, 0, 1, 0, -1, -1),   # 21
+    (0, 1, 1, 0, 0, -1, -1),   # 22
+    (6, 0, 0, 1, 0, -1, -1),   # 23
+    (10, 2, 0, 0, 1, 1, 5),    # 24 (pentagon)
+    (6, 0, 0, 0, 0, -1, -1),   # 25
+    (3, 0, 0, 0, 0, -1, -1),   # 26
+    (11, 1, 0, 0, 0, -1, -1),  # 27
+    (4, 1, 1, 0, 0, -1, -1),   # 28
+    (3, 0, 1, 0, 0, -1, -1),   # 29
+    (0, 0, 1, 1, 0, -1, -1),   # 30
+    (4, 0, 0, 0, 0, -1, -1),   # 31
+    (5, 0, 1, 0, 0, -1, -1),   # 32
+    (0, 0, 1, 0, 0, -1, -1),   # 33
+    (7, 0, 1, 0, 0, -1, -1),   # 34
+    (11, 1, 1, 0, 0, -1, -1),  # 35
+    (7, 0, 0, 0, 0, -1, -1),   # 36
+    (10, 1, 0, 0, 0, -1, -1),  # 37
+    (12, 2, 0, 0, 1, 3, 7),    # 38 (pentagon)
+    (6, 1, 0, 1, 0, -1, -1),   # 39
+    (7, 1, 0, 1, 0, -1, -1),   # 40
+    (4, 0, 0, 1, 0, -1, -1),   # 41
+    (3, 0, 0, 1, 0, -1, -1),   # 42
+    (3, 0, 1, 1, 0, -1, -1),   # 43
+    (4, 0, 1, 0, 0, -1, -1),   # 44
+    (6, 1, 0, 0, 0, -1, -1),   # 45
+    (11, 0, 0, 0, 0, -1, -1),  # 46
+    (8, 0, 0, 1, 0, -1, -1),   # 47
+    (5, 0, 0, 1, 0, -1, -1),   # 48
+    (14, 2, 0, 0, 1, 0, 9),    # 49 (pentagon)
+    (5, 0, 0, 0, 0, -1, -1),   # 50
+    (12, 1, 0, 0, 0, -1, -1),  # 51
+    (10, 1, 1, 0, 0, -1, -1),  # 52
+    (4, 0, 1, 1, 0, -1, -1),   # 53
+    (12, 1, 1, 0, 0, -1, -1),  # 54
+    (7, 1, 0, 0, 0, -1, -1),   # 55
+    (11, 0, 1, 0, 0, -1, -1),  # 56
+    (10, 0, 0, 0, 0, -1, -1),  # 57
+    (13, 2, 0, 0, 1, 4, 8),    # 58 (pentagon)
+    (10, 0, 0, 1, 0, -1, -1),  # 59
+    (11, 0, 0, 1, 0, -1, -1),  # 60
+    (9, 0, 1, 0, 0, -1, -1),   # 61
+    (8, 0, 1, 0, 0, -1, -1),   # 62
+    (6, 2, 0, 0, 1, 11, 15),   # 63 (pentagon)
+    (8, 0, 0, 0, 0, -1, -1),   # 64
+    (9, 0, 0, 1, 0, -1, -1),   # 65
+    (14, 1, 0, 0, 0, -1, -1),  # 66
+    (5, 1, 0, 1, 0, -1, -1),   # 67
+    (16, 0, 1, 1, 0, -1, -1),  # 68
+    (8, 1, 0, 1, 0, -1, -1),   # 69
+    (5, 1, 0, 0, 0, -1, -1),   # 70
+    (12, 0, 0, 0, 0, -1, -1),  # 71
+    (7, 2, 0, 0, 1, 12, 16),   # 72 (pentagon)
+    (12, 0, 1, 0, 0, -1, -1),  # 73
+    (10, 0, 1, 0, 0, -1, -1),  # 74
+    (9, 0, 0, 0, 0, -1, -1),   # 75
+    (13, 1, 0, 0, 0, -1, -1),  # 76
+    (16, 0, 0, 1, 0, -1, -1),  # 77
+    (15, 0, 1, 1, 0, -1, -1),  # 78
+    (15, 0, 1, 0, 0, -1, -1),  # 79
+    (16, 0, 1, 0, 0, -1, -1),  # 80
+    (14, 1, 1, 0, 0, -1, -1),  # 81
+    (13, 1, 1, 0, 0, -1, -1),  # 82
+    (5, 2, 0, 0, 1, 10, 19),   # 83 (pentagon)
+    (8, 1, 0, 0, 0, -1, -1),   # 84
+    (14, 0, 0, 0, 0, -1, -1),  # 85
+    (9, 1, 0, 1, 0, -1, -1),   # 86
+    (14, 0, 0, 1, 0, -1, -1),  # 87
+    (17, 0, 0, 1, 0, -1, -1),  # 88
+    (12, 0, 0, 1, 0, -1, -1),  # 89
+    (16, 0, 0, 0, 0, -1, -1),  # 90
+    (17, 0, 1, 1, 0, -1, -1),  # 91
+    (15, 0, 0, 1, 0, -1, -1),  # 92
+    (16, 1, 0, 1, 0, -1, -1),  # 93
+    (9, 1, 0, 0, 0, -1, -1),   # 94
+    (15, 0, 0, 0, 0, -1, -1),  # 95
+    (13, 0, 0, 0, 0, -1, -1),  # 96
+    (8, 2, 0, 0, 1, 13, 17),   # 97 (pentagon)
+    (13, 0, 1, 0, 0, -1, -1),  # 98
+    (17, 1, 0, 1, 0, -1, -1),  # 99
+    (19, 0, 1, 0, 0, -1, -1),  # 100
+    (14, 0, 1, 0, 0, -1, -1),  # 101
+    (19, 0, 1, 1, 0, -1, -1),  # 102
+    (17, 0, 1, 0, 0, -1, -1),  # 103
+    (13, 0, 0, 1, 0, -1, -1),  # 104
+    (17, 0, 0, 0, 0, -1, -1),  # 105
+    (16, 1, 0, 0, 0, -1, -1),  # 106
+    (9, 2, 0, 0, 1, 14, 18),   # 107 (pentagon)
+    (15, 1, 0, 1, 0, -1, -1),  # 108
+    (15, 1, 0, 0, 0, -1, -1),  # 109
+    (18, 0, 1, 1, 0, -1, -1),  # 110
+    (18, 0, 0, 1, 0, -1, -1),  # 111
+    (19, 0, 0, 1, 0, -1, -1),  # 112
+    (17, 1, 0, 0, 0, -1, -1),  # 113
+    (19, 0, 0, 0, 0, -1, -1),  # 114
+    (18, 0, 1, 0, 0, -1, -1),  # 115
+    (18, 1, 0, 1, 0, -1, -1),  # 116
+    (19, 2, 0, 0, 1, -1, -1),  # 117 (pentagon)
+    (19, 1, 0, 0, 0, -1, -1),  # 118
+    (18, 0, 0, 0, 0, -1, -1),  # 119
+    (19, 1, 0, 1, 0, -1, -1),  # 120
+    (18, 1, 0, 0, 0, -1, -1),  # 121
+]
+# fmt: on
+
+PENTAGON_BASE_CELLS = frozenset(
+    b for b, d in enumerate(BASE_CELL_DATA) if d[4]
+)
+
+_K_DIGIT = 1
+
+# digit rotation maps (CENTER K J JK I IK IJ = 0..6)
+_ROT_CCW = np.array([0, 5, 3, 1, 6, 4, 2], dtype=np.int64)
+_ROT_CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)
+
+# axial diff (da+1)*3 + (db+1) -> digit; 7 marks impossible offsets
+_AXIAL_DIGIT = np.array([1, 3, 7, 5, 0, 2, 7, 4, 6], dtype=np.int64)
+
+
+def _check_rot_tables() -> None:
+    # ccw cycle K->IK->I->IJ->J->JK->K; cw is its inverse
+    ccw = {0: 0, 1: 5, 5: 4, 4: 6, 6: 2, 2: 3, 3: 1}
+    for d in range(7):
+        assert _ROT_CCW[d] == ccw[d]
+        assert _ROT_CW[ccw[d]] == d
+
+
+_check_rot_tables()
+
+
+# ------------------------------------------------------------ sphere helpers
+def _geo_to_xyz(lat: np.ndarray, lng: np.ndarray) -> np.ndarray:
+    cl = np.cos(lat)
+    return np.stack([cl * np.cos(lng), cl * np.sin(lng), np.sin(lat)], axis=-1)
+
+
+_FACE_XYZ = _geo_to_xyz(FACE_CENTER_GEO[:, 0], FACE_CENTER_GEO[:, 1])
+
+
+def _pos_angle(a: np.ndarray) -> np.ndarray:
+    tau = 2.0 * np.pi
+    return np.where(a < 0.0, a + tau, np.where(a >= tau, a - tau, a))
+
+
+def _azimuth(lat1, lng1, lat2, lng2):
+    """Geographic azimuth (radians east of north-ish H3 convention)
+    from point 1 to point 2 on the unit sphere."""
+    dl = lng2 - lng1
+    return np.arctan2(
+        np.cos(lat2) * np.sin(dl),
+        np.cos(lat1) * np.sin(lat2)
+        - np.sin(lat1) * np.cos(lat2) * np.cos(dl),
+    )
+
+
+def _az_destination(lat1, lng1, az, dist):
+    """Destination point: start, azimuth, angular distance (radians)."""
+    sl = np.sin(lat1) * np.cos(dist) + np.cos(lat1) * np.sin(dist) * np.cos(az)
+    lat2 = np.arcsin(np.clip(sl, -1.0, 1.0))
+    lng2 = lng1 + np.arctan2(
+        np.sin(az) * np.sin(dist) * np.cos(lat1),
+        np.cos(dist) - np.sin(lat1) * np.sin(lat2),
+    )
+    return lat2, lng2
+
+
+# ------------------------------------------------------------- IJK helpers
+def _ijk_normalize(i, j, k):
+    m = np.minimum(np.minimum(i, j), k)
+    return i - m, j - m, k - m
+
+
+def _lround(x: np.ndarray) -> np.ndarray:
+    """C lround: round half away from zero (numpy rounds half-even)."""
+    return np.trunc(x + np.copysign(0.5, x)).astype(np.int64)
+
+
+def _up_ap7(i, j, k):
+    """Parent coords, Class III -> Class II (ccw aperture 7)."""
+    ci = i - k
+    cj = j - k
+    ni = _lround((3 * ci - cj) / 7.0)
+    nj = _lround((ci + 2 * cj) / 7.0)
+    return _ijk_normalize(ni, nj, np.zeros_like(ni))
+
+
+def _up_ap7r(i, j, k):
+    """Parent coords, Class II -> Class III (cw aperture 7)."""
+    ci = i - k
+    cj = j - k
+    ni = _lround((2 * ci + cj) / 7.0)
+    nj = _lround((3 * cj - ci) / 7.0)
+    return _ijk_normalize(ni, nj, np.zeros_like(ni))
+
+
+def _down_ap7(i, j, k):
+    ni = 3 * i + 1 * j + 0 * k
+    nj = 0 * i + 3 * j + 1 * k
+    nk = 1 * i + 0 * j + 3 * k
+    return _ijk_normalize(ni, nj, nk)
+
+
+def _down_ap7r(i, j, k):
+    ni = 3 * i + 0 * j + 1 * k
+    nj = 1 * i + 3 * j + 0 * k
+    nk = 0 * i + 1 * j + 3 * k
+    return _ijk_normalize(ni, nj, nk)
+
+
+def _unit_ijk_to_digit(i, j, k):
+    # {0,0,0}->0 {0,0,1}->1 {0,1,0}->2 {0,1,1}->3 {1,0,0}->4 {1,0,1}->5 {1,1,0}->6
+    return 4 * i + 2 * j + 1 * k
+
+
+def _ijk_to_hex2d(i, j, k):
+    ci = i - k
+    cj = j - k
+    return ci - 0.5 * cj, cj * M_SIN60
+
+
+def _hex2d_to_ijk(x: np.ndarray, y: np.ndarray):
+    """Nearest hex-center quantization of planar coords into IJK+
+    (vectorized transcription of the published H3 quantizer;
+    reference: uber/h3 coordijk.c _hex2dToCoordIJK)."""
+    a1 = np.abs(x)
+    a2 = np.abs(y)
+    x2 = a2 / M_SIN60
+    x1 = a1 + x2 / 2.0
+    m1 = np.floor(x1).astype(np.int64)
+    m2 = np.floor(x2).astype(np.int64)
+    r1 = x1 - m1
+    r2 = x2 - m2
+
+    # (x1, x2) are exact axial (i, j) coordinates; the nearest hex
+    # center is one of the four corners of the fundamental unit cell
+    # under the axial metric q(a, b) = a^2 - a*b + b^2.  Direct
+    # 4-candidate argmin == the spec's nearest-center quantization.
+    best = None
+    bi = bj = None
+    for di, dj in ((0, 0), (1, 0), (0, 1), (1, 1)):
+        da = r1 - di
+        db = r2 - dj
+        q = da * da - da * db + db * db
+        if best is None:
+            best, bi, bj = q, np.full_like(m1, di), np.full_like(m2, dj)
+        else:
+            take = q < best
+            best = np.where(take, q, best)
+            bi = np.where(take, di, bi)
+            bj = np.where(take, dj, bj)
+    i = m1 + bi
+    j = m2 + bj
+
+    # fold across axes for negative planar coords
+    neg_x = x < 0.0
+    j_even = (j % 2) == 0
+    axisi = np.where(j_even, j // 2, (j + 1) // 2)
+    diff = i - axisi
+    i = np.where(
+        neg_x, np.where(j_even, i - 2 * diff, i - (2 * diff + 1)), i
+    )
+    neg_y = y < 0.0
+    i = np.where(neg_y, i - (2 * j + 1) // 2, i)
+    j = np.where(neg_y, -j, j)
+    return _ijk_normalize(i, j, np.zeros_like(i))
+
+
+# ---------------------------------------------- base-cell lookup derivation
+_BC_LUT = None  # (20,3,3,3) int16 base cell; -1 invalid
+_BC_ROT = None  # (20,3,3,3) int8 ccw 60deg rotations
+_BC_IS_PENT = np.array([d[4] for d in BASE_CELL_DATA], dtype=bool)
+_BC_CW0 = np.array([d[5] for d in BASE_CELL_DATA], dtype=np.int64)
+_BC_CW1 = np.array([d[6] for d in BASE_CELL_DATA], dtype=np.int64)
+
+
+def _res0_center_geo(face: int, i: int, j: int, k: int):
+    """Geographic center of the res-0 cell at normalized ijk on a face
+    (inverse gnomonic of the Class II hex grid)."""
+    x, y = _ijk_to_hex2d(
+        np.asarray([i], np.int64), np.asarray([j], np.int64),
+        np.asarray([k], np.int64),
+    )
+    r = np.hypot(x, y)[0]
+    clat, clng = FACE_CENTER_GEO[face]
+    if r < 1e-12:
+        return float(clat), float(clng)
+    theta = np.arctan2(y, x)[0]
+    az = FACE_AX_AZ[face] - theta
+    dist = np.arctan(r * RES0_U_GNOMONIC)
+    lat, lng = _az_destination(clat, clng, az, dist)
+    return float(lat), float(lng)
+
+
+def _plane_to_geo(face: int, x: float, y: float):
+    """Inverse gnomonic of a res-0 Class-II plane point on a face."""
+    r = float(np.hypot(x, y))
+    clat, clng = FACE_CENTER_GEO[face]
+    if r < 1e-15:
+        return float(clat), float(clng)
+    theta = float(np.arctan2(y, x))
+    az = FACE_AX_AZ[face] - theta
+    dist = float(np.arctan(r * RES0_U_GNOMONIC))
+    lat, lng = _az_destination(clat, clng, az, dist)
+    return float(lat), float(lng)
+
+
+def _geo_to_plane(face: int, lat: float, lng: float):
+    """Forward gnomonic into a face's res-0 Class-II plane."""
+    v = _geo_to_xyz(np.float64(lat), np.float64(lng))
+    dot = float(np.clip(v @ _FACE_XYZ[face], -1.0, 1.0))
+    ang = float(np.arccos(dot))
+    if ang < 1e-15:
+        return 0.0, 0.0
+    clat, clng = FACE_CENTER_GEO[face]
+    az = float(_azimuth(clat, clng, np.float64(lat), np.float64(lng)))
+    theta = float(_pos_angle(np.float64(FACE_AX_AZ[face] - az)))
+    r = np.tan(ang) / RES0_U_GNOMONIC
+    return r * np.cos(theta), r * np.sin(theta)
+
+
+def _i_axis_azimuth_at(face: int, lat: float, lng: float) -> float:
+    """Azimuth, at an arbitrary sphere point, of the +i direction of
+    `face`'s res-0 Class-II grid (the grid direction parallel-through
+    the gnomonic plane, evaluated at that point)."""
+    x, y = _geo_to_plane(face, lat, lng)
+    lat1, lng1 = _plane_to_geo(face, x + 1e-7, y)
+    return float(_azimuth(np.float64(lat), np.float64(lng),
+                          np.float64(lat1), np.float64(lng1)))
+
+
+def _ijk_rot60ccw(p):
+    i, j, k = p
+    # unit axes map ccw: i->i+j ({1,1,0}), j->j+k ({0,1,1}), k->k+i ({1,0,1})
+    ni = i * 1 + j * 0 + k * 1
+    nj = i * 1 + j * 1 + k * 0
+    nk = i * 0 + j * 1 + k * 1
+    m = min(ni, nj, nk)
+    return (ni - m, nj - m, nk - m)
+
+
+def _ijk_rotn(p, n):
+    for _ in range(n % 6):
+        p = _ijk_rot60ccw(p)
+    return p
+
+
+def _ijk_add(a, b):
+    m = min(a[0] + b[0], a[1] + b[1], a[2] + b[2])
+    return (a[0] + b[0] - m, a[1] + b[1] - m, a[2] + b[2] - m)
+
+
+def _ijk_sub(a, b):
+    m = min(a[0] - b[0], a[1] - b[1], a[2] - b[2])
+    return (a[0] - b[0] - m, a[1] - b[1] - m, a[2] - b[2] - m)
+
+
+_VERTEX_SLOTS = ((2, 0, 0), (0, 2, 0), (0, 0, 2))
+
+
+def _build_bc_lut():
+    """Derive the per-face 3x3x3 base-cell lookup (faceIjkBaseCells in
+    the C library) from BASE_CELL_DATA, combinatorially.
+
+    Adjacent faces' res-0 lattices are related by an exact lattice
+    isometry (rotation by k*60 degrees + translation) pinned by the
+    two shared icosahedron vertices, whose ijk labels in each face are
+    known ({2,0,0}/{0,2,0}/{0,0,2}) and whose identities are matched
+    through the pentagon centers.  Each non-home grid position is
+    unfolded (BFS, shortest path; unique in the 5-cycle around a
+    vertex) into the owning cell's home face, accumulating the
+    rotation count.  A metric nearest-center pass cross-checks every
+    cell assignment."""
+    global _BC_LUT, _BC_ROT
+    if _BC_LUT is not None:
+        return
+
+    # base cell centers (sphere) and home positions
+    centers = np.empty((122, 3))
+    for b, (f, i, j, k, _p, _c0, _c1) in enumerate(BASE_CELL_DATA):
+        lat, lng = _res0_center_geo(f, i, j, k)
+        centers[b] = _geo_to_xyz(np.float64(lat), np.float64(lng))
+    home_pos = {
+        (f, (i, j, k)): b
+        for b, (f, i, j, k, _p, _c0, _c1) in enumerate(BASE_CELL_DATA)
+    }
+    pents = sorted(PENTAGON_BASE_CELLS)
+    pent_xyz = centers[pents]
+
+    # vertex identity of each (face, slot): nearest pentagon center
+    slot_vertex = {}
+    for f in range(20):
+        for s in _VERTEX_SLOTS:
+            x, y = _ijk_to_hex2d(
+                np.asarray([s[0]], np.int64), np.asarray([s[1]], np.int64),
+                np.asarray([s[2]], np.int64),
+            )
+            lat, lng = _plane_to_geo(f, float(x[0]), float(y[0]))
+            v = _geo_to_xyz(np.float64(lat), np.float64(lng))
+            d = pent_xyz @ v
+            w = int(np.argmax(d))
+            if d[w] < 1.0 - 1e-9:
+                raise AssertionError(f"face {f} slot {s} not on a vertex")
+            slot_vertex[(f, s)] = pents[w]
+
+    # unfold transforms between adjacent faces (shared-edge pairs)
+    transforms = {}  # (F, G) -> (rot_ccw60, translation ijk)
+    for f in range(20):
+        for g in range(20):
+            if f == g:
+                continue
+            shared = [
+                (sf, sg)
+                for sf in _VERTEX_SLOTS
+                for sg in _VERTEX_SLOTS
+                if slot_vertex[(f, sf)] == slot_vertex[(g, sg)]
+            ]
+            if len(shared) != 2:
+                continue
+            (a_f, a_g), (b_f, b_g) = shared
+            vec_f = _ijk_sub(b_f, a_f)
+            vec_g = _ijk_sub(b_g, a_g)
+            sol = None
+            for rr in range(6):
+                if _ijk_rotn(vec_f, rr) == vec_g:
+                    t = _ijk_sub(a_g, _ijk_rotn(a_f, rr))
+                    sol = (rr, t)
+                    break
+            if sol is None:
+                raise AssertionError(f"no lattice unfold {f}->{g}")
+            transforms[(f, g)] = sol
+
+    def unfold(face, pos, g):
+        rr, t = transforms[(face, g)]
+        return _ijk_add(_ijk_rotn(pos, rr), t), rr
+
+    # resolve a (face, position) to (base cell, ccw rotations).
+    # Pentagon (vertex) positions: walk around the vertex in the fixed
+    # rotational direction that matches the spec tables (positive
+    # triple product (cF x cG) . v) — the 60-degree angular deficit at
+    # a vertex makes the accumulated rotation path-dependent, and the
+    # H3 convention is this direction (calibrated against the spec's
+    # own faceIjkBaseCells pentagon entries).  Hexagon positions:
+    # BFS shortest unfold path (unique; no deficit enclosed).
+    from collections import deque
+
+    def pent_resolve(face, slot):
+        vtx = slot_vertex[(face, slot)]
+        vxyz = centers[vtx]
+        cur_f, cur_p, rr_tot = face, slot, 0
+        for _ in range(6):
+            if (cur_f, cur_p) in home_pos:
+                return home_pos[(cur_f, cur_p)], rr_tot % 6
+            cands = []
+            for g in range(20):
+                if (cur_f, g) in transforms and any(
+                    slot_vertex[(g, s)] == vtx for s in _VERTEX_SLOTS
+                ):
+                    sgn = float(
+                        np.dot(np.cross(_FACE_XYZ[cur_f], _FACE_XYZ[g]),
+                               vxyz)
+                    )
+                    cands.append((g, sgn))
+            g = max(cands, key=lambda t: t[1])[0]
+            cur_p, rr = unfold(cur_f, cur_p, g)
+            rr_tot += rr
+            cur_f = g
+        raise AssertionError(f"pentagon walk failed {face} {slot}")
+
+    def resolve(face, pos):
+        if (face, pos) in home_pos:
+            return home_pos[(face, pos)], 0
+        if pos in _VERTEX_SLOTS:
+            return pent_resolve(face, pos)
+        seen = {(face, pos)}
+        q = deque([(face, pos, 0)])
+        while q:
+            cf, cp, crot = q.popleft()
+            for g in range(20):
+                if (cf, g) not in transforms:
+                    continue
+                np_, rr = unfold(cf, cp, g)
+                tot = (crot + rr) % 6
+                if (g, np_) in home_pos:
+                    return home_pos[(g, np_)], tot
+                if (g, np_) not in seen:
+                    seen.add((g, np_))
+                    q.append((g, np_, tot))
+        raise AssertionError(f"unresolvable position {face} {pos}")
+
+    lut = np.full((20, 3, 3, 3), -1, dtype=np.int16)
+    rot = np.zeros((20, 3, 3, 3), dtype=np.int8)
+    for f in range(20):
+        for i in range(3):
+            for j in range(3):
+                for k in range(3):
+                    m = min(i, j, k)
+                    pos = (i - m, j - m, k - m)
+                    b, rr = resolve(f, pos)
+                    lut[f, i, j, k] = b
+                    rot[f, i, j, k] = rr
+                    # metric cross-check of the cell assignment
+                    x, y = _ijk_to_hex2d(
+                        np.asarray([pos[0]], np.int64),
+                        np.asarray([pos[1]], np.int64),
+                        np.asarray([pos[2]], np.int64),
+                    )
+                    lat, lng = _plane_to_geo(f, float(x[0]), float(y[0]))
+                    v = _geo_to_xyz(np.float64(lat), np.float64(lng))
+                    d = np.arccos(np.clip(centers @ v, -1.0, 1.0))
+                    bm = int(np.argmin(d))
+                    if bm != b:
+                        raise AssertionError(
+                            f"unfold/metric disagree at face {f} {pos}: "
+                            f"{b} vs {bm}"
+                        )
+    _BC_LUT = lut
+    _BC_ROT = rot
+
+
+# ----------------------------------------------------------- index rotation
+def _leading_nonzero_digit(digits: np.ndarray, res: int) -> np.ndarray:
+    """digits: (N, res) array of digits r=1..res. Returns first
+    non-zero digit (0 if all zero)."""
+    if res == 0:
+        return np.zeros(digits.shape[0], dtype=np.int64)
+    nz = digits != 0
+    first = np.argmax(nz, axis=1)
+    any_nz = nz.any(axis=1)
+    return np.where(any_nz, digits[np.arange(len(digits)), first], 0)
+
+
+def _rotate_digits(digits, mask, table):
+    digits[mask] = table[digits[mask]]
+
+
+def _rotate_pent60ccw(digits: np.ndarray, mask: np.ndarray, res: int):
+    """_h3RotatePent60ccw over digit arrays: rotate all digits ccw,
+    skipping the deleted K subsequence (extra ccw rotation if the
+    leading digit lands on K)."""
+    sel = np.where(mask)[0]
+    if len(sel) == 0:
+        return
+    d = digits[sel]
+    found = np.zeros(len(sel), dtype=bool)
+    for r in range(res):
+        d[:, r] = _ROT_CCW[d[:, r]]
+        newly = (~found) & (d[:, r] != 0)
+        if newly.any():
+            kmask = newly & (d[:, r] == _K_DIGIT)
+            if kmask.any():
+                d[kmask] = _ROT_CCW[d[kmask]]
+            found |= newly
+    digits[sel] = d
+
+
+# ------------------------------------------------------------------ public
+def _front_end(lat_deg, lng_deg):
+    """Shared projection front-end: closest face + polar gnomonic
+    coords (res-independent part of latLngToCell)."""
+    lat = np.radians(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.radians(np.asarray(lng_deg, dtype=np.float64))
+    lat = np.atleast_1d(lat)
+    lng = np.atleast_1d(lng)
+    # closest face (first-wins on exact ties, like the C scan)
+    p = _geo_to_xyz(lat, lng)
+    dots = p @ _FACE_XYZ.T
+    face = np.argmax(dots, axis=1)
+    dot = np.clip(dots[np.arange(len(lat)), face], -1.0, 1.0)
+    ang = np.arccos(dot)
+    clat = FACE_CENTER_GEO[face, 0]
+    clng = FACE_CENTER_GEO[face, 1]
+    az = _azimuth(clat, clng, lat, lng)
+    theta0 = _pos_angle(FACE_AX_AZ[face] - az)
+    r0 = np.tan(ang) / RES0_U_GNOMONIC
+    near0 = ang < 1e-16
+    r0 = np.where(near0, 0.0, r0)
+    return face, r0, theta0
+
+
+def latlng_to_cell(
+    lat_deg: np.ndarray, lng_deg: np.ndarray, res: int
+) -> np.ndarray:
+    """H3 latLngToCell, vectorized. Returns uint64 H3 indexes."""
+    scalar = np.asarray(lat_deg).ndim == 0
+    face, r0, theta0 = _front_end(lat_deg, lng_deg)
+    idx = _finish(face, r0, theta0, res)
+    return idx[0] if scalar else idx
+
+
+def latlng_to_cells_multi(lat_deg, lng_deg, resolutions=(7, 8, 9)):
+    """latLngToCell at several resolutions, sharing the projection
+    front-end (one trig pass instead of one per resolution)."""
+    face, r0, theta0 = _front_end(lat_deg, lng_deg)
+    return {res: _finish(face, r0, theta0, res) for res in resolutions}
+
+
+def _finish(face, r0, theta0, res):
+    if not (0 <= res <= 15):
+        raise ValueError("res must be 0..15")
+    _build_bc_lut()
+    n = len(face)
+    theta = theta0
+    if res % 2 == 1:  # Class III
+        theta = _pos_angle(theta0 - M_AP7_ROT_RADS)
+    r = r0 * (M_SQRT7 ** res)
+    x = r * np.cos(theta)
+    y = r * np.sin(theta)
+
+    i, j, k = _hex2d_to_ijk(x, y)
+
+    # digits res..1 via aperture-7 parents, in axial coords (a, b) =
+    # (i - k, j - k): gauge-free, so no per-step normalization, and the
+    # whole chain is 6 elementwise ops per level on reused buffers.
+    digits = np.zeros((n, res), dtype=np.int64)  # column r-1 = digit r
+    a = (i - k).astype(np.float64)
+    b = (j - k).astype(np.float64)
+    pa = np.empty(n)
+    pb = np.empty(n)
+    t = np.empty(n)
+    for rr in range(res, 0, -1):
+        if rr % 2 == 1:  # Class III: up is ccw aperture 7
+            # parent = lround((3a - b)/7), lround((a + 2b)/7)
+            np.multiply(a, 3.0, out=t)
+            np.subtract(t, b, out=t)
+            np.divide(t, 7.0, out=t)
+            np.rint(t, out=pa)
+            np.multiply(b, 2.0, out=t)
+            np.add(t, a, out=t)
+            np.divide(t, 7.0, out=t)
+            np.rint(t, out=pb)
+            # center = down(parent) = (2p_a + p_b, 3p_b - p_a)
+            ca = 2.0 * pa + pb
+            cb = 3.0 * pb - pa
+        else:  # Class II: up is cw aperture 7
+            np.multiply(a, 2.0, out=t)
+            np.add(t, b, out=t)
+            np.divide(t, 7.0, out=t)
+            np.rint(t, out=pa)
+            np.multiply(b, 3.0, out=t)
+            np.subtract(t, a, out=t)
+            np.divide(t, 7.0, out=t)
+            np.rint(t, out=pb)
+            # center = down_r(parent) = (3p_a - p_b, p_a + 2p_b)
+            ca = 3.0 * pa - pb
+            cb = pa + 2.0 * pb
+        da = (a - ca).astype(np.int64) + 1
+        db = (b - cb).astype(np.int64) + 1
+        digits[:, rr - 1] = _AXIAL_DIGIT[da * 3 + db]
+        a, pa = pa, a
+        b, pb = pb, b
+
+    ai = a.astype(np.int64)
+    bi = b.astype(np.int64)
+    m = np.minimum(np.minimum(ai, bi), 0)
+    i = ai - m
+    j = bi - m
+    k = -m
+    if (i > 2).any() or (j > 2).any() or (k > 2).any():
+        raise AssertionError("res-0 ijk out of base-cell grid range")
+    bc = _BC_LUT[face, i, j, k].astype(np.int64)
+    if (bc < 0).any():
+        raise AssertionError("no base cell at derived res-0 position")
+    nrot = _BC_ROT[face, i, j, k].astype(np.int64)
+
+    is_pent = _BC_IS_PENT[bc]
+    # pentagon: rotate out of the deleted K subsequence first
+    if res > 0 and is_pent.any():
+        lead = _leading_nonzero_digit(digits, res)
+        kfix = is_pent & (lead == _K_DIGIT)
+        if kfix.any():
+            cw = kfix & (
+                (_BC_CW0[bc] == face) | (_BC_CW1[bc] == face)
+            )
+            ccw = kfix & ~cw
+            _rotate_digits(digits, ccw, _ROT_CCW)
+            _rotate_digits(digits, cw, _ROT_CW)
+    # apply the ccw rotations from the face-to-home transform
+    maxr = int(nrot.max()) if n else 0
+    for step in range(1, maxr + 1):
+        m = nrot >= step
+        if res == 0:
+            break
+        pm = m & is_pent
+        hm = m & ~is_pent
+        if hm.any():
+            _rotate_digits(digits, hm, _ROT_CCW)
+        if pm.any():
+            _rotate_pent60ccw(digits, pm, res)
+
+    # pack bits: reserved(1)=0 mode(4)=1 reserved(3)=0 res(4) bc(7) digits
+    idx = np.full(n, np.uint64(1) << np.uint64(59), dtype=np.uint64)
+    idx |= np.uint64(res) << np.uint64(52)
+    idx |= bc.astype(np.uint64) << np.uint64(45)
+    used = np.zeros(n, dtype=np.uint64)
+    for rr in range(1, res + 1):
+        shift = np.uint64((15 - rr) * 3)
+        idx |= digits[:, rr - 1].astype(np.uint64) << shift
+        used |= np.uint64(7) << shift
+    idx |= np.uint64(0x1FFFFFFFFFFF) & ~used  # unused digits = 7
+    return idx
+
+
+def cell_to_parent(cell: np.ndarray, parent_res: int) -> np.ndarray:
+    """H3 cellToParent via bit ops (no tables needed)."""
+    cell = np.asarray(cell, dtype=np.uint64)
+    res = ((cell >> np.uint64(52)) & np.uint64(0xF)).astype(np.int64)
+    if (res < parent_res).any():
+        raise ValueError("parent_res coarser than cell res required")
+    out = (cell & ~(np.uint64(0xF) << np.uint64(52))) | (
+        np.uint64(parent_res) << np.uint64(52)
+    )
+    fill = np.uint64(0)
+    for rr in range(parent_res + 1, 16):
+        fill |= np.uint64(7) << np.uint64((15 - rr) * 3)
+    return out | fill
+
+
+def get_resolution(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, np.uint64) >> np.uint64(52)) & np.uint64(0xF)
+
+
+def get_base_cell(cell: np.ndarray) -> np.ndarray:
+    return (np.asarray(cell, np.uint64) >> np.uint64(45)) & np.uint64(0x7F)
+
+
+def is_pentagon(cell: np.ndarray) -> np.ndarray:
+    """True if the cell is a pentagon (base cell pentagon and all
+    digits are CENTER)."""
+    cell = np.asarray(cell, np.uint64)
+    bc = get_base_cell(cell).astype(np.int64)
+    res = get_resolution(cell).astype(np.int64)
+    pent = _BC_IS_PENT[bc].copy()
+    for rr in range(1, 16):
+        shift = np.uint64((15 - rr) * 3)
+        digit = (cell >> shift) & np.uint64(7)
+        pent &= (rr > res) | (digit == 0)
+    return pent
+
+
+def cell_to_string(cell) -> np.ndarray:
+    """Hex-string form matching h3's h3ToString (no 0x, lowercase)."""
+    arr = np.atleast_1d(np.asarray(cell, np.uint64))
+    return np.array([format(int(c), "x") for c in arr])
+
+
+def string_to_cell(s) -> np.ndarray:
+    arr = np.atleast_1d(np.asarray(s))
+    return np.array([int(x, 16) for x in arr], dtype=np.uint64)

@@ -103,16 +103,17 @@ def encode_cells(
     hex_res: tuple[int, ...] = (7, 8, 9),
     s2_level: int = 16,
 ) -> pa.Table:
-    """lon/lat → hierarchical cell ids: hex res 7-9 (the north-rule
-    "H3 res 7-9" role) + S2 level-16 cell. All vectorized."""
-    from gdal_ray.cells import hexgrid, s2 as s2mod
+    """lon/lat → hierarchical cell ids: genuine H3 ids at res 7-9 (the
+    north-rule "H3 (res 7-9)" role; gdal_ray.cells.h3 is spec-exact,
+    golden-pinned in tests/test_h3.py) + S2 level-16 cell. One shared
+    trig front-end for the three H3 resolutions. All vectorized."""
+    from gdal_ray.cells import h3 as h3mod, s2 as s2mod
 
     lon = batch["lon"].to_numpy(zero_copy_only=False)
     lat = batch["lat"].to_numpy(zero_copy_only=False)
+    cells = h3mod.latlng_to_cells_multi(lat, lon, hex_res)
     for r in hex_res:
-        batch = batch.append_column(
-            f"hex_res{r}", pa.array(hexgrid.lonlat_to_cell(lon, lat, r))
-        )
+        batch = batch.append_column(f"h3_res{r}", pa.array(cells[r]))
     return batch.append_column(
         "s2_cell", pa.array(s2mod.lonlat_to_cell(lon, lat, s2_level))
     )

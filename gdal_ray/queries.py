@@ -169,14 +169,15 @@ GROUP BY bnd.admin_id
 
 
 def q_cell_encode(sf_dir: str):
-    """url → hex res7/8/9 + S2 L16 cell ids (rows-only check: cell-id
-    math is not SQL-expressible; parity is pinned by tests/test_cells.py
-    invariants + frozen goldens)."""
+    """url → genuine H3 ids (res 7/8/9) + S2 L16 cell ids (rows-only
+    check: cell-id math is not SQL-expressible; parity is pinned by
+    tests/test_h3.py spec-table + frozen-golden checks and
+    tests/test_cells.py S2 invariants)."""
     from gdal_ray.pipelines import flagship
 
     ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
     ds = ds.map_batches(flagship.encode_cells, batch_format="pyarrow")
-    return ds.select_columns(["url", "hex_res7", "hex_res8", "hex_res9", "s2_cell"])
+    return ds.select_columns(["url", "h3_res7", "h3_res8", "h3_res9", "s2_cell"])
 
 
 def q_knn_k5(sf_dir: str):

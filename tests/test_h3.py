@@ -1,0 +1,230 @@
+"""H3 parity validation: structural checks of the spec tables, the
+quantizer's Voronoi property, aperture-7 algebra, frozen golden ids,
+and the cross-face divergence signature.
+
+The implementation (gdal_ray/cells/h3.py) re-derives the per-face
+base-cell lookup from the spec's base-cell data; these tests pin it
+against (a) closed-form icosahedron geometry, (b) a frozen copy of two
+rows of the spec's own lookup table, and (c) golden ids from public H3
+documentation."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.cells import h3 as H
+
+RNG = np.random.default_rng(7)
+
+
+# ----------------------------------------------------------- spec tables
+class TestTables:
+    def test_faces_form_regular_icosahedron(self):
+        C = H._FACE_XYZ
+        assert np.allclose(np.linalg.norm(C, axis=1), 1, atol=1e-12)
+        d = C @ C.T
+        np.fill_diagonal(d, -2)
+        nn = np.sort(d, axis=1)[:, ::-1]
+        # 3 edge neighbors at one exact distance, 6 vertex neighbors at
+        # another — regular to float precision
+        assert np.ptp(nn[:, :3]) < 1e-9
+        assert np.ptp(nn[:, 3:9]) < 1e-9
+
+    def test_vertex_angle_matches_gnomonic_scale(self):
+        # pentagon home {2,0,0} sits at planar distance 2 => the
+        # face-center-to-vertex angle must be atan(2 * RES0_U_GNOMONIC)
+        lat, lng = H._res0_center_geo(0, 2, 0, 0)
+        v = H._geo_to_xyz(np.float64(lat), np.float64(lng))
+        ang = float(np.arccos(np.clip(v @ H._FACE_XYZ[0], -1, 1)))
+        assert ang == pytest.approx(np.arctan(2 * H.RES0_U_GNOMONIC), abs=1e-9)
+
+    def test_base_cells_distinct_and_pentagons_on_vertices(self):
+        centers = np.empty((122, 3))
+        for b, (f, i, j, k, _p, _c0, _c1) in enumerate(H.BASE_CELL_DATA):
+            lat, lng = H._res0_center_geo(f, i, j, k)
+            centers[b] = H._geo_to_xyz(np.float64(lat), np.float64(lng))
+        d = centers @ centers.T
+        np.fill_diagonal(d, -2)
+        assert d.max() < 1 - 1e-9  # no two base cells coincide
+        pents = sorted(H.PENTAGON_BASE_CELLS)
+        assert pents == [4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+        vang = np.arctan(2 * H.RES0_U_GNOMONIC)
+        for b in pents:
+            f = H.BASE_CELL_DATA[b][0]
+            a = float(np.arccos(np.clip(centers[b] @ H._FACE_XYZ[f], -1, 1)))
+            assert a == pytest.approx(vang, abs=1e-9)
+
+    def test_derived_lut_matches_spec_rows(self):
+        """Frozen rows of the spec's faceIjkBaseCells table (reference
+        H3 library data) — the derived lookup must reproduce them."""
+        H._build_bc_lut()
+        face0 = {
+            (0, 0, 0): (16, 0), (0, 0, 1): (18, 0), (0, 0, 2): (24, 0),
+            (0, 1, 0): (33, 0), (0, 1, 1): (30, 0), (0, 1, 2): (32, 3),
+            (0, 2, 0): (49, 1), (0, 2, 1): (48, 3), (0, 2, 2): (50, 3),
+            (1, 0, 0): (8, 0), (1, 0, 1): (5, 5), (1, 0, 2): (10, 5),
+            (1, 1, 0): (22, 0), (1, 1, 1): (16, 0), (1, 1, 2): (18, 0),
+            (2, 0, 0): (4, 0), (2, 0, 1): (0, 5), (2, 0, 2): (2, 5),
+            (2, 1, 0): (15, 1), (2, 1, 1): (8, 0), (2, 1, 2): (5, 5),
+            (2, 2, 0): (31, 1), (2, 2, 1): (22, 0), (2, 2, 2): (16, 0),
+        }
+        face1 = {
+            (0, 0, 0): (2, 0), (0, 0, 1): (6, 0), (0, 0, 2): (14, 0),
+            (0, 1, 0): (10, 0), (0, 1, 1): (11, 0), (0, 1, 2): (17, 3),
+            (0, 2, 0): (24, 1), (0, 2, 1): (23, 3), (0, 2, 2): (25, 3),
+        }
+        for f, rows in ((0, face0), (1, face1)):
+            for (i, j, k), (bc, rot) in rows.items():
+                assert int(H._BC_LUT[f, i, j, k]) == bc
+                assert int(H._BC_ROT[f, i, j, k]) == rot
+
+    def test_home_positions_self_map(self):
+        H._build_bc_lut()
+        for b, (f, i, j, k, _p, _c0, _c1) in enumerate(H.BASE_CELL_DATA):
+            assert int(H._BC_LUT[f, i, j, k]) == b
+            assert int(H._BC_ROT[f, i, j, k]) == 0
+
+
+# ------------------------------------------------------------- quantizer
+class TestQuantizer:
+    def test_center_roundtrip(self):
+        ij = RNG.integers(-40, 40, size=(5000, 2))
+        i0, j0, k0 = H._ijk_normalize(
+            ij[:, 0], ij[:, 1], np.zeros(len(ij), dtype=np.int64)
+        )
+        x, y = H._ijk_to_hex2d(i0, j0, k0)
+        # jitter off exact-center float boundaries (same in the C ref)
+        x = x + RNG.uniform(-1e-7, 1e-7, x.shape)
+        y = y + RNG.uniform(-1e-7, 1e-7, y.shape)
+        ri, rj, rk = H._hex2d_to_ijk(x, y)
+        assert (ri == i0).all() and (rj == j0).all() and (rk == k0).all()
+
+    def test_voronoi_property(self):
+        px = RNG.uniform(-30, 30, 10000)
+        py = RNG.uniform(-30, 30, 10000)
+        qi, qj, qk = H._hex2d_to_ijk(px, py)
+        cx, cy = H._ijk_to_hex2d(qi, qj, qk)
+        d0 = np.hypot(px - cx, py - cy)
+        for di, dj in [(1, 0), (0, 1), (-1, 0), (0, -1), (1, 1), (-1, -1)]:
+            ni, nj, nk = H._ijk_normalize(qi + di, qj + dj, qk)
+            nx, ny = H._ijk_to_hex2d(ni, nj, nk)
+            dn = np.hypot(px - nx, py - ny)
+            assert (dn >= d0 - 1e-9).all()
+
+    def test_ap7_up_down_inverse(self):
+        ij = RNG.integers(-1000, 1000, size=(5000, 2))
+        i0, j0, k0 = H._ijk_normalize(
+            ij[:, 0], ij[:, 1], np.zeros(len(ij), dtype=np.int64)
+        )
+        for down, up in ((H._down_ap7, H._up_ap7), (H._down_ap7r, H._up_ap7r)):
+            di, dj, dk = down(i0, j0, k0)
+            ui, uj, uk = up(di, dj, dk)
+            assert (ui == i0).all() and (uj == j0).all() and (uk == k0).all()
+
+
+# ---------------------------------------------------------------- goldens
+class TestGoldens:
+    def test_sf_res9(self):
+        c = H.latlng_to_cell(37.7752702151959257, -122.418307270836565, 9)
+        assert format(int(c), "x") == "8928308280fffff"
+
+    def test_res5(self):
+        c = H.latlng_to_cell(37.3615593, -122.0553238, 5)
+        assert format(int(c), "x") == "85283473fffffff"
+
+    def test_res0_packing(self):
+        # base cell b at res 0 packs to (1<<59) | (b<<45) | all-7 digits
+        c = H.latlng_to_cell(37.7752702151959257, -122.418307270836565, 0)
+        bc = int(H.get_base_cell(np.array([c]))[0])
+        assert int(c) == (1 << 59) | (bc << 45) | 0x1FFFFFFFFFFF
+
+    def test_multi_matches_single(self):
+        lat = RNG.uniform(-85, 85, 2000)
+        lng = RNG.uniform(-180, 180, 2000)
+        multi = H.latlng_to_cells_multi(lat, lng, (7, 8, 9))
+        for r in (7, 8, 9):
+            assert (multi[r] == H.latlng_to_cell(lat, lng, r)).all()
+
+    def test_string_roundtrip(self):
+        c = H.latlng_to_cell(np.array([10.0, -45.0]), np.array([20.0, 170.0]), 8)
+        s = H.cell_to_string(c)
+        assert (H.string_to_cell(s) == c).all()
+
+
+# -------------------------------------------------------------- behavior
+class TestBehavior:
+    def test_all_base_cells_reachable(self):
+        lat = RNG.uniform(-89, 89, 200000)
+        lng = RNG.uniform(-180, 180, 200000)
+        c = H.latlng_to_cell(lat, lng, 2)
+        assert len(np.unique(H.get_base_cell(c))) == 122
+
+    def test_parent_agreement(self):
+        # aperture-7 nesting is approximate: ~6% of child area lies
+        # outside the parent, so direct-encode vs cell_to_parent agree
+        # on the large majority of points but not all
+        lat = RNG.uniform(-85, 85, 20000)
+        lng = RNG.uniform(-180, 180, 20000)
+        c9 = H.latlng_to_cell(lat, lng, 9)
+        c7 = H.latlng_to_cell(lat, lng, 7)
+        agree = (H.cell_to_parent(c9, 7) == c7).mean()
+        assert 0.90 < agree < 0.98
+
+    def test_resolution_and_pentagon_flags(self):
+        lat = RNG.uniform(-85, 85, 1000)
+        lng = RNG.uniform(-180, 180, 1000)
+        for r in (0, 5, 9, 15):
+            c = H.latlng_to_cell(lat, lng, r)
+            assert (H.get_resolution(c) == r).all()
+        # pentagons are vanishingly rare for uniform res-9 samples
+        c = H.latlng_to_cell(lat, lng, 9)
+        assert H.is_pentagon(c).sum() == 0
+
+    def test_cross_face_divergence_signature(self):
+        """Pairs straddling an icosahedron edge legitimately diverge at
+        Class II (even) digit levels (those boundaries run along the
+        edge); Class III levels must rarely be the first divergence.
+        A rotation bug flips this signature."""
+        res = 8
+        odd_first = even_first = 0
+        for _ in range(20):
+            f = int(RNG.integers(0, 20))
+            d = H._FACE_XYZ @ H._FACE_XYZ[f]
+            d[f] = -2
+            g = int(np.argmax(d))
+            cf, cg = H._FACE_XYZ[f], H._FACE_XYZ[g]
+            u = cf + cg
+            u /= np.linalg.norm(u)
+            nrm = cf - cg
+            nrm /= np.linalg.norm(nrm)
+            w = np.cross(nrm, u)
+            w /= np.linalg.norm(w)
+            for _ in range(40):
+                t = RNG.uniform(-0.25, 0.25)
+                base = np.cos(t) * u + np.sin(t) * w
+                eps = RNG.normal(0, 2e-5, 2)
+                p1 = base + eps[0] * nrm
+                p1 /= np.linalg.norm(p1)
+                p2 = base + eps[1] * nrm
+                p2 /= np.linalg.norm(p2)
+                lats = np.degrees(np.arcsin(np.clip([p1[2], p2[2]], -1, 1)))
+                lngs = np.degrees(np.arctan2([p1[1], p2[1]], [p1[0], p2[0]]))
+                cells = H.latlng_to_cell(lats, lngs, res)
+                if cells[0] == cells[1]:
+                    continue
+                lvl = -1
+                for r in range(res, -1, -1):
+                    if (
+                        H.cell_to_parent(cells[0:1], r)[0]
+                        == H.cell_to_parent(cells[1:2], r)[0]
+                    ):
+                        lvl = r
+                        break
+                first_div = lvl + 1
+                if first_div == res:
+                    continue
+                if first_div % 2 == 1:
+                    odd_first += 1
+                else:
+                    even_first += 1
+        assert even_first > 10
+        assert odd_first <= 0.3 * even_first
