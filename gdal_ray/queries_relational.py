@@ -357,9 +357,22 @@ FROM documents
 def q_dedup_exact(sf_dir: str):
     """Exact dedup by text content: keep the smallest doc_id per
     distinct text (hash-partition groupby + deterministic first —
-    SURVEY.md §2.6 dedup design)."""
+    SURVEY.md §2.6 dedup design).
+
+    The shuffle key is the 64-bit content fingerprint, NOT the text —
+    at 100 TB the groupby otherwise ships the full corpus as keys
+    (shuffle bytes ~= corpus bytes).  64-bit collision odds stay
+    negligible below ~10^9 distinct docs; for beyond that, chain a
+    within-group verify on the winning rows."""
+    from gdal_ray.stages.text import fingerprint64
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.groupby("text", num_partitions=8).aggregate(Min("doc_id", alias_name="keep_doc_id")).select_columns(["keep_doc_id"])
+    fp = ds.map_batches(fingerprint64, batch_format="pyarrow").select_columns(
+        ["doc_id", "fingerprint"]
+    )
+    return fp.groupby("fingerprint", num_partitions=8).aggregate(
+        Min("doc_id", alias_name="keep_doc_id")
+    ).select_columns(["keep_doc_id"])
 
 
 SQL_DEDUP_EXACT = """

@@ -91,34 +91,52 @@ def add_minhash(ds, text_col: str = "text", id_col: str = "doc_id", k: int = 4):
     """→ (id, band_id, band_hash) rows: the LSH shuffle input."""
 
     def sig(batch: pa.Table) -> pa.Table:
-        ids = batch[id_col]
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
         texts = batch[text_col].to_pylist()
-        out_id, out_band, out_hash = [], [], []
+        n = len(texts)
+        # per-doc shingle hashing is variable-length (the one loop that
+        # must stay); the band explode below is pure numpy repeat/tile
+        bh = np.empty((n, N_BANDS), dtype=np.uint64)
         for i, t in enumerate(texts):
-            bh = band_hashes(minhash_signature(char_shingle_hashes(t or "", k)))
-            out_id.extend([ids[i].as_py()] * N_BANDS)
-            out_band.extend(range(N_BANDS))
-            out_hash.extend(bh.tolist())
+            bh[i] = band_hashes(minhash_signature(char_shingle_hashes(t or "", k)))
         return pa.table(
             {
-                id_col: pa.array(out_id),
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(np.array(out_hash, dtype=np.uint64).astype(np.int64)),
+                id_col: pa.array(np.repeat(ids, N_BANDS)),
+                "band_id": pa.array(
+                    np.tile(np.arange(N_BANDS, dtype=np.int32), n)
+                ),
+                "band_hash": pa.array(bh.reshape(-1).astype(np.int64)),
             }
         )
 
     return ds.map_batches(sig, batch_format="pyarrow")
 
 
-def minhash_candidate_pairs(ds, text_col="text", id_col="doc_id", k: int = 4):
-    """LSH candidate pairs: groupby (band_id, band_hash) → all pairs
-    within a bucket (deduplicated, a<b)."""
+def minhash_candidate_pairs(
+    ds, text_col="text", id_col="doc_id", k: int = 4,
+    max_bucket_pairs: int = 64,
+):
+    """LSH candidate pairs: groupby (band_id, band_hash) → pairs within
+    a bucket (deduplicated, a<b).
+
+    Degenerate-bucket cap: a single boilerplate/empty-text bucket of
+    10^6 docs would emit 5*10^11 all-pairs.  Buckets larger than
+    ``max_bucket_pairs`` emit only STAR pairs (min_id, other) — O(n)
+    pairs that keep the bucket fully connected at graph diameter 2, so
+    the connected-components min-label propagation still converges in
+    a couple of rounds (a chain would need O(n) rounds); every
+    production MinHash pipeline bounds bucket cost this way."""
     bands = add_minhash(ds, text_col, id_col, k)
 
     def pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(np.unique(group[id_col].to_numpy(zero_copy_only=False)))
         if len(ids) < 2:
             return pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+        if len(ids) > max_bucket_pairs:
+            return pa.table(
+                {"a": pa.array(np.full(len(ids) - 1, ids[0])),
+                 "b": pa.array(ids[1:])}
+            )
         ai, bi = np.triu_indices(len(ids), k=1)
         return pa.table({"a": pa.array(ids[ai]), "b": pa.array(ids[bi])})
 
@@ -186,12 +204,18 @@ def near_duplicates(
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
-def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int = 2):
+def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int | None = None):
     """Min-label propagation over verified pairs → (id, component)
     rows. Each round: label[x] = min(label of all neighbors ∪ self);
     converges in O(diameter) groupby rounds (guide pattern —
-    driver-side union-find avoided)."""
-    from ray.data.aggregate import Min
+    driver-side union-find avoided).
+
+    Convergence is detected distributively: labels only ever decrease,
+    so the scalar SUM(label) strictly decreases until the fixed point
+    — one tiny aggregate per round, never a driver materialization of
+    the label table.  ``num_partitions`` defaults to the edge-set
+    block count (clamped), so shuffle width tracks data size."""
+    from ray.data.aggregate import Min, Sum
 
     # edges both directions + self loops
     def expand(batch: pa.Table) -> pa.Table:
@@ -209,6 +233,10 @@ def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int = 2)
     edges = pairs_ds.select_columns(["a", "b"]).map_batches(
         expand, batch_format="pyarrow"
     ).materialize()
+    if num_partitions is None:
+        # proportional to data; >= 2, bounded so tiny graphs don't hit
+        # the ray-2.49 empty-hash-partition schema loss in the join
+        num_partitions = max(2, min(16, edges.num_blocks()))
     # initial label = own id
     labels = edges.groupby("node").aggregate(Min("peer", alias_name="minpeer"))
 
@@ -218,6 +246,7 @@ def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int = 2)
         return pa.table({"node": pa.array(node), "label": pa.array(np.minimum(node, mp))})
 
     labels = labels.map_batches(init, batch_format="pyarrow").materialize()
+    prev_sum = labels.aggregate(Sum("label", alias_name="s"))["s"]
     for _ in range(max_iters):
         # propagate: node's label -> peers (rename the right key so the
         # hash join has unambiguous columns; Dataset.rename_columns
@@ -238,10 +267,11 @@ def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int = 2)
         new_labels = both.groupby("node").aggregate(
             Min("label", alias_name="label")
         ).materialize()
-        # fixed point?
-        old = labels.to_pandas().set_index("node")["label"]
-        new = new_labels.to_pandas().set_index("node")["label"]
         labels = new_labels
-        if old.sort_index().equals(new.sort_index()):
+        # fixed point: labels decrease monotonically, so an unchanged
+        # scalar sum == converged (one-row aggregate, not a label dump)
+        cur = new_labels.aggregate(Sum("label", alias_name="s"))["s"]
+        if prev_sum is not None and cur == prev_sum:
             break
+        prev_sum = cur
     return labels

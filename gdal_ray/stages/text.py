@@ -99,27 +99,45 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
 def fingerprint64(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Deterministic 64-bit document fingerprint: polynomial rolling
     hash of the full text bytes (content-addressing / exact-dedup key
-    without shipping the text into the shuffle)."""
-    texts = batch[text_col].to_pylist()
-    out = np.zeros(len(texts), dtype=np.uint64)
+    without shipping the text into the shuffle).
+
+    Fully vectorized: one segmented Horner-closed-form pass over the
+    column's flat UTF-8 buffer (no per-row Python loop) —
+        h = OFF*P^n + sum raw[j] * P^(n-1-j)   (mod 2^64).
+    """
     P = np.uint64(1099511628211)
     OFF = np.uint64(14695981039346656037)
-    maxlen = max((len((t or "").encode("utf-8", "ignore")) for t in texts), default=1)
-    # P^0..P^maxlen mod 2^64 (uint64 wrap = the modulus)
+    col = batch[text_col].combine_chunks()
+    if isinstance(col, pa.ChunkedArray):
+        col = col.chunk(0) if col.num_chunks else pa.array([], pa.string())
+    col = col.fill_null("")
+    arr = col.cast(pa.large_string())
+    offsets = arr.buffers()[1]
+    data = arr.buffers()[2]
+    offs = np.frombuffer(offsets, dtype=np.int64, count=len(arr) + 1)
+    flat = (
+        np.frombuffer(data, dtype=np.uint8, count=int(offs[-1]))
+        if data is not None and offs[-1] > 0
+        else np.zeros(0, dtype=np.uint8)
+    )
+    starts = offs[:-1]
+    ends = offs[1:]
+    lens = ends - starts
+    maxlen = int(lens.max()) if len(lens) else 0
     with np.errstate(over="ignore"):
         powers = np.ones(maxlen + 1, dtype=np.uint64)
         if maxlen:
             powers[1:] = np.cumprod(np.full(maxlen, P, dtype=np.uint64))
-    for i, t in enumerate(texts):
-        raw = np.frombuffer((t or "").encode("utf-8", "ignore"), dtype=np.uint8)
-        n = len(raw)
-        # Horner-equivalent closed form:
-        #   h = OFF*P^n + Σ raw[j]·P^(n-1-j)   (mod 2^64)
-        with np.errstate(over="ignore"):
-            h = OFF * powers[n] + (
-                raw.astype(np.uint64) * powers[:n][::-1]
-            ).sum(dtype=np.uint64)
-        out[i] = h
+        # exponent of each flat byte: (end_of_its_doc - 1 - index)
+        end_per_byte = np.repeat(ends, lens)
+        exp = end_per_byte - 1 - np.arange(len(flat), dtype=np.int64)
+        contrib = flat.astype(np.uint64) * powers[exp]
+        # segmented sums via cumsum difference: exact under mod-2^64
+        # wrap-around, and empty segments fall out as zero
+        csum = np.zeros(len(flat) + 1, dtype=np.uint64)
+        np.cumsum(contrib, out=csum[1:])
+        sums = csum[ends] - csum[starts]
+        out = OFF * powers[lens] + sums
     return batch.append_column(
         "fingerprint", pa.array(out.astype(np.int64))
     )

@@ -176,3 +176,34 @@ class TestText:
         assert f[0] == f[2]
         assert f[0] != f[1]
         assert isinstance(f[3], int)
+
+
+class TestDegenerateBucket:
+    def test_identical_text_bucket_bounded(self, ray_session):
+        """10^4 identical docs land in one LSH bucket per band; the
+        bucket cap must emit O(n) chain pairs, not O(n^2) all-pairs,
+        while keeping the bucket fully connected for the component
+        grouping (round-2 scale hazard fix)."""
+        import time
+
+        import ray.data as rd
+
+        n = 10_000
+        t = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n), pa.int64()),
+                "text": pa.array(["same boilerplate text everywhere"] * n),
+            }
+        )
+        t0 = time.perf_counter()
+        cand = dedup.minhash_candidate_pairs(rd.from_arrow(t)).to_pandas()
+        dt = time.perf_counter() - t0
+        # star pairs: exactly n-1 unique pairs (found in all 16 bands)
+        assert len(cand) == n - 1
+        assert dt < 120, f"degenerate bucket took {dt:.0f}s"
+        # connectivity preserved: one component
+        pairs = rd.from_arrow(
+            pa.table({"a": pa.array(cand["a"]), "b": pa.array(cand["b"])})
+        )
+        labels = dedup.connected_components(pairs).to_pandas()
+        assert (labels["label"] == 0).all()
