@@ -321,23 +321,36 @@ def _sql_buffer_area() -> str:
 
 
 def q_polygonize_counts(sf_dir: str):
-    """Polygonize the burned admin raster (4-connected components,
-    exact outlines) → pixels per admin value. Oracle: DuckDB
-    re-derives each pixel center's max-covering box and counts —
-    independent of the CCL implementation entirely."""
+    """Polygonize the burned admin raster (4-connected components)
+    → pixels per admin value, via the DISTRIBUTED tile path: the
+    512² raster becomes a 16-tile table, per-tile labeling + border
+    extraction runs as map_batches on Ray workers, and only the
+    O(perimeter) component/border rows come back for the cross-tile
+    union-find merge. Oracle: DuckDB re-derives each pixel center's
+    max-covering box and counts — independent of the CCL
+    implementation entirely."""
+    import ray.data as rd
 
     from gdal_ray.pipelines import rasterpipe
-    from gdal_ray.raster import polygonize
+    from gdal_ray.raster import model, polygonize
 
     arr, gt = rasterpipe.admin_raster()
-    t = polygonize.polygonize_array(
-        arr.astype(np.int32), gt, exclude=-1
-    ).to_pandas()
+    tiles = model.from_array(
+        arr.astype(np.int32), "EPSG:4326", gt, tile_size=128
+    )
+    parts = (
+        rd.from_arrow(tiles)
+        .map_batches(polygonize.tile_labels_and_borders, batch_format="pyarrow")
+        .to_pandas()
+    )
+    merged = polygonize.merge_tile_components(parts)
+    merged = merged[merged["value"] >= 0]
     out = (
-        t.groupby("value")["pixel_count"].sum().reset_index()
+        merged.groupby("value")["pixel_count"].sum().reset_index()
         .rename(columns={"value": "admin_id", "pixel_count": "n_pixels"})
     )
     out["admin_id"] = out["admin_id"].astype("int64")
+    out["n_pixels"] = out["n_pixels"].astype("int64")
     import pyarrow as _pa
 
     return _pa.Table.from_pandas(out, preserve_index=False)
@@ -438,17 +451,39 @@ def q_dem_slope(sf_dir: str):
     our edge replication). sf_dir unused (analytic fixture)."""
     import ray.data as rd
 
-    from gdal_ray.raster import focal
+    from gdal_ray.raster import focal, model
 
     i, j = np.meshgrid(np.arange(64), np.arange(64), indexing="ij")
     dem = 20.0 * np.sin(i / 5.0) + 15.0 * np.cos(j / 7.0)
-    s = focal.slope(dem, ewres=1.0, nsres=1.0)
-    return pa.table(
-        {
-            "pixel_id": pa.array((i * 64 + j).ravel().astype(np.int64)),
-            "slope_deg": pa.array(s.ravel()),
-        }
+    # DISTRIBUTED tile path: 4 tiles + real-data halo exchange, the
+    # Horn stencil runs per tile on workers (per-pixel ops — values
+    # bit-identical to the whole-array version, tested in test_focal)
+    tiles = model.from_array(
+        dem, "EPSG:4326", (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), tile_size=32
     )
+    out = focal.focal_tiles(
+        rd.from_arrow(tiles), focal.slope, halo=1, ewres=1.0, nsres=1.0
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, vals = [], []
+        for r in batch.to_pylist():
+            a = model.tile_array(r)
+            rr, cc = np.meshgrid(
+                np.arange(a.shape[0]), np.arange(a.shape[1]), indexing="ij"
+            )
+            ids.append(((r["y0"] + rr) * 64 + (r["x0"] + cc)).ravel())
+            vals.append(a.ravel())
+        return pa.table(
+            {
+                "pixel_id": pa.array(
+                    np.concatenate(ids).astype(np.int64)
+                ),
+                "slope_deg": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def _sql_dem_slope() -> str:
@@ -478,8 +513,11 @@ def q_zonal_stats(sf_dir: str):
     i + 2j) over the admin boxes (RASTER_SEQUENTIAL strategy);
     oracle re-derives every pixel's zone (last-burn-wins MAX) and
     aggregates in SQL. sf_dir unused (analytic fixture)."""
+    import ray
+    import ray.data as rd
+
     from gdal_ray import fixtures
-    from gdal_ray.raster import model, rasterize, zonal
+    from gdal_ray.raster import model, zonal
 
     N = 128
     i, j = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
@@ -489,12 +527,30 @@ def q_zonal_stats(sf_dir: str):
         (row["geometry"], float(row["admin_id"]))
         for row in fixtures.gen_boundaries().to_pylist()
     ]
-    zones = rasterize.rasterize_array(
-        shapes, N, N, gt, dtype="float64", init=-1.0
-    ).astype(np.int64)
-    t = zonal.combine_zonal(zonal.zonal_partials(vals, zones, 100))
-    out = t.to_pandas()[["zone", "n", "min", "max", "mean"]]
-    out = out.rename(columns={"zone": "admin_id", "n": "n_pixels"})
+    # DISTRIBUTED tile path: value tiles + broadcast zone shapes
+    # (ray.put once), per-tile burn + partial moments on workers,
+    # tiny groupby("zone") merge. Integer-valued pixels → partial
+    # sums are exact in any combine order (bit-equal to the oracle).
+    tiles = model.from_array(vals, "EPSG:4326", gt, tile_size=64)
+    ref = ray.put(shapes)
+    parts = rd.from_arrow(tiles).map_batches(
+        zonal.ZonalPartialStage,
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+        fn_constructor_kwargs={"shapes_ref": ref, "n_zones": 100},
+    )
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = parts.groupby("zone", num_partitions=2).aggregate(
+        Sum("n", alias_name="n"),
+        Sum("sum", alias_name="sum"),
+        Min("min", alias_name="min"),
+        Max("max", alias_name="max"),
+    ).to_pandas()
+    agg["mean"] = agg["sum"] / agg["n"]
+    out = agg.rename(columns={"zone": "admin_id", "n": "n_pixels"})[
+        ["admin_id", "n_pixels", "min", "max", "mean"]
+    ]
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
