@@ -54,7 +54,20 @@ def checksum_tile(
     if arr.dtype.kind == "f":
         vals = _int_from_double(arr.astype(np.float64).ravel()).reshape(arr.shape)
     else:
-        vals = arr.astype(np.int64)
+        # GDALChecksumImage reads every non-float band through GDT_Int32
+        # (GDALCopyWords clamps out-of-range values), so uint32/int64/
+        # uint64 rasters must clamp before the modulo to stay bit-exact.
+        # unsigned clamps before the int64 cast (uint64 would wrap).
+        if arr.dtype.kind == "u":
+            vals = np.minimum(
+                arr, arr.dtype.type(np.iinfo(np.int32).max)
+            ).astype(np.int64)
+        else:
+            vals = np.clip(
+                arr.astype(np.int64),
+                np.int64(np.iinfo(np.int32).min),
+                np.int64(np.iinfo(np.int32).max),
+            )
     # C truncated modulo: np.fmod matches C's % for integers
     terms = np.fmod(vals, primes)
     return int(terms.sum() % 65536)
@@ -83,7 +96,8 @@ def checksum_scalar_oracle(arr: np.ndarray) -> int:
                     fv = min(max(fv, -2147483647.0), 2147483647.0)
                     iv = int(np.floor(fv))
             else:
-                iv = int(v)
+                # GDT_Int32 read path clamps (GDALCopyWords semantics)
+                iv = min(max(int(v), -(2**31)), 2**31 - 1)
             n += int(np.fmod(iv, int(PRIMES[iprime])))
             iprime += 1
             if iprime > 10:

@@ -36,12 +36,45 @@ _SAFE_FUNCS = {
 }
 
 
+_ALLOWED_AST = (
+    "Expression", "BinOp", "UnaryOp", "Compare", "BoolOp", "IfExp",
+    "Call", "Name", "Load", "Constant", "Tuple", "List",
+    "Add", "Sub", "Mult", "Div", "FloorDiv", "Mod", "Pow",
+    "USub", "UAdd", "Invert", "Not",
+    "Lt", "LtE", "Gt", "GtE", "Eq", "NotEq", "And", "Or",
+    "BitAnd", "BitOr", "BitXor", "LShift", "RShift",
+)
+
+
 def calc_expr(expr: str, arrays: dict[str, np.ndarray]) -> np.ndarray:
     """Evaluate a band-algebra expression (variables = band names) in
-    a restricted numpy namespace — the muparser role."""
+    a restricted numpy namespace — the muparser role.
+
+    The expression is AST-validated first: only arithmetic/comparison
+    operators, plain names, and calls to the whitelisted functions are
+    allowed — no attribute access, subscripts, lambdas or
+    comprehensions, so the ``().__class__``-style namespace escapes of
+    a bare eval are rejected up front (gdal_calc's muparser has the
+    same trusted-operator surface; here it is enforced)."""
+    import ast
+
+    tree = ast.parse(expr, mode="eval")
+    for node in ast.walk(tree):
+        kind = type(node).__name__
+        if kind not in _ALLOWED_AST:
+            raise ValueError(f"calc expression: disallowed syntax {kind!r}")
+        if isinstance(node, ast.Call):
+            if not isinstance(node.func, ast.Name) or node.func.id not in _SAFE_FUNCS:
+                raise ValueError("calc expression: only whitelisted functions")
+        if isinstance(node, ast.Name) and (
+            node.id not in _SAFE_FUNCS and node.id not in arrays
+        ):
+            raise ValueError(f"calc expression: unknown name {node.id!r}")
     ns = dict(_SAFE_FUNCS)
     ns.update(arrays)
-    return eval(expr, {"__builtins__": {}}, ns)  # noqa: S307 — restricted ns
+    return eval(  # noqa: S307 — AST-validated, restricted namespace
+        compile(tree, "<calc>", "eval"), {"__builtins__": {}}, ns
+    )
 
 
 def reclassify(arr: np.ndarray, mapping: dict[float, float], default=None) -> np.ndarray:

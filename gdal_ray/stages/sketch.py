@@ -139,10 +139,14 @@ def reservoir_sample(ds, n: int, key_col: str, seed: int = 42):
         h = hash_any(batch[key_col], seed)
         k = min(n, len(h))
         if k == 0:
-            return batch.append_column("__rs", pa.array([], pa.uint64()))
+            return batch.append_column("__rs", pa.array([], pa.int64()))
         part = np.argpartition(h, k - 1)[:k]
         out = batch.take(pa.array(part))
-        return out.append_column("__rs", pa.array(h[part].astype(np.int64)))
+        # shift uint64 into signed order (h ^ 2^63) so the int64 sort
+        # in the global merge ranks identically to the local unsigned
+        # top-n — one ordering end-to-end, batch-size independent
+        key = (h[part] ^ np.uint64(1 << 63)).astype(np.int64)
+        return out.append_column("__rs", pa.array(key))
 
     local_ds = ds.map_batches(local, batch_format="pyarrow")
     merged = local_ds.sort("__rs").limit(n)

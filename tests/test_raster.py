@@ -337,3 +337,35 @@ class TestLanczos:
         assert np.isfinite(out).mean() > 0.8
         m = np.isfinite(out)
         assert out[m].min() > -60 and out[m].max() < 320  # bounded ringing
+
+
+class TestAdviceRegressions:
+    def test_checksum_clamps_wide_integers(self):
+        """uint32/int64/uint64 values outside int32 range go through
+        the GDT_Int32 read clamp (GDALCopyWords semantics)."""
+        from gdal_ray.raster import checksum as ck
+
+        for arr in (
+            np.array([[4_000_000_000, 7]], dtype=np.uint64),
+            np.array([[2**40, -(2**40)]], dtype=np.int64),
+            np.array([[4_294_967_295, 123]], dtype=np.uint32),
+        ):
+            assert ck.checksum_array(arr) == ck.checksum_scalar_oracle(arr)
+
+    def test_calc_expr_rejects_escapes(self):
+        import pytest as _pytest
+
+        from gdal_ray.raster.kernels import calc_expr
+
+        a = {"A": np.ones((2, 2))}
+        assert (calc_expr("A * 2 + 1", a) == 3).all()
+        for bad in (
+            "().__class__",
+            "A.__class__",
+            "__import__('os')",
+            "[x for x in (1,)]",
+            "(lambda: 1)()",
+            "A[0]",
+        ):
+            with _pytest.raises((ValueError, SyntaxError)):
+                calc_expr(bad, a)

@@ -80,3 +80,21 @@ class TestReservoir:
         freq = counts / trials
         assert abs(freq.mean() - 0.1) < 1e-9  # exactly 200/2000 overall
         assert freq.std() < 0.08  # no pathological bias
+
+
+def test_reservoir_sample_batch_size_invariant(ray_session):
+    """The sample must be identical regardless of batch boundaries
+    (round-2 ADVICE regression: the int64-cast merge sorted hashes
+    >= 2^63 negative-first, so samples depended on batching)."""
+    import ray.data as rd
+
+    t = pa.table({"k": pa.array([f"item-{i}" for i in range(3000)])})
+    got = {}
+    for bs in (7, 250, 3000):
+        ds = rd.from_arrow(t).map_batches(
+            lambda b: b, batch_format="pyarrow", batch_size=bs
+        )
+        out = sketch.reservoir_sample(ds, 40, "k").to_pandas()
+        got[bs] = sorted(out["k"].tolist())
+        assert len(out) == 40
+    assert got[7] == got[250] == got[3000]
