@@ -185,3 +185,68 @@ def pyramid_metadata(tiles_df, zmin: int, zmax: int) -> dict:
             for z, g in tiles_df.groupby("z")
         },
     }
+
+
+def write_png_tiles(
+    tiles_ds: rd.Dataset,
+    out_dir: str,
+    vmin: float,
+    vmax: float,
+    rgba: bool = True,
+    overwrite: bool = False,
+) -> rd.Dataset:
+    """Write pyramid tiles as a z/x/y.png directory tree (the
+    gdal2tiles XYZ layout; PNG output of `gdal raster tile`,
+    apps/gdalalg_raster_tile.cpp:6191 / gdal2tiles.py:1283).
+
+    Float tile values scale linearly [vmin, vmax] → 0..255 grey; with
+    ``rgba`` NaN pixels become fully transparent (the nodata→alpha
+    story).  Writes are atomic (tmp + rename) and resumable: existing
+    files are skipped unless ``overwrite`` — re-running a killed job
+    only encodes the missing tiles.  Returns the manifest dataset
+    (z, x, y, path, written, n_bytes)."""
+    import os
+
+    from gdal_ray.raster import png as pngmod
+
+    span = float(vmax - vmin) or 1.0
+
+    def sink(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            z, x, y = int(r["z"]), int(r["x"]), int(r["y"])
+            d = os.path.join(out_dir, str(z), str(x))
+            path = os.path.join(d, f"{y}.png")
+            if not overwrite and os.path.exists(path):
+                out.append(
+                    {"z": z, "x": x, "y": y, "path": path,
+                     "written": False, "n_bytes": os.path.getsize(path)}
+                )
+                continue
+            arr = np.frombuffer(r["data"], dtype=np.float32).reshape(
+                r["height"], r["width"]
+            )
+            finite = np.isfinite(arr)
+            grey = np.clip(
+                (np.where(finite, arr, vmin) - vmin) / span * 255.0,
+                0.0, 255.0,
+            ).astype(np.uint8)
+            if rgba:
+                img = np.empty((*grey.shape, 4), dtype=np.uint8)
+                img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = grey
+                img[:, :, 3] = np.where(finite, 255, 0).astype(np.uint8)
+            else:
+                img = grey
+            data = pngmod.encode_png(img)
+            os.makedirs(d, exist_ok=True)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            out.append(
+                {"z": z, "x": x, "y": y, "path": path,
+                 "written": True, "n_bytes": len(data)}
+            )
+        return pa.Table.from_pylist(out)
+
+    return tiles_ds.map_batches(sink, batch_format="pyarrow")
