@@ -1,0 +1,162 @@
+"""General-geometry buffer: points, linestrings, polygons — the
+OGRGeometry::Buffer role (reference: ogr/ogrgeometry.cpp:4498; GEOS
+round joins/caps with ``quadsegs`` segments per quarter circle).
+
+Construction: raw offset walk (offset edges + arc joins at outward
+turns, raw crossing at inward turns) → node-splitting via
+geom.ops.make_valid_ring → keep the dominant positive rings.  Valid
+for geometries whose buffer self-intersects only locally (adjacent
+joins) — gentle polylines and simple polygons; a distant-overlap
+buffer (e.g. a tight spiral) is out of scope and documented so.
+
+Arc discretization: steps of exactly 2*pi/(4*quadsegs) where the
+sweep divides evenly (so a rectangle's four quarter-arcs sum to
+exactly the 4q-gon circle — the closed-form oracle identity
+  area = A + P*r + (1/2) n r^2 sin(2 pi / n),  n = 4*quadsegs),
+with a uniform k-step subdivision otherwise."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from gdal_ray.geom.ops import make_valid_ring, ring_area
+
+
+def _arc_points(cx, cy, r, a0, sweep, n_full):
+    """Arc vertices strictly between the endpoints; step ~= 2*pi/n."""
+    if abs(sweep) < 1e-15:
+        return np.zeros((0, 2))
+    k = max(1, int(round(abs(sweep) / (2.0 * np.pi / n_full))))
+    angs = a0 + sweep * (np.arange(1, k) / k)
+    return np.column_stack([cx + r * np.cos(angs), cy + r * np.sin(angs)])
+
+
+def _offset_side(pts: np.ndarray, r: float, n_full: int) -> list[np.ndarray]:
+    """One side of the raw offset walk (left side of the direction of
+    travel): offset edge endpoints + join arcs at right turns."""
+    out = []
+    d = np.diff(pts, axis=0)
+    th = np.arctan2(d[:, 1], d[:, 0])
+    for i in range(len(d)):
+        nlx, nly = np.cos(th[i] + np.pi / 2), np.sin(th[i] + np.pi / 2)
+        out.append(pts[i] + r * np.array([nlx, nly]))
+        out.append(pts[i + 1] + r * np.array([nlx, nly]))
+        if i + 1 < len(d):
+            turn = (th[i + 1] - th[i] + np.pi) % (2 * np.pi) - np.pi
+            if turn < 0:  # right turn: left side is outer -> join arc
+                arc = _arc_points(
+                    pts[i + 1][0], pts[i + 1][1], r,
+                    th[i] + np.pi / 2, turn, n_full,
+                )
+                out.extend(arc)
+            # left turn: raw crossing, fixed by node splitting
+    return out
+
+
+def buffer_line(coords: np.ndarray, dist: float, quadsegs: int = 30) -> list[np.ndarray]:
+    """Polyline buffer with round joins and caps → list of CCW rings
+    (normally one)."""
+    pts = np.asarray(coords, dtype=np.float64)
+    if len(pts) < 2:
+        from gdal_ray.geom.ops import buffer_point
+
+        return [buffer_point(pts[0][0], pts[0][1], dist, quadsegs)]
+    # drop zero-length edges
+    keep = np.ones(len(pts), dtype=bool)
+    keep[1:] = (np.abs(np.diff(pts, axis=0)) > 1e-15).any(axis=1)
+    pts = pts[keep]
+    n_full = 4 * quadsegs
+    r = float(dist)
+    d = np.diff(pts, axis=0)
+    th = np.arctan2(d[:, 1], d[:, 0])
+
+    ring = []
+    ring.extend(_offset_side(pts, r, n_full))
+    # end cap: half circle from left-normal to right-normal (through
+    # the forward direction)
+    end = pts[-1]
+    ring.extend(
+        _arc_points(end[0], end[1], r, th[-1] + np.pi / 2, -np.pi, n_full)
+    )
+    ring.extend(_offset_side(pts[::-1], r, n_full))
+    start = pts[0]
+    ring.extend(
+        _arc_points(start[0], start[1], r, th[0] - np.pi / 2, -np.pi, n_full)
+    )
+    raw = np.array(ring)
+    raw = np.vstack([raw, raw[:1]])
+    parts = make_valid_ring(raw)
+    keep_rings = _dominant_positive(parts)
+    return keep_rings
+
+
+def buffer_polygon(ring: np.ndarray, dist: float, quadsegs: int = 30) -> list[np.ndarray]:
+    """Outward buffer of a simple polygon exterior ring (positive
+    ``dist``) → list of CCW rings (normally one)."""
+    if dist < 0:
+        raise NotImplementedError("negative (erosion) buffer not in v1")
+    p = np.asarray(ring, dtype=np.float64)
+    if (p[0] == p[-1]).all():
+        p = p[:-1]
+    if ring_area(np.vstack([p, p[:1]])) < 0:
+        p = p[::-1]  # ensure CCW
+    n_full = 4 * quadsegs
+    r = float(dist)
+    # closed walk: for a CCW ring the outward side is the RIGHT of the
+    # direction of travel; at convex (left) turns insert the join arc,
+    # at reflex (right) turns leave the raw crossing
+    m = len(p)
+    out = []
+    nxt = np.roll(p, -1, axis=0)
+    d = nxt - p
+    th = np.arctan2(d[:, 1], d[:, 0])
+    for i in range(m):
+        nrx, nry = np.cos(th[i] - np.pi / 2), np.sin(th[i] - np.pi / 2)
+        out.append(p[i] + r * np.array([nrx, nry]))
+        out.append(nxt[i] + r * np.array([nrx, nry]))
+        j = (i + 1) % m
+        turn = (th[j] - th[i] + np.pi) % (2 * np.pi) - np.pi
+        if turn > 0:  # convex vertex: outward join arc (ccw sweep)
+            out.extend(
+                _arc_points(nxt[i][0], nxt[i][1], r, th[i] - np.pi / 2,
+                            turn, n_full)
+            )
+    raw = np.array(out)
+    raw = np.vstack([raw, raw[:1]])
+    parts = make_valid_ring(raw)
+    return _dominant_positive(parts)
+
+
+def _dominant_positive(parts: list[np.ndarray]) -> list[np.ndarray]:
+    """Keep positive-orientation loops of the node-split raw ring (the
+    buffer region); inverted local loops and positive slivers CONTAINED
+    in a larger kept ring are the trimmed overlap double-counts.
+    (v1 scope: simply-connected results — a closed-loop line's annulus
+    hole is not represented.)"""
+    from gdal_ray.geom.clip import PolygonEdges, _interior_point
+
+    pos = [rg for rg in parts if ring_area(rg) > 0]
+    if not pos:
+        # whole raw ring came out CW (walk direction): flip
+        pos = [rg[::-1] for rg in parts if ring_area(rg) < 0]
+    if not pos:
+        return []
+    pos.sort(key=ring_area, reverse=True)
+    kept: list[np.ndarray] = [pos[0]]
+    all_ys = np.unique(np.concatenate([rg[:, 1] for rg in pos]))
+    for rg in pos[1:]:
+        pt = _interior_point(rg, all_ys)
+        inside = any(
+            PolygonEdges([k]).contains_points(
+                np.array([pt[0]]), np.array([pt[1]])
+            )[0]
+            for k in kept
+        )
+        if not inside:
+            kept.append(rg)
+    return kept
+
+
+def buffer_area(rings: list[np.ndarray]) -> float:
+    """Area of a buffer result (sum of its positive rings)."""
+    return float(sum(ring_area(rg) for rg in rings))

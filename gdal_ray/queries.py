@@ -291,24 +291,40 @@ FROM pages
 
 
 def q_buffer_area(sf_dir: str):
-    """Buffer each page point by 1° (quadsegs=30) and measure the
-    polygon area — oracle: the exact closed form of the 120-gon
-    inscribed in the circle, 0.5·n·r²·sin(2π/n)."""
+    """Buffer a PER-ROW rectangle (sides derived from each page's
+    coordinates) by 0.25° with round joins (quadsegs=8) and measure
+    the resulting polygon's area — the full offset-walk + node-split
+    construction runs per row (stages.vector.buffer_wkb); oracle: the
+    Minkowski closed form  A + P·r + ½·n·r²·sin(2π/n)  (the four
+    quarter-arcs of a rectangle tile the n-gon circle exactly)."""
     import pyarrow as pa
 
+    from gdal_ray.geom import buffer as gbuf
     from gdal_ray.geom import ops as gops
     from gdal_ray.pipelines import flagship
 
     pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    r = 0.25
+    q = 8
 
     def buf_area(t: pa.Table) -> pa.Table:
-        # area is translation-invariant: build the ring in the local
-        # frame (avoids shoelace cancellation at large offsets, keeps
-        # the value bit-identical across rows and engines)
-        ring = gops.buffer_point(0.0, 0.0, 1.0, quadsegs=30)
-        a = abs(gops.ring_area(ring))
-        areas = np.full(t.num_rows, a)
-        return pa.table({"url": t["url"], "buf_area": pa.array(areas)})
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        # SQL-mirrorable per-row rectangle dims (always positive)
+        w = 0.5 + np.abs(lon) / 360.0
+        h = 0.5 + np.abs(lat) / 180.0
+        areas = np.empty(len(w))
+        for i in range(len(w)):
+            # local frame: translation-invariant area, bit-stable
+            rect = np.array(
+                [(0.0, 0.0), (w[i], 0.0), (w[i], h[i]), (0.0, h[i]),
+                 (0.0, 0.0)]
+            )
+            rings = gbuf.buffer_polygon(rect, r, q)
+            areas[i] = sum(gops.ring_area(rg) for rg in rings)
+        return pa.table(
+            {"url": t["url"], "buf_area": pa.array(np.round(areas, 9))}
+        )
 
     return pages.map_batches(buf_area, batch_format="pyarrow")
 
@@ -316,7 +332,13 @@ def q_buffer_area(sf_dir: str):
 def _sql_buffer_area() -> str:
     return (
         _PAGES_SQL
-        + "SELECT url, 0.5 * 120.0 * sin(2.0*pi()/120.0) AS buf_area FROM pages"
+        + """
+SELECT url,
+       ROUND((0.5 + abs(lon)/360.0) * (0.5 + abs(lat)/180.0)
+             + 2.0 * ((0.5 + abs(lon)/360.0) + (0.5 + abs(lat)/180.0)) * 0.25
+             + 0.5 * 32.0 * 0.25 * 0.25 * sin(2.0*pi()/32.0), 9) AS buf_area
+FROM pages
+"""
     )
 
 

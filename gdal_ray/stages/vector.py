@@ -121,17 +121,45 @@ def segmentize(ds, max_length: float, geom_col="geometry"):
     return map_wkb(ds, f, geom_col)
 
 
-def buffer_points(ds, distance: float, quadsegs: int = 30, geom_col="geometry"):
-    """`gdal vector buffer` for point geometries."""
+def buffer_wkb(buf: bytes, distance: float, quadsegs: int = 30) -> bytes:
+    """Buffer one WKB geometry (Point/LineString/Polygon/Multi*) with
+    round joins and caps — OGRGeometry::Buffer role
+    (ogr/ogrgeometry.cpp:4498 semantics via geom.buffer raw-offset +
+    node-split construction; simply-connected results)."""
+    from gdal_ray.geom import buffer as gbuf
 
-    def f(buf):
-        g = gwkb.parse(buf)
-        if g["type"] != gwkb.POINT:
-            raise NotImplementedError("v0 buffers Point geometries only")
+    g = gwkb.parse(buf)
+    t = g["type"]
+    if t == gwkb.POINT:
         x, y = g["coords"][0]
         return gwkb.polygon_wkb(gops.buffer_point(x, y, distance, quadsegs))
+    if t == gwkb.LINESTRING:
+        rings = gbuf.buffer_line(g["coords"], distance, quadsegs)
+    elif t == gwkb.POLYGON:
+        rings = gbuf.buffer_polygon(g["rings"][0], distance, quadsegs)
+    elif t in (gwkb.MULTIPOINT, gwkb.MULTILINESTRING, gwkb.MULTIPOLYGON):
+        parts = [buffer_wkb(p, distance, quadsegs) for p in gops.explode_wkb(buf)]
+        rings = []
+        for p in parts:
+            rings.extend(gwkb.polygon_rings(p))
+        # note: parts may overlap; union is not applied (v1 scope)
+    else:
+        raise NotImplementedError(f"buffer: unsupported geometry type {t}")
+    if len(rings) == 1:
+        return gwkb.polygon_wkb(rings[0])
+    return gwkb.multipolygon_wkb([(rg, []) for rg in rings])
 
-    return map_wkb(ds, f, geom_col)
+
+def buffer_geoms(ds, distance: float, quadsegs: int = 30, geom_col="geometry"):
+    """`gdal vector buffer` for any geometry type."""
+    return map_wkb(
+        ds, lambda b: buffer_wkb(b, distance, quadsegs), geom_col
+    )
+
+
+def buffer_points(ds, distance: float, quadsegs: int = 30, geom_col="geometry"):
+    """`gdal vector buffer` (kept name; now general — see buffer_geoms)."""
+    return buffer_geoms(ds, distance, quadsegs, geom_col)
 
 
 def explode_collections(ds, geom_col="geometry"):
