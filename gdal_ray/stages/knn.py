@@ -59,36 +59,28 @@ class KNNJoiner:
         self.lat_col = lat_col
         self.chunk = chunk
         self.include_value = include_value and self.rval is not None
+        # indexed path: GridKNN buckets the reference set once per
+        # actor/worker; queries stay exact (certified-radius check +
+        # brute-force fallback) but stage time is flat in |ref|
+        self.index = GridKNN(self.rx, self.ry, self.rid, k=k)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qx = batch[self.lon_col].to_numpy(zero_copy_only=False)
         qy = batch[self.lat_col].to_numpy(zero_copy_only=False)
         n = len(qx)
         k = min(self.k, len(self.rx))
-        out_idx = np.empty((n, k), dtype=np.int64)
-        out_d2 = np.empty((n, k), dtype=np.float64)
-        for s in range(0, n, self.chunk):
-            e = min(s + self.chunk, n)
-            dx = qx[s:e, None] - self.rx[None, :]
-            dy = qy[s:e, None] - self.ry[None, :]
-            d2 = dx * dx + dy * dy
-            part = np.argpartition(d2, k - 1, axis=1)[:, :k]
-            pd2 = np.take_along_axis(d2, part, axis=1)
-            pid = self.rid[part]
-            # deterministic (dist2, point_id) order within the k set
-            order = np.lexsort((pid, pd2), axis=1)
-            out_idx[s:e] = np.take_along_axis(part, order, axis=1)
-            out_d2[s:e] = np.take_along_axis(pd2, order, axis=1)
+        pid, pd2, pidx = self.index.query(qx, qy)
         rows = np.repeat(np.arange(n), k)
         out = batch.take(pa.array(rows))
         out = out.append_column(
             "knn_rank", pa.array(np.tile(np.arange(1, k + 1), n))
         )
-        flat = out_idx.ravel()
-        out = out.append_column("point_id", pa.array(self.rid[flat]))
-        out = out.append_column("dist2", pa.array(out_d2.ravel()))
+        out = out.append_column("point_id", pa.array(pid.ravel()))
+        out = out.append_column("dist2", pa.array(pd2.ravel()))
         if self.include_value:
-            out = out.append_column("ref_value", pa.array(self.rval[flat]))
+            out = out.append_column(
+                "ref_value", pa.array(self.rval[pidx.ravel()])
+            )
         return out
 
 
@@ -346,28 +338,21 @@ def idw_estimate(
         def __call__(self, batch: pa.Table) -> pa.Table:  # noqa: D401
             qx = batch[self.lon_col].to_numpy(zero_copy_only=False)
             qy = batch[self.lat_col].to_numpy(zero_copy_only=False)
-            n = len(qx)
-            kk = min(self.k, len(self.rx))
-            est = np.empty(n, dtype=np.float64)
-            for s in range(0, n, self.chunk):
-                e = min(s + self.chunk, n)
-                dx = qx[s:e, None] - self.rx[None, :]
-                dy = qy[s:e, None] - self.ry[None, :]
-                d2 = dx * dx + dy * dy + smoothing * smoothing
-                part = np.argpartition(d2, kk - 1, axis=1)[:, :kk]
-                pd2 = np.take_along_axis(d2, part, axis=1)
-                vals = self.rval[part]
-                with np.errstate(divide="ignore"):
-                    w = 1.0 / np.power(np.sqrt(pd2), power)
-                exact = ~np.isfinite(w)
-                w = np.where(exact, 0.0, w)
-                num = (w * vals).sum(axis=1)
-                den = w.sum(axis=1)
-                block = np.where(den > 0, num / np.maximum(den, 1e-300), np.nan)
-                # exact hits take the reference value (gdalgrid rule)
-                hit_rows, hit_cols = np.nonzero(exact)
-                block[hit_rows] = vals[hit_rows, hit_cols]
-                est[s:e] = block
+            # indexed candidate selection (exact); smoothing shifts all
+            # distances equally so the k-set is unchanged
+            _pid, pd2, pidx = self.index.query(qx, qy)
+            pd2 = pd2 + smoothing * smoothing
+            vals = self.rval[pidx]
+            with np.errstate(divide="ignore"):
+                w = 1.0 / np.power(np.sqrt(pd2), power)
+            exact = ~np.isfinite(w)
+            w = np.where(exact, 0.0, w)
+            num = (w * vals).sum(axis=1)
+            den = w.sum(axis=1)
+            est = np.where(den > 0, num / np.maximum(den, 1e-300), np.nan)
+            # exact hits take the reference value (gdalgrid rule)
+            hit_rows, hit_cols = np.nonzero(exact)
+            est[hit_rows] = vals[hit_rows, hit_cols]
             return batch.append_column("idw_value", pa.array(est))
 
     if isinstance(ref, pa.Table):

@@ -71,3 +71,48 @@ def test_idw_exact_hit_and_smooth(ray_session):
     assert out["idw_value"][0] == 2.0
     # interior estimate is a weighted mean within data range
     assert 1.0 < out["idw_value"][1] < 4.0
+
+
+def test_knnjoiner_indexed_matches_bruteforce(ray_session):
+    """KNNJoiner now routes through GridKNN; results must stay exact
+    vs direct brute force at a larger reference-set size."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.knn import knn_join
+
+    rng = np.random.default_rng(9)
+    nref = 3000
+    ref = pa.table(
+        {
+            "point_id": pa.array(np.arange(nref, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-80, 80, nref)),
+            "lat": pa.array(rng.uniform(-60, 60, nref)),
+        }
+    )
+    nq = 500
+    pts = pa.table(
+        {
+            "qid": pa.array(np.arange(nq, dtype=np.int64)),
+            "lon": pa.array(rng.uniform(-90, 90, nq)),
+            "lat": pa.array(rng.uniform(-70, 70, nq)),
+        }
+    )
+    out = (
+        knn_join(rd.from_arrow(pts), ref, k=5)
+        .to_pandas()
+        .sort_values(["qid", "knn_rank"])
+        .reset_index(drop=True)
+    )
+    # brute-force oracle
+    qx = pts["lon"].to_numpy()
+    qy = pts["lat"].to_numpy()
+    rx = ref["lon"].to_numpy()
+    ry = ref["lat"].to_numpy()
+    d2 = (qx[:, None] - rx) ** 2 + (qy[:, None] - ry) ** 2
+    for qi in range(nq):
+        order = np.lexsort((np.arange(nref), d2[qi]))[:5]
+        got = out[out["qid"] == qi]
+        assert got["point_id"].tolist() == list(order)
+        assert got["dist2"].tolist() == d2[qi][order].tolist()
