@@ -602,6 +602,66 @@ FROM z GROUP BY admin_id
 """
 
 
+def q_warp_agg_mean(sf_dir: str):
+    """Average-resampling warp (GRA_Average, alg/gdalwarper.h:35-67):
+    2× downsample of an analytic 64×64 integer raster, run as a
+    DISTRIBUTED per-window warp (each task warps its own dst window
+    with the full geotransforms — tiled == whole). Oracle: SQL mean
+    per 2×2 block; integer values keep the mean exact. sf_dir unused
+    (analytic fixture)."""
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.raster.warp import warp_array_aggregate
+
+    N = 64
+    i, j = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    src = (i * 3.0 + j).astype(np.float64)
+    gt_src = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    gt_dst = (0.0, 2.0, 0.0, 0.0, 0.0, -2.0)
+    src_ref = ray.put(src)
+    windows = pa.table(
+        {
+            "y0": pa.array([0, 0, 16, 16], pa.int64()),
+            "x0": pa.array([0, 16, 0, 16], pa.int64()),
+        }
+    )
+
+    def warp_window(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        s = _ray.get(src_ref)
+        ids, vals = [], []
+        for r in batch.to_pylist():
+            out = warp_array_aggregate(
+                s, gt_src, "EPSG:4326", (16, 16), gt_dst, "EPSG:4326",
+                method="average", dst_y0=r["y0"], dst_x0=r["x0"],
+            )
+            rr, cc = np.meshgrid(np.arange(16), np.arange(16), indexing="ij")
+            ids.append(((r["y0"] + rr) * 32 + (r["x0"] + cc)).ravel())
+            vals.append(out.ravel())
+        return pa.table(
+            {
+                "pixel_id": pa.array(np.concatenate(ids).astype(np.int64)),
+                "mean_val": pa.array(np.concatenate(vals)),
+            }
+        )
+
+    return rd.from_arrow(windows).map_batches(
+        warp_window, batch_format="pyarrow", batch_size=1
+    )
+
+
+def _sql_warp_agg_mean() -> str:
+    return """
+WITH ii(i) AS (SELECT unnest(generate_series(0, 63))),
+jj(j) AS (SELECT unnest(generate_series(0, 63))),
+px AS (SELECT i, j, i*3.0 + j AS v FROM ii CROSS JOIN jj)
+SELECT (i//2) * 32 + (j//2) AS pixel_id, AVG(v) AS mean_val
+FROM px GROUP BY 1
+"""
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
@@ -617,6 +677,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "grid_idw": q_grid_idw,
     "dem_slope": q_dem_slope,
     "zonal_stats": q_zonal_stats,
+    "warp_agg_mean": q_warp_agg_mean,
 }
 
 ORACLE: dict[str, str] = {
@@ -633,6 +694,7 @@ ORACLE: dict[str, str] = {
     "grid_idw": _sql_grid_idw(),
     "dem_slope": _sql_dem_slope(),
     "zonal_stats": _sql_zonal_stats(),
+    "warp_agg_mean": _sql_warp_agg_mean(),
 }
 
 # relational/text operator suite (separate module to keep this one

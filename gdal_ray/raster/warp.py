@@ -178,3 +178,158 @@ def warp_array(
     out = np.full(h * w, nodata, dtype=np.float64)
     out[ok] = vals[ok]
     return out.reshape(h, w).astype(src.dtype if src.dtype.kind == "f" else np.float64)
+
+
+_AGG_METHODS = ("average", "sum", "rms", "min", "max", "med", "q1", "q3", "mode")
+
+
+def warp_array_aggregate(
+    src: np.ndarray,
+    src_gt,
+    src_crs: str,
+    dst_shape: tuple[int, int],
+    dst_gt,
+    dst_crs: str,
+    method: str = "average",
+    nodata: float = np.nan,
+    dst_y0: int = 0,
+    dst_x0: int = 0,
+) -> np.ndarray:
+    """Aggregate-resampling warp — the GRA_Average/Mode/Min/Max/Med/
+    Q1/Q3/Sum/RMS kernel family (reference: alg/gdalwarper.h:35-67,
+    GWKAverageOrMode). Each destination pixel aggregates every source
+    pixel whose CENTER falls inside the half-open source-space rect
+    spanned by the transformed corners of that destination pixel.
+
+    Windowed calls (``dst_x0/dst_y0`` + a window ``dst_shape``) use the
+    exact per-corner transform, so tiled output == whole output
+    bit-for-bit.
+
+    Vectorization: average/sum/rms via integral images (O(1) per
+    pixel); min/max via offset sweeps over the max rect size;
+    med/q1/q3/mode via one padded gather + row-wise reduction."""
+    if method not in _AGG_METHODS:
+        raise ValueError(f"unknown aggregate method {method}")
+    h, w = dst_shape
+    H, W = src.shape
+    ys = (np.arange(h + 1, dtype=np.float64) + dst_y0)
+    xs = (np.arange(w + 1, dtype=np.float64) + dst_x0)
+    YY, XX = np.meshgrid(ys, xs, indexing="ij")
+    spx, spy = exact_transform(
+        dst_gt, dst_crs, src_gt, src_crs, XX.ravel(), YY.ravel()
+    )
+    spx = spx.reshape(h + 1, w + 1)
+    spy = spy.reshape(h + 1, w + 1)
+    xmin = np.minimum.reduce([spx[:-1, :-1], spx[:-1, 1:], spx[1:, :-1], spx[1:, 1:]])
+    xmax = np.maximum.reduce([spx[:-1, :-1], spx[:-1, 1:], spx[1:, :-1], spx[1:, 1:]])
+    ymin = np.minimum.reduce([spy[:-1, :-1], spy[:-1, 1:], spy[1:, :-1], spy[1:, 1:]])
+    ymax = np.maximum.reduce([spy[:-1, :-1], spy[:-1, 1:], spy[1:, :-1], spy[1:, 1:]])
+    # source pixels with center i+0.5 in [min, max)
+    j0 = np.clip(np.ceil(xmin - 0.5).astype(np.int64), 0, W)
+    j1 = np.clip(np.ceil(xmax - 0.5).astype(np.int64), 0, W)
+    i0 = np.clip(np.ceil(ymin - 0.5).astype(np.int64), 0, H)
+    i1 = np.clip(np.ceil(ymax - 0.5).astype(np.int64), 0, H)
+    empty = (j1 <= j0) | (i1 <= i0)
+
+    v = src.astype(np.float64)
+    valid = np.isfinite(v)
+    if not np.isnan(nodata):
+        valid &= v != nodata
+    vz = np.where(valid, v, 0.0)
+
+    if method in ("average", "sum", "rms"):
+        def integral(a):
+            out = np.zeros((H + 1, W + 1))
+            np.cumsum(np.cumsum(a, axis=0), axis=1, out=out[1:, 1:])
+            return out
+
+        def rectsum(ii):
+            return (
+                ii[i1, j1] - ii[i0, j1] - ii[i1, j0] + ii[i0, j0]
+            )
+
+        cnt = rectsum(integral(valid.astype(np.float64)))
+        good = (~empty) & (cnt > 0)
+        if method == "sum":
+            res = rectsum(integral(vz))
+        elif method == "average":
+            res = np.divide(
+                rectsum(integral(vz)), cnt,
+                out=np.zeros_like(cnt), where=good,
+            )
+        else:  # rms
+            res = np.sqrt(
+                np.divide(
+                    rectsum(integral(vz * vz)), cnt,
+                    out=np.zeros_like(cnt), where=good,
+                )
+            )
+        return np.where(good, res, nodata)
+
+    if method in ("min", "max"):
+        acc = np.full((h, w), np.inf if method == "min" else -np.inf)
+        any_valid = np.zeros((h, w), dtype=bool)
+        max_dh = int((i1 - i0).max(initial=0))
+        max_dw = int((j1 - j0).max(initial=0))
+        for di in range(max_dh):
+            ii = i0 + di
+            row_ok = ii < i1
+            for dj in range(max_dw):
+                jj = j0 + dj
+                ok = row_ok & (jj < j1)
+                iic = np.clip(ii, 0, H - 1)
+                jjc = np.clip(jj, 0, W - 1)
+                ok &= valid[iic, jjc]
+                vv = v[iic, jjc]
+                if method == "min":
+                    acc = np.where(ok, np.minimum(acc, vv), acc)
+                else:
+                    acc = np.where(ok, np.maximum(acc, vv), acc)
+                any_valid |= ok
+        return np.where(any_valid, acc, nodata)
+
+    # med / q1 / q3 / mode: padded gather (npix, maxrect)
+    max_dh = int((i1 - i0).max(initial=0))
+    max_dw = int((j1 - j0).max(initial=0))
+    m = max(1, max_dh * max_dw)
+    gat = np.full((h * w, m), np.nan)
+    slot = 0
+    for di in range(max_dh):
+        ii = (i0 + di).ravel()
+        row_ok = ii < i1.ravel()
+        for dj in range(max_dw):
+            jj = (j0 + dj).ravel()
+            ok = row_ok & (jj < j1.ravel())
+            iic = np.clip(ii, 0, H - 1)
+            jjc = np.clip(jj, 0, W - 1)
+            ok &= valid[iic, jjc]
+            gat[ok, slot] = v[iic[ok], jjc[ok]]
+            slot += 1
+    cnt = np.sum(~np.isnan(gat), axis=1)
+    good = cnt > 0
+    out = np.full(h * w, nodata, dtype=np.float64)
+    if method in ("med", "q1", "q3"):
+        qq = {"med": 50.0, "q1": 25.0, "q3": 75.0}[method]
+        with np.errstate(all="ignore"):
+            import warnings
+
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore")
+                out_q = np.nanpercentile(gat, qq, axis=1)
+        out[good] = out_q[good]
+    else:  # mode: most frequent value, smallest value wins ties
+        s = np.sort(gat, axis=1)  # NaNs sort to the end
+        best_val = np.full(h * w, np.nan)
+        best_run = np.zeros(h * w, dtype=np.int64)
+        run = np.zeros(h * w, dtype=np.int64)
+        prev = np.full(h * w, np.nan)
+        for c in range(m):
+            col = s[:, c]
+            is_new = ~np.isclose(col, prev, equal_nan=False) | np.isnan(prev)
+            run = np.where(np.isnan(col), 0, np.where(is_new, 1, run + 1))
+            take = (~np.isnan(col)) & (run > best_run)
+            best_run = np.where(take, run, best_run)
+            best_val = np.where(take, col, best_val)
+            prev = col
+        out[good] = best_val[good]
+    return out.reshape(h, w)

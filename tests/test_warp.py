@@ -89,3 +89,90 @@ def test_tiled_warp_matches_whole():
                 dst_y0=y0, dst_x0=x0,
             )
     np.testing.assert_array_equal(tiled, whole)
+
+
+class TestAggregateKernels:
+    """GRA_Average/Mode/Min/Max/Med/Q1/Q3/Sum/RMS (gdalwarper.h:35-67)."""
+
+    GT_SRC = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+    GT_DST = (0.0, 2.0, 0.0, 0.0, 0.0, -2.0)
+
+    def _src(self):
+        rng = np.random.default_rng(17)
+        return rng.integers(0, 50, (32, 32)).astype(np.float64)
+
+    def test_exact_2x_blocks(self):
+        from gdal_ray.raster.warp import warp_array_aggregate
+
+        src = self._src()
+        blocks = src.reshape(16, 2, 16, 2).transpose(0, 2, 1, 3).reshape(16, 16, 4)
+        want = {
+            "average": blocks.mean(axis=2),
+            "sum": blocks.sum(axis=2),
+            "min": blocks.min(axis=2),
+            "max": blocks.max(axis=2),
+            "med": np.median(blocks, axis=2),
+            "q1": np.percentile(blocks, 25.0, axis=2),
+            "q3": np.percentile(blocks, 75.0, axis=2),
+            "rms": np.sqrt((blocks**2).mean(axis=2)),
+        }
+        for m, exp in want.items():
+            got = warp_array_aggregate(
+                src, self.GT_SRC, "EPSG:4326", (16, 16), self.GT_DST,
+                "EPSG:4326", method=m,
+            )
+            assert np.allclose(got, exp, atol=1e-12), m
+
+    def test_mode_smallest_wins_ties(self):
+        from gdal_ray.raster.warp import warp_array_aggregate
+
+        src = np.array([[5.0, 5.0], [2.0, 2.0]])
+        got = warp_array_aggregate(
+            src, self.GT_SRC, "EPSG:4326", (1, 1), self.GT_DST,
+            "EPSG:4326", method="mode",
+        )
+        assert got[0, 0] == 2.0
+
+    def test_nodata_excluded(self):
+        from gdal_ray.raster.warp import warp_array_aggregate
+
+        src = np.array([[1.0, -9.0], [3.0, -9.0]])
+        got = warp_array_aggregate(
+            src, self.GT_SRC, "EPSG:4326", (1, 1), self.GT_DST,
+            "EPSG:4326", method="average", nodata=-9.0,
+        )
+        assert got[0, 0] == 2.0
+        # all-nodata pixel -> nodata
+        src2 = np.full((2, 2), -9.0)
+        got2 = warp_array_aggregate(
+            src2, self.GT_SRC, "EPSG:4326", (1, 1), self.GT_DST,
+            "EPSG:4326", method="max", nodata=-9.0,
+        )
+        assert got2[0, 0] == -9.0
+
+    def test_tiled_equals_whole_all_kernels(self):
+        """Windowed (dst_x0/dst_y0) output must be bit-identical to
+        the whole-array warp for every aggregate kernel — including a
+        genuine reprojection (4326 -> 3857)."""
+        from gdal_ray.raster.warp import warp_array_aggregate
+
+        rng = np.random.default_rng(23)
+        src = rng.normal(10, 5, (40, 40))
+        src_gt = (-20.0, 1.0, 0.0, 20.0, 0.0, -1.0)
+        dst_gt = (-2000000.0, 250000.0, 0.0, 2300000.0, 0.0, -250000.0)
+        for m in ("average", "sum", "rms", "min", "max", "med", "q1",
+                  "q3", "mode"):
+            whole = warp_array_aggregate(
+                src, src_gt, "EPSG:4326", (16, 16), dst_gt, "EPSG:3857",
+                method=m,
+            )
+            tiled = np.empty_like(whole)
+            for y0 in (0, 8):
+                for x0 in (0, 8):
+                    tiled[y0:y0+8, x0:x0+8] = warp_array_aggregate(
+                        src, src_gt, "EPSG:4326", (8, 8), dst_gt,
+                        "EPSG:3857", method=m, dst_y0=y0, dst_x0=x0,
+                    )
+            w_nan = np.isnan(whole)
+            assert (np.isnan(tiled) == w_nan).all(), m
+            assert (tiled[~w_nan] == whole[~w_nan]).all(), m
