@@ -652,6 +652,53 @@ def q_warp_agg_mean(sf_dir: str):
     )
 
 
+def q_contour_bands(sf_dir: str):
+    """Contour-polygon band areas (`gdal_contour -p` role) over the
+    analytic ramp DEM z = 0.75*j + 1.5 (64x64), computed DISTRIBUTED:
+    halo-exchanged tiles → per-tile marching-squares fill areas →
+    groupby(band) sum. Oracle: level sets of the ramp are vertical
+    lines, so each band is a strip with closed-form width. sf_dir
+    unused (analytic fixture)."""
+    import ray.data as rd
+
+    from gdal_ray.raster import contour_poly as cpoly
+    from gdal_ray.raster import model
+
+    N = 64
+    i, j = np.meshgrid(np.arange(N), np.arange(N), indexing="ij")
+    z = (0.75 * j + 1.5).astype(np.float64)
+    tiles = model.from_array(
+        z, "EPSG:4326", (0.0, 1.0, 0.0, 0.0, 0.0, 1.0), tile_size=32
+    )
+    levels = [5.0, 15.0, 30.0, 45.0]
+    out = cpoly.band_areas_tiles(rd.from_arrow(tiles), levels, 2, 2)
+
+    import pyarrow.compute as pc
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band": t["band"].cast(pa.int64()),
+                "area": pc.round(t["area"], 6),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+def _sql_contour_bands() -> str:
+    # x(L) = clamp((L - 1.5)/0.75, 0, 63); band area = 63*(x_hi - x_lo)
+    def x(lv):
+        return f"LEAST(GREATEST(({lv} - 1.5)/0.75, 0.0), 63.0)"
+
+    bands = [(0, 5.0, 15.0), (1, 15.0, 30.0), (2, 30.0, 45.0)]
+    rows = ", ".join(
+        f"({b}, ROUND(63.0 * ({x(hi)} - {x(lo)}), 6))" for b, lo, hi in bands
+    )
+    top = f"(3, ROUND(63.0 * (63.0 - {x(45.0)}), 6))"
+    return f"SELECT * FROM (VALUES {rows}, {top}) AS t(band, area)"
+
+
 def _sql_warp_agg_mean() -> str:
     return """
 WITH ii(i) AS (SELECT unnest(generate_series(0, 63))),
@@ -678,6 +725,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "dem_slope": q_dem_slope,
     "zonal_stats": q_zonal_stats,
     "warp_agg_mean": q_warp_agg_mean,
+    "contour_bands": q_contour_bands,
 }
 
 ORACLE: dict[str, str] = {
@@ -695,6 +743,7 @@ ORACLE: dict[str, str] = {
     "dem_slope": _sql_dem_slope(),
     "zonal_stats": _sql_zonal_stats(),
     "warp_agg_mean": _sql_warp_agg_mean(),
+    "contour_bands": _sql_contour_bands(),
 }
 
 # relational/text operator suite (separate module to keep this one

@@ -424,3 +424,34 @@ def merge_tile_components(parts_df) -> "object":
         .reset_index()
     )
     return out
+
+
+def footprint(
+    arr: np.ndarray,
+    nodata=None,
+    gt=(0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
+    connectivity: int = 4,
+) -> dict:
+    """gdal footprint (apps/gdal_footprint_lib.cpp:1303): valid-data
+    mask → dissolved exact pixel outlines.  Returns
+    ``{"geometry": MultiPolygon WKB, "n_pixels": int, "n_parts": int}``
+    — each connected valid region becomes one polygon (exterior +
+    holes), assembled into a MultiPolygon."""
+    if nodata is None:
+        mask = np.isfinite(arr)
+    else:
+        mask = np.isfinite(arr) & (arr != nodata)
+    t = polygonize_array(mask.astype(np.int32), gt, connectivity, exclude=0)
+    parts = []
+    n_pixels = 0
+    for row in t.to_pylist():
+        if row["value"] != 1.0:
+            continue
+        g = gwkb.parse(row["geometry"])
+        parts.append((g["rings"][0], g["rings"][1:]))
+        n_pixels += row["pixel_count"]
+    if not parts:
+        geom = gwkb.multipolygon_wkb([])
+    else:
+        geom = gwkb.multipolygon_wkb(parts)
+    return {"geometry": geom, "n_pixels": n_pixels, "n_parts": len(parts)}
