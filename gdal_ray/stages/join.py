@@ -133,18 +133,38 @@ def cell_partitioned_pip(
     from gdal_ray.geom import wkb as gwkb
 
     def poly_tiles(batch: pa.Table) -> pa.Table:
-        rows = []
-        for row in batch.to_pylist():
-            minx, miny, maxx, maxy = gwkb.bounds(row["geometry"])
-            tx0, ty0 = tl.lonlat_to_tile(minx, miny, zoom)
-            tx1, ty1 = tl.lonlat_to_tile(maxx, maxy, zoom)
-            for tx in range(int(min(tx0, tx1)), int(max(tx0, tx1)) + 1):
-                for ty in range(int(min(ty0, ty1)), int(max(ty0, ty1)) + 1):
-                    r = dict(row)
-                    r["cell"] = int(tl.tile_id(zoom, tx, ty))
-                    r["side"] = 1
-                    rows.append(r)
-        return pa.Table.from_pylist(rows)
+        """Tile-cover explode, vectorized: the only per-row work is the
+        WKB envelope parse; the (row x tile) expansion is numpy
+        repeat/divmod + one table.take (no dict copies)."""
+        geoms = batch["geometry"].to_pylist()
+        n = len(geoms)
+        if n == 0:
+            return batch.append_column(
+                "cell", pa.array([], pa.int64())
+            ).append_column("side", pa.array([], pa.int8()))
+        b = np.array([gwkb.bounds(g) for g in geoms], dtype=np.float64)
+        tx0, ty0 = tl.lonlat_to_tile(b[:, 0], b[:, 1], zoom)
+        tx1, ty1 = tl.lonlat_to_tile(b[:, 2], b[:, 3], zoom)
+        xmin = np.minimum(tx0, tx1).astype(np.int64)
+        xmax = np.maximum(tx0, tx1).astype(np.int64)
+        ymin = np.minimum(ty0, ty1).astype(np.int64)
+        ymax = np.maximum(ty0, ty1).astype(np.int64)
+        ny = ymax - ymin + 1
+        counts = (xmax - xmin + 1) * ny
+        row_idx = np.repeat(np.arange(n), counts)
+        off = np.arange(counts.sum(), dtype=np.int64) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        nyr = ny[row_idx]
+        tx = xmin[row_idx] + off // nyr
+        ty = ymin[row_idx] + off % nyr
+        cell = tl.tile_id(zoom, tx, ty)
+        out = batch.take(pa.array(row_idx))
+        return out.append_column(
+            "cell", pa.array(np.asarray(cell, dtype=np.int64))
+        ).append_column(
+            "side", pa.array(np.ones(len(row_idx), dtype=np.int8))
+        )
 
     def point_tiles(batch: pa.Table) -> pa.Table:
         lon = batch[lon_col].to_numpy(zero_copy_only=False)
@@ -180,35 +200,35 @@ def cell_partitioned_pip(
     both = ptiles.union(pts)
 
     def probe(group: pa.Table) -> pa.Table:
-        df = group.to_pandas()
-        polys = df[df["side"] == 1]
-        ptsg = df[df["side"] == 0]
-        if len(polys) == 0 or len(ptsg) == 0:
+        side = group["side"].to_numpy(zero_copy_only=False)
+        poly_rows = np.flatnonzero(side == 1)
+        pt_rows = np.flatnonzero(side == 0)
+        if len(poly_rows) == 0 or len(pt_rows) == 0:
             empty = {c: pa.array([], group.schema.field(c).type)
                      for c in ([lon_col, lat_col] + list(id_cols))}
             return pa.table(empty)
+        geom_col = group["geometry"].take(pa.array(poly_rows))
         idx = GridPolygonIndex(
-            list(polys["geometry"]),
-            ids=np.arange(len(polys), dtype=np.int64),
+            geom_col.to_pylist(),
+            ids=np.arange(len(poly_rows), dtype=np.int64),
         )
-        px = ptsg[lon_col].to_numpy()
-        py = ptsg[lat_col].to_numpy()
+        px = group[lon_col].to_numpy(zero_copy_only=False)[pt_rows]
+        py = group[lat_col].to_numpy(zero_copy_only=False)[pt_rows]
         pi, poly_pos = idx.query_points(px, py)
         out = {
             lon_col: pa.array(px[pi]),
             lat_col: pa.array(py[pi]),
         }
         for c in id_cols:
-            out[c] = pa.array(
-                polys[c].to_numpy()[poly_pos],
-                group.schema.field(c).type,
+            out[c] = group[c].take(pa.array(poly_rows[poly_pos])).cast(
+                group.schema.field(c).type
             )
-        # passthrough extra point columns
-        for c in ptsg.columns:
+        # passthrough extra point columns (arrow take — no pandas)
+        for c in group.schema.names:
             if c in (lon_col, lat_col, "cell", "side", *id_cols, "geometry"):
                 continue
             if c in qcols:
-                out[c] = pa.array(ptsg[c].to_numpy()[pi])
+                out[c] = group[c].take(pa.array(pt_rows[pi]))
         return pa.table(out)
 
     return both.groupby("cell", num_partitions=num_partitions).map_groups(
