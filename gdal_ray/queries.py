@@ -652,6 +652,50 @@ def q_warp_agg_mean(sf_dir: str):
     )
 
 
+_DIST_LINE = [(-60.0, -30.0), (-10.0, 10.0), (30.0, -5.0), (70.0, 40.0)]
+
+
+def q_distance_line(sf_dir: str):
+    """ST_Distance role (OGRGeometry::Distance, ogrgeometry.cpp:3536):
+    planar distance from every page point to a fixed 3-segment
+    polyline, vectorized per batch. Oracle: the same clamp-project
+    formula per segment in SQL."""
+    from gdal_ray.geom.scalars import distance_points_to_line
+    from gdal_ray.pipelines import flagship
+
+    line = np.array(_DIST_LINE)
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+
+    def dist(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        d = distance_points_to_line(lon, lat, line)
+        return pa.table(
+            {"url": t["url"], "dist": pa.array(np.round(d, 9))}
+        )
+
+    return pages.map_batches(dist, batch_format="pyarrow")
+
+
+def _sql_distance_line() -> str:
+    segs = []
+    for (ax, ay), (bx, by) in zip(_DIST_LINE[:-1], _DIST_LINE[1:]):
+        abx, aby = bx - ax, by - ay
+        den = abx * abx + aby * aby
+        t = (
+            f"LEAST(GREATEST(((lon - ({ax!r}))*({abx!r}) "
+            f"+ (lat - ({ay!r}))*({aby!r})) / {den!r}, 0.0), 1.0)"
+        )
+        segs.append(
+            f"sqrt( (lon - (({ax!r}) + {t}*({abx!r})))"
+            f"*(lon - (({ax!r}) + {t}*({abx!r})))"
+            f" + (lat - (({ay!r}) + {t}*({aby!r})))"
+            f"*(lat - (({ay!r}) + {t}*({aby!r}))) )"
+        )
+    expr = "LEAST(" + ", ".join(segs) + ")"
+    return _PAGES_SQL + f"SELECT url, ROUND({expr}, 9) AS dist FROM pages"
+
+
 def q_contour_bands(sf_dir: str):
     """Contour-polygon band areas (`gdal_contour -p` role) over the
     analytic ramp DEM z = 0.75*j + 1.5 (64x64), computed DISTRIBUTED:
@@ -726,6 +770,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "zonal_stats": q_zonal_stats,
     "warp_agg_mean": q_warp_agg_mean,
     "contour_bands": q_contour_bands,
+    "distance_line": q_distance_line,
 }
 
 ORACLE: dict[str, str] = {
@@ -744,6 +789,7 @@ ORACLE: dict[str, str] = {
     "zonal_stats": _sql_zonal_stats(),
     "warp_agg_mean": _sql_warp_agg_mean(),
     "contour_bands": _sql_contour_bands(),
+    "distance_line": _sql_distance_line(),
 }
 
 # relational/text operator suite (separate module to keep this one

@@ -28,7 +28,14 @@ from gdal_ray.geom import wkb as gwkb
 
 
 class ConvexOverlay:
-    """map_batches stage. mode ∈ {intersection, identity, erase}."""
+    """map_batches stage. mode ∈ {intersection, identity, erase,
+    erase_geom}.
+
+    ``erase`` keeps only non-intersecting input rows (row filter);
+    ``erase_geom`` is the geometric OGRLayer::Erase — each input
+    polygon minus every intersecting method polygon, one output row
+    per remaining piece (Greiner-Hormann difference; holes attached
+    to their containing shells)."""
 
     def __init__(self, method_table, mode: str = "intersection",
                  geom_col: str = "geometry",
@@ -62,6 +69,9 @@ class ConvexOverlay:
                 continue
             rings = gwkb.polygon_rings(g)
             subject = rings[0]
+            if self.mode == "erase_geom":
+                rows_out.extend(self._erase_geom(row, subject))
+                continue
             sminx, sminy = subject[:, 0].min(), subject[:, 1].min()
             smaxx, smaxy = subject[:, 0].max(), subject[:, 1].max()
             matched = False
@@ -113,8 +123,69 @@ class ConvexOverlay:
                 schema = schema.append(pa.field("overlay_area", pa.float64()))
             elif self.mode == "identity":
                 schema = schema.append(pa.field(self.method_id_col, pa.int64()))
+            elif self.mode == "erase_geom":
+                schema = schema.append(pa.field("overlay_area", pa.float64()))
             return schema.empty_table()
         return pa.Table.from_pylist(rows_out)
+
+
+    def _erase_geom(self, row, subject):
+        """Input polygon minus all intersecting method polygons →
+        output rows (one per remaining piece). Successive cuts operate
+        on the piece shells; holes from earlier cuts carry through
+        (v1: a later method polygon overlapping an earlier hole region
+        removes nothing extra — fine for disjoint method layers,
+        documented)."""
+        from gdal_ray.geom.clip import polygon_difference
+
+        sminx, sminy = subject[:, 0].min(), subject[:, 1].min()
+        smaxx, smaxy = subject[:, 0].max(), subject[:, 1].max()
+        pieces = [(subject, [])]
+        for _mid, mring, (eminx, eminy, emaxx, emaxy) in self.method:
+            if smaxx < eminx or sminx > emaxx or smaxy < eminy or sminy > emaxy:
+                continue
+            nxt = []
+            for shell, holes in pieces:
+                for s2, h2 in _rings_to_polygons(
+                    polygon_difference(shell, mring)
+                ):
+                    nxt.append((s2, holes + h2))
+            pieces = nxt
+            if not pieces:
+                break
+        out = []
+        for shell, holes in pieces:
+            a = abs(gops.ring_area(shell)) - sum(
+                abs(gops.ring_area(h)) for h in holes
+            )
+            if a <= 0:
+                continue
+            r = dict(row)
+            r[self.geom_col] = gwkb.polygon_wkb(shell, holes)
+            r["overlay_area"] = a
+            out.append(r)
+        return out
+
+
+def _rings_to_polygons(rings):
+    """Containment-oriented rings (shells CCW, holes CW) → list of
+    (shell, [holes]) with each hole attached to its containing shell."""
+    import numpy as np
+
+    from gdal_ray.geom.clip import PolygonEdges
+
+    shells = [r for r in rings if gops.ring_area(r) > 0]
+    holes = [r for r in rings if gops.ring_area(r) < 0]
+    out = [(s, []) for s in shells]
+    for h in holes:
+        pt = h[:-1].mean(axis=0)
+        for i, (s, hl) in enumerate(out):
+            if PolygonEdges([s]).contains_points(
+                np.array([pt[0]]), np.array([pt[1]])
+            )[0]:
+                hl.append(h)
+                break
+    return out
 
 
 def convex_overlay(ds, method_table: pa.Table, mode: str = "intersection",
@@ -126,6 +197,39 @@ def convex_overlay(ds, method_table: pa.Table, mode: str = "intersection",
         concurrency=concurrency,
         fn_constructor_kwargs={"method_table": ref, "mode": mode, **kw},
     )
+
+
+def update_layer(
+    ds,
+    method_table: pa.Table,
+    geom_col: str = "geometry",
+    method_id_col: str = "admin_id",
+    concurrency=(1, 4),
+    **kw,
+):
+    """OGRLayer::Update (ogrlayer.cpp:7164): method features replace
+    the overlapping parts of input features —
+    result = Erase(input, method) UNION ALL method features."""
+    import ray.data as rd
+
+    erased = convex_overlay(
+        ds, method_table, mode="erase_geom", concurrency=concurrency,
+        geom_col=geom_col, method_id_col=method_id_col, **kw,
+    )
+    base = ds.schema().base_schema
+    cols = {}
+    n = method_table.num_rows
+    for f in base:
+        if f.name in method_table.schema.names:
+            cols[f.name] = method_table[f.name].cast(f.type)
+        else:
+            cols[f.name] = pa.nulls(n, f.type)
+    areas = [
+        abs(gops.ring_area(gwkb.polygon_rings(g)[0]))
+        for g in method_table[geom_col].to_pylist()
+    ]
+    cols["overlay_area"] = pa.array(areas, pa.float64())
+    return erased.union(rd.from_arrow(pa.table(cols)))
 
 
 def cell_partitioned_overlay(
