@@ -240,6 +240,12 @@ _ROT_CW = np.array([0, 3, 6, 2, 5, 1, 4], dtype=np.int64)
 # axial diff (da+1)*3 + (db+1) -> digit; 7 marks impossible offsets
 _AXIAL_DIGIT = np.array([1, 3, 7, 5, 0, 2, 7, 4, 6], dtype=np.int64)
 
+# k-fold ccw digit rotations as one lookup: _ROT_POW[k, d]
+_ROT_POW = np.empty((6, 7), dtype=np.int64)
+_ROT_POW[0] = np.arange(7)
+for _k in range(1, 6):
+    _ROT_POW[_k] = _ROT_CCW[_ROT_POW[_k - 1]]
+
 
 def _check_rot_tables() -> None:
     # ccw cycle K->IK->I->IJ->J->JK->K; cw is its inverse
@@ -357,23 +363,22 @@ def _hex2d_to_ijk(x: np.ndarray, y: np.ndarray):
 
     # (x1, x2) are exact axial (i, j) coordinates; the nearest hex
     # center is one of the four corners of the fundamental unit cell
-    # under the axial metric q(a, b) = a^2 - a*b + b^2.  Direct
-    # 4-candidate argmin == the spec's nearest-center quantization.
-    best = None
-    bi = bj = None
-    for di, dj in ((0, 0), (1, 0), (0, 1), (1, 1)):
-        da = r1 - di
-        db = r2 - dj
-        q = da * da - da * db + db * db
-        if best is None:
-            best, bi, bj = q, np.full_like(m1, di), np.full_like(m2, dj)
-        else:
-            take = q < best
-            best = np.where(take, q, best)
-            bi = np.where(take, di, bi)
-            bj = np.where(take, dj, bj)
-    i = m1 + bi
-    j = m2 + bj
+    # under the axial metric q(a, b) = a^2 - a*b + b^2.  Candidate
+    # cost DIFFERENCES against corner (0,0) are linear in (r1, r2):
+    #   q10-q00 = 1 - 2 r1 + r2,  q01-q00 = 1 + r1 - 2 r2,
+    #   q11-q00 = 1 - r1 - r2
+    # so the argmin needs no squares; first-wins tie order (00,10,01,11).
+    a = 1.0 - 2.0 * r1 + r2
+    b = 1.0 + r1 - 2.0 * r2
+    c = 1.0 - r1 - r2
+    best = np.zeros_like(r1)
+    sel = np.zeros(r1.shape, dtype=np.int8)
+    for code, val in ((1, a), (2, b), (3, c)):
+        take = val < best
+        best = np.where(take, val, best)
+        sel = np.where(take, np.int8(code), sel)
+    i = m1 + ((sel == 1) | (sel == 3))
+    j = m2 + ((sel == 2) | (sel == 3))
 
     # fold across axes for negative planar coords
     neg_x = x < 0.0
@@ -701,21 +706,39 @@ def _front_end(lat_deg, lng_deg):
     return face, r0, theta0
 
 
+_CHUNK = 65536  # bounds temp-array size (allocator stays warm; this
+# container pays ~10x for first-touch of fresh large pages)
+
+
 def latlng_to_cell(
     lat_deg: np.ndarray, lng_deg: np.ndarray, res: int
 ) -> np.ndarray:
     """H3 latLngToCell, vectorized. Returns uint64 H3 indexes."""
     scalar = np.asarray(lat_deg).ndim == 0
-    face, r0, theta0 = _front_end(lat_deg, lng_deg)
-    idx = _finish(face, r0, theta0, res)
-    return idx[0] if scalar else idx
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
+    n = len(lat)
+    out = np.empty(n, dtype=np.uint64)
+    for s in range(0, max(n, 1), _CHUNK):
+        e = min(s + _CHUNK, n)
+        face, r0, theta0 = _front_end(lat[s:e], lng[s:e])
+        out[s:e] = _finish(face, r0, theta0, res)
+    return out[0] if scalar else out
 
 
 def latlng_to_cells_multi(lat_deg, lng_deg, resolutions=(7, 8, 9)):
     """latLngToCell at several resolutions, sharing the projection
     front-end (one trig pass instead of one per resolution)."""
-    face, r0, theta0 = _front_end(lat_deg, lng_deg)
-    return {res: _finish(face, r0, theta0, res) for res in resolutions}
+    lat = np.atleast_1d(np.asarray(lat_deg, dtype=np.float64))
+    lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
+    n = len(lat)
+    outs = {res: np.empty(n, dtype=np.uint64) for res in resolutions}
+    for s in range(0, max(n, 1), _CHUNK):
+        e = min(s + _CHUNK, n)
+        face, r0, theta0 = _front_end(lat[s:e], lng[s:e])
+        for res in resolutions:
+            outs[res][s:e] = _finish(face, r0, theta0, res)
+    return outs
 
 
 def _finish(face, r0, theta0, res):
@@ -798,29 +821,34 @@ def _finish(face, r0, theta0, res):
             ccw = kfix & ~cw
             _rotate_digits(digits, ccw, _ROT_CCW)
             _rotate_digits(digits, cw, _ROT_CW)
-    # apply the ccw rotations from the face-to-home transform
-    maxr = int(nrot.max()) if n else 0
-    for step in range(1, maxr + 1):
-        m = nrot >= step
-        if res == 0:
-            break
-        pm = m & is_pent
-        hm = m & ~is_pent
-        if hm.any():
-            _rotate_digits(digits, hm, _ROT_CCW)
-        if pm.any():
-            _rotate_pent60ccw(digits, pm, res)
+    # apply the ccw rotations from the face-to-home transform:
+    # hexagons in ONE power-table gather; pentagon rows (rare) keep
+    # the stepwise deleted-K-aware loop
+    if res > 0 and n:
+        hex_rot = nrot.copy()
+        hex_rot[is_pent] = 0
+        if hex_rot.any():
+            digits = _ROT_POW[hex_rot[:, None], digits]
+        if is_pent.any():
+            maxr = int(nrot[is_pent].max())
+            for step in range(1, maxr + 1):
+                pm = is_pent & (nrot >= step)
+                if pm.any():
+                    _rotate_pent60ccw(digits, pm, res)
 
     # pack bits: reserved(1)=0 mode(4)=1 reserved(3)=0 res(4) bc(7) digits
     idx = np.full(n, np.uint64(1) << np.uint64(59), dtype=np.uint64)
     idx |= np.uint64(res) << np.uint64(52)
     idx |= bc.astype(np.uint64) << np.uint64(45)
-    used = np.zeros(n, dtype=np.uint64)
-    for rr in range(1, res + 1):
-        shift = np.uint64((15 - rr) * 3)
-        idx |= digits[:, rr - 1].astype(np.uint64) << shift
-        used |= np.uint64(7) << shift
-    idx |= np.uint64(0x1FFFFFFFFFFF) & ~used  # unused digits = 7
+    if res:
+        dig_u = digits.astype(np.uint64)
+        for rr in range(1, res + 1):
+            idx |= dig_u[:, rr - 1] << np.uint64((15 - rr) * 3)
+    if res < 15:
+        fill = np.uint64(0)
+        for rr in range(res + 1, 16):
+            fill |= np.uint64(7) << np.uint64((15 - rr) * 3)
+        idx |= fill
     return idx
 
 
