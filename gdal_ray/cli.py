@@ -164,6 +164,15 @@ def build_pipeline(spec: str):
             transforms.append(
                 lambda ds: pip_join(ds, fixtures.gen_boundaries())
             )
+        elif name == "sql":
+            # full OGR SQL dialect statement over the piped dataset
+            # (`gdal vector sql` surface; table name: input)
+            from gdal_ray import ogrsql
+
+            stmt = args["statement"]
+            transforms.append(
+                lambda ds, s=stmt: ogrsql.execute(s, {"input": ds})
+            )
         else:
             raise ValueError(f"unknown pipeline step: {name!r}")
     return source, transforms, terminal

@@ -1,0 +1,598 @@
+"""OGR SQL dialect: parse a SELECT statement string and compile it to
+a Ray Data pipeline over the engine's composed operators — the
+`gdal vector sql` surface (reference: apps/gdalalg_vector_sql.cpp and
+the OGR SQL dialect, ogr/ogr_swq.cpp / ogr_gensql.cpp).
+
+Supported grammar (the OGR SQL core):
+
+    SELECT [DISTINCT] expr [AS alias] [, ...]
+    FROM table
+    [WHERE predicate]
+    [GROUP BY col [, ...]]
+    [ORDER BY col [ASC|DESC] [, ...]]
+    [LIMIT n [OFFSET m]]
+
+Expressions: arithmetic (+ - * / %), comparisons, AND/OR/NOT,
+IN (...), BETWEEN, LIKE, IS [NOT] NULL, CAST(x AS type), string
+functions (UPPER LOWER SUBSTR CONCAT LENGTH), aggregates
+(COUNT(*) COUNT(x) SUM MIN MAX AVG).  Single-table v1 (joins are the
+engine's dedicated join operators; documented).
+
+Evaluation is vectorized pyarrow.compute per batch; aggregation maps
+onto ray.data groupby/aggregate.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# ------------------------------------------------------------ tokenizer
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<num>\d+\.\d*(?:[eE][+-]?\d+)?|\.\d+|\d+(?:[eE][+-]?\d+)?)
+  | (?P<str>'(?:[^']|'')*')
+  | (?P<op><=|>=|<>|!=|=|<|>|\+|-|\*|/|%|\(|\)|,|\.)
+  | (?P<name>[A-Za-z_][A-Za-z_0-9]*)
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
+    "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
+    "BETWEEN", "LIKE", "IS", "NULL", "CAST",
+}
+
+
+def _tokenize(sql: str):
+    out = []
+    pos = 0
+    while pos < len(sql):
+        m = _TOKEN_RE.match(sql, pos)
+        if not m:
+            raise ValueError(f"SQL tokenize error at: {sql[pos:pos+20]!r}")
+        pos = m.end()
+        if m.lastgroup == "ws":
+            continue
+        kind = m.lastgroup
+        val = m.group()
+        if kind == "name" and val.upper() in _KEYWORDS:
+            out.append(("kw", val.upper()))
+        else:
+            out.append((kind, val))
+    out.append(("end", ""))
+    return out
+
+
+# ----------------------------------------------------------------- AST
+@dataclass
+class Col:
+    name: str
+
+
+@dataclass
+class Lit:
+    value: object
+
+
+@dataclass
+class Bin:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass
+class Un:
+    op: str
+    operand: object
+
+
+@dataclass
+class Func:
+    name: str
+    args: list = field(default_factory=list)
+    star: bool = False
+
+
+@dataclass
+class CastExpr:
+    operand: object
+    to: str
+
+
+@dataclass
+class InExpr:
+    operand: object
+    values: list = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class BetweenExpr:
+    operand: object
+    lo: object
+    hi: object
+    negated: bool = False
+
+
+@dataclass
+class LikeExpr:
+    operand: object
+    pattern: str
+    negated: bool = False
+
+
+@dataclass
+class IsNullExpr:
+    operand: object
+    negated: bool = False
+
+
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_SCALAR_FUNCS = {"UPPER", "LOWER", "SUBSTR", "CONCAT", "LENGTH", "ABS", "ROUND"}
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i]
+
+    def next(self):
+        t = self.toks[self.i]
+        self.i += 1
+        return t
+
+    def expect(self, kind, val=None):
+        t = self.next()
+        if t[0] != kind or (val is not None and t[1] != val):
+            raise ValueError(f"SQL parse error: expected {val or kind}, got {t}")
+        return t
+
+    def accept(self, kind, val=None):
+        t = self.peek()
+        if t[0] == kind and (val is None or t[1] == val):
+            self.i += 1
+            return True
+        return False
+
+    # expression grammar: or_expr
+    def parse_expr(self):
+        return self._or()
+
+    def _or(self):
+        left = self._and()
+        while self.accept("kw", "OR"):
+            left = Bin("OR", left, self._and())
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.accept("kw", "AND"):
+            left = Bin("AND", left, self._not())
+        return left
+
+    def _not(self):
+        if self.accept("kw", "NOT"):
+            return Un("NOT", self._not())
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._add()
+        t = self.peek()
+        if t[0] == "op" and t[1] in ("=", "<>", "!=", "<", "<=", ">", ">="):
+            self.next()
+            return Bin(t[1], left, self._add())
+        negated = False
+        if t == ("kw", "NOT"):
+            nxt = self.toks[self.i + 1]
+            if nxt in (("kw", "IN"), ("kw", "BETWEEN"), ("kw", "LIKE")):
+                self.next()
+                negated = True
+                t = self.peek()
+        if self.accept("kw", "IN"):
+            self.expect("op", "(")
+            vals = [self._literal()]
+            while self.accept("op", ","):
+                vals.append(self._literal())
+            self.expect("op", ")")
+            return InExpr(left, vals, negated)
+        if self.accept("kw", "BETWEEN"):
+            lo = self._add()
+            self.expect("kw", "AND")
+            hi = self._add()
+            return BetweenExpr(left, lo, hi, negated)
+        if self.accept("kw", "LIKE"):
+            pat = self._literal()
+            return LikeExpr(left, pat.value, negated)
+        if self.accept("kw", "IS"):
+            neg = self.accept("kw", "NOT")
+            self.expect("kw", "NULL")
+            return IsNullExpr(left, neg)
+        return left
+
+    def _add(self):
+        left = self._mul()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("+", "-"):
+                self.next()
+                left = Bin(t[1], left, self._mul())
+            else:
+                return left
+
+    def _mul(self):
+        left = self._unary()
+        while True:
+            t = self.peek()
+            if t[0] == "op" and t[1] in ("*", "/", "%"):
+                self.next()
+                left = Bin(t[1], left, self._unary())
+            else:
+                return left
+
+    def _unary(self):
+        if self.accept("op", "-"):
+            return Un("-", self._unary())
+        return self._primary()
+
+    def _literal(self):
+        t = self.next()
+        if t[0] == "num":
+            v = float(t[1]) if ("." in t[1] or "e" in t[1].lower()) else int(t[1])
+            return Lit(v)
+        if t[0] == "str":
+            return Lit(t[1][1:-1].replace("''", "'"))
+        if t == ("kw", "NULL"):
+            return Lit(None)
+        raise ValueError(f"SQL: expected literal, got {t}")
+
+    def _primary(self):
+        t = self.peek()
+        if t[0] == "op" and t[1] == "(":
+            self.next()
+            e = self.parse_expr()
+            self.expect("op", ")")
+            return e
+        if t[0] in ("num", "str") or t == ("kw", "NULL"):
+            return self._literal()
+        if t == ("kw", "CAST"):
+            self.next()
+            self.expect("op", "(")
+            e = self.parse_expr()
+            self.expect("kw", "AS")
+            typ = self.next()[1].upper()
+            # tolerate e.g. CHARACTER(10)
+            if self.accept("op", "("):
+                self.next()
+                self.expect("op", ")")
+            self.expect("op", ")")
+            return CastExpr(e, typ)
+        if t[0] == "name":
+            name = self.next()[1]
+            if self.accept("op", "("):
+                fn = name.upper()
+                if fn == "COUNT" and self.accept("op", "*"):
+                    self.expect("op", ")")
+                    return Func("COUNT", [], star=True)
+                args = []
+                if not self.accept("op", ")"):
+                    args.append(self.parse_expr())
+                    while self.accept("op", ","):
+                        args.append(self.parse_expr())
+                    self.expect("op", ")")
+                return Func(fn, args)
+            return Col(name)
+        raise ValueError(f"SQL parse error at {t}")
+
+
+@dataclass
+class Select:
+    columns: list  # (expr, alias or None)
+    table: str
+    where: object = None
+    group_by: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)  # (name, desc)
+    limit: int | None = None
+    offset: int = 0
+    distinct: bool = False
+
+
+def parse_select(sql: str) -> Select:
+    p = _Parser(_tokenize(sql))
+    p.expect("kw", "SELECT")
+    distinct = p.accept("kw", "DISTINCT")
+    cols = []
+    if p.accept("op", "*"):
+        cols.append((Col("*"), None))
+    else:
+        while True:
+            e = p.parse_expr()
+            alias = None
+            if p.accept("kw", "AS"):
+                alias = p.next()[1]
+            elif p.peek()[0] == "name":
+                alias = p.next()[1]
+            cols.append((e, alias))
+            if not p.accept("op", ","):
+                break
+    p.expect("kw", "FROM")
+    table = p.next()[1]
+    sel = Select(cols, table, distinct=distinct)
+    if p.accept("kw", "WHERE"):
+        sel.where = p.parse_expr()
+    if p.accept("kw", "GROUP"):
+        p.expect("kw", "BY")
+        while True:
+            sel.group_by.append(p.next()[1])
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "ORDER"):
+        p.expect("kw", "BY")
+        while True:
+            name = p.next()[1]
+            desc = False
+            if p.accept("kw", "DESC"):
+                desc = True
+            else:
+                p.accept("kw", "ASC")
+            sel.order_by.append((name, desc))
+            if not p.accept("op", ","):
+                break
+    if p.accept("kw", "LIMIT"):
+        sel.limit = int(p.next()[1])
+        if p.accept("kw", "OFFSET"):
+            sel.offset = int(p.next()[1])
+    if p.peek()[0] != "end":
+        raise ValueError(f"SQL: trailing tokens at {p.peek()}")
+    return sel
+
+
+# ----------------------------------------------------------- evaluator
+_CAST_TYPES = {
+    "INTEGER": pa.int64(), "INT": pa.int64(), "BIGINT": pa.int64(),
+    "FLOAT": pa.float64(), "DOUBLE": pa.float64(), "REAL": pa.float64(),
+    "CHARACTER": pa.string(), "VARCHAR": pa.string(), "TEXT": pa.string(),
+}
+
+
+def eval_expr(node, batch: pa.Table):
+    """Expression AST → pyarrow array/scalar over a batch."""
+    if isinstance(node, Col):
+        return batch[node.name]
+    if isinstance(node, Lit):
+        return pa.scalar(node.value)
+    if isinstance(node, Un):
+        v = eval_expr(node.operand, batch)
+        if node.op == "-":
+            return pc.negate(v)
+        if node.op == "NOT":
+            return pc.invert(v)
+    if isinstance(node, Bin):
+        left = eval_expr(node.left, batch)
+        right = eval_expr(node.right, batch)
+        ops = {
+            "+": pc.add, "-": pc.subtract, "*": pc.multiply,
+            "/": pc.divide, "=": pc.equal, "<>": pc.not_equal,
+            "!=": pc.not_equal, "<": pc.less, "<=": pc.less_equal,
+            ">": pc.greater, ">=": pc.greater_equal,
+            "AND": pc.and_kleene, "OR": pc.or_kleene,
+        }
+        if node.op == "%":
+            # truncated modulo via subtract/divide (arrow has no mod)
+            q = pc.floor(pc.divide(pc.cast(left, pa.float64()),
+                                   pc.cast(right, pa.float64())))
+            return pc.subtract(pc.cast(left, pa.float64()),
+                               pc.multiply(q, pc.cast(right, pa.float64())))
+        return ops[node.op](left, right)
+    if isinstance(node, CastExpr):
+        v = eval_expr(node.operand, batch)
+        target = _CAST_TYPES[node.to]
+        vt = v.type if hasattr(v, "type") else None
+        if pa.types.is_integer(target) and vt is not None and (
+            pa.types.is_floating(vt)
+        ):
+            # SQL CAST(float AS INTEGER) rounds half away from zero
+            v = pc.round(v, 0, round_mode="half_towards_infinity")
+            return pc.cast(v, target, safe=False)
+        return pc.cast(v, target)
+    if isinstance(node, InExpr):
+        v = eval_expr(node.operand, batch)
+        res = pc.is_in(v, value_set=pa.array([x.value for x in node.values]))
+        return pc.invert(res) if node.negated else res
+    if isinstance(node, BetweenExpr):
+        v = eval_expr(node.operand, batch)
+        res = pc.and_(
+            pc.greater_equal(v, eval_expr(node.lo, batch)),
+            pc.less_equal(v, eval_expr(node.hi, batch)),
+        )
+        return pc.invert(res) if node.negated else res
+    if isinstance(node, LikeExpr):
+        v = eval_expr(node.operand, batch)
+        res = pc.match_like(v, node.pattern)
+        return pc.invert(res) if node.negated else res
+    if isinstance(node, IsNullExpr):
+        v = eval_expr(node.operand, batch)
+        res = pc.is_null(v)
+        return pc.invert(res) if node.negated else res
+    if isinstance(node, Func):
+        fn = node.name
+        if fn in _AGG_FUNCS:
+            raise ValueError("aggregate in row context")
+        args = [eval_expr(a, batch) for a in node.args]
+        if fn == "UPPER":
+            return pc.utf8_upper(args[0])
+        if fn == "LOWER":
+            return pc.utf8_lower(args[0])
+        if fn == "LENGTH":
+            return pc.cast(pc.utf8_length(args[0]), pa.int64())
+        if fn == "SUBSTR":
+            start = int(node.args[1].value) - 1
+            length = int(node.args[2].value) if len(node.args) > 2 else None
+            return pc.utf8_slice_codeunits(
+                args[0], start, start + length if length else None
+            )
+        if fn == "CONCAT":
+            return pc.binary_join_element_wise(
+                *[pc.cast(a, pa.string()) for a in args], ""
+            )
+        if fn == "ABS":
+            return pc.abs(args[0])
+        if fn == "ROUND":
+            nd = int(node.args[1].value) if len(node.args) > 1 else 0
+            return pc.round(args[0], nd)
+        raise ValueError(f"unknown function {fn}")
+    raise ValueError(f"cannot evaluate {node}")
+
+
+def _expr_name(node, k: int) -> str:
+    if isinstance(node, Col):
+        return node.name
+    return f"expr_{k}"
+
+
+def _has_agg(node) -> bool:
+    if isinstance(node, Func):
+        return node.name in _AGG_FUNCS or any(_has_agg(a) for a in node.args)
+    for attr in ("left", "right", "operand", "lo", "hi"):
+        child = getattr(node, attr, None)
+        if child is not None and _has_agg(child):
+            return True
+    return False
+
+
+def execute(sql: str, tables: dict):
+    """Run a SELECT over Ray Datasets: ``tables`` maps name →
+    ray.data.Dataset. Returns a Dataset."""
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    sel = parse_select(sql)
+    if sel.table not in tables:
+        raise ValueError(f"unknown table {sel.table}")
+    ds = tables[sel.table]
+
+    if sel.where is not None:
+        where = sel.where
+
+        def flt(batch: pa.Table) -> pa.Table:
+            mask = eval_expr(where, batch)
+            if isinstance(mask, pa.ChunkedArray):
+                mask = mask.combine_chunks()
+            return batch.filter(mask)
+
+        ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    has_agg = any(_has_agg(e) for e, _a in sel.columns)
+    if sel.group_by or has_agg:
+        # input columns: group keys + one temp column per agg argument
+        aggs = []
+        out_names = []
+        prep_exprs = []  # (tmp_name, expr)
+        proj = []  # final projection entries: ("key", name) | ("agg", name)
+        k = 0
+        for e, alias in sel.columns:
+            name = alias or _expr_name(e, k)
+            k += 1
+            if isinstance(e, Col) and e.name in sel.group_by:
+                proj.append(("key", e.name, name))
+                continue
+            if not isinstance(e, Func) or e.name not in _AGG_FUNCS:
+                raise ValueError(
+                    "non-aggregate select column must be a GROUP BY key"
+                )
+            if e.name == "COUNT" and e.star and sel.group_by:
+                aggs.append(Count(alias_name=name))
+            elif e.name == "COUNT":
+                # ray 2.49: the bare global Count() returns 0 — count
+                # through a column instead (ones for COUNT(*), the
+                # argument for COUNT(x) non-null semantics)
+                tmp = f"__agg_in_{k}"
+                prep_exprs.append((tmp, Lit(1) if e.star else e.args[0]))
+                aggs.append(Count(tmp, alias_name=name))
+            else:
+                tmp = f"__agg_in_{k}"
+                prep_exprs.append((tmp, e.args[0]))
+                cls = {"SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}[e.name]
+                aggs.append(cls(tmp, alias_name=name))
+            proj.append(("agg", name, name))
+            out_names.append(name)
+
+        if prep_exprs:
+            def prep(batch: pa.Table) -> pa.Table:
+                for tmp, expr in prep_exprs:
+                    v = eval_expr(expr, batch)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.nulls(batch.num_rows).cast(v.type).fill_null(v)
+                    batch = batch.append_column(tmp, v)
+                return batch
+
+            ds = ds.map_batches(prep, batch_format="pyarrow")
+        if sel.group_by:
+            ds = ds.groupby(sel.group_by).aggregate(*aggs)
+        else:
+            row = ds.aggregate(*aggs)
+            ds = _row_to_ds(row)
+
+        def post(batch: pa.Table) -> pa.Table:
+            cols = {}
+            for _kind, src, name in proj:
+                cols[name] = batch[src]
+            return pa.table(cols)
+
+        ds = ds.map_batches(post, batch_format="pyarrow")
+    else:
+        star = len(sel.columns) == 1 and isinstance(sel.columns[0][0], Col) \
+            and sel.columns[0][0].name == "*"
+        if not star:
+            cols = sel.columns
+
+            def project(batch: pa.Table) -> pa.Table:
+                out = {}
+                for k2, (e, alias) in enumerate(cols):
+                    name = alias or _expr_name(e, k2)
+                    v = eval_expr(e, batch)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.nulls(batch.num_rows).cast(v.type).fill_null(v)
+                    if isinstance(v, pa.ChunkedArray):
+                        v = v.combine_chunks()
+                    out[name] = v
+                return pa.table(out)
+
+            ds = ds.map_batches(project, batch_format="pyarrow")
+        if sel.distinct:
+            names = ds.schema().names
+            from ray.data.aggregate import Count as _C
+
+            ds = ds.groupby(names).aggregate(_C(alias_name="__n"))
+            ds = ds.map_batches(
+                lambda t: t.drop_columns(["__n"]), batch_format="pyarrow"
+            )
+    if sel.order_by:
+        ds = ds.sort(
+            [c for c, _d in sel.order_by],
+            descending=[d for _c, d in sel.order_by],
+        )
+    if sel.limit is not None:
+        ds = ds.limit(sel.limit + sel.offset)
+        if sel.offset:
+            off = sel.offset
+            t = ds.take_all()
+            tbl = pa.Table.from_pylist(t[off:])
+            import ray.data as rd
+
+            ds = rd.from_arrow(tbl)
+    return ds
+
+
+def _row_to_ds(row: dict):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({k: [v] for k, v in row.items()}))

@@ -76,3 +76,24 @@ def test_cli_subprocess(sf_small):
     )
     assert out.returncode == 0, out.stderr[-500:]
     assert out.stdout.strip().splitlines()[-1] == "5"
+
+
+def test_sql_step(ray_session, tmp_path):
+    """`... ! sql statement='SELECT ...'` runs the OGR SQL dialect
+    over the piped dataset (table name: input)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table(
+        {"a": pa.array([1, 2, 3, 4], pa.int64()),
+         "b": pa.array([10.0, 20.0, 30.0, 40.0])}
+    )
+    p = tmp_path / "t.parquet"
+    pq.write_table(t, p)
+    out, kind = cli.run_pipeline(
+        f"read {p} ! sql --statement 'SELECT a, b * 2.0 AS b2 FROM input "
+        f"WHERE a >= 2 ORDER BY a DESC LIMIT 2'"
+    )
+    df = out.to_pandas() if hasattr(out, "to_pandas") else out
+    assert df["a"].tolist() == [4, 3]
+    assert df["b2"].tolist() == [80.0, 60.0]

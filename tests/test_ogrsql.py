@@ -1,0 +1,94 @@
+"""OGR SQL dialect tests: parsed SELECTs over Ray Datasets must match
+DuckDB running the identical statement on the identical table."""
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from gdal_ray import ogrsql
+
+
+@pytest.fixture(scope="module")
+def table():
+    rng = np.random.default_rng(11)
+    n = 2000
+    return pa.table(
+        {
+            "id": pa.array(np.arange(n, dtype=np.int64)),
+            "grp": pa.array(rng.integers(0, 5, n)),
+            "val": pa.array(np.round(rng.uniform(0, 100, n), 2)),
+            "name": pa.array(
+                [f"item-{i % 37:03d}" for i in range(n)]
+            ),
+        }
+    )
+
+
+def run_both(sql, table, ray_session):
+    import ray.data as rd
+
+    got = ogrsql.execute(sql, {"t": rd.from_arrow(table)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", table)
+    want = con.execute(sql).fetch_df()
+    got = got[sorted(got.columns)].sort_values(
+        sorted(got.columns), kind="mergesort"
+    ).reset_index(drop=True)
+    want = want[sorted(want.columns)].sort_values(
+        sorted(want.columns), kind="mergesort"
+    ).reset_index(drop=True)
+    assert list(got.columns) == list(want.columns), (got.columns, want.columns)
+    assert len(got) == len(want), sql
+    for c in got.columns:
+        g = got[c]
+        w = want[c]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(
+                g.astype(float), w.astype(float), rtol=1e-9, equal_nan=True
+            ), (sql, c)
+        else:
+            assert (g.astype(w.dtype) == w).all(), (sql, c)
+    return got
+
+
+QUERIES = [
+    "SELECT id, val FROM t WHERE val > 50.0",
+    "SELECT id, val * 2.0 AS dbl, name FROM t WHERE grp = 3 AND val < 20",
+    "SELECT UPPER(name) AS uname, id FROM t WHERE name LIKE 'item-00%'",
+    "SELECT id FROM t WHERE grp IN (1, 3) AND val BETWEEN 10 AND 20",
+    "SELECT grp, COUNT(*) AS n, SUM(val) AS s, MIN(val) AS mn, "
+    "MAX(val) AS mx FROM t GROUP BY grp",
+    "SELECT grp, AVG(val) AS avg_val FROM t WHERE id < 500 GROUP BY grp",
+    "SELECT COUNT(*) AS n FROM t WHERE NOT (grp = 2)",
+    "SELECT DISTINCT grp FROM t",
+    "SELECT id, val FROM t ORDER BY val DESC, id LIMIT 10",
+    "SELECT CAST(val AS INTEGER) AS vi, id FROM t WHERE id < 50",
+    "SELECT SUBSTR(name, 1, 4) AS pre, id FROM t WHERE id < 20",
+    "SELECT id + grp * 100 AS key2 FROM t WHERE val >= 99.0",
+    "SELECT SUM(val * val) AS ss FROM t",
+]
+
+
+@pytest.mark.parametrize("sql", QUERIES)
+def test_matches_duckdb(sql, table, ray_session):
+    run_both(sql, table, ray_session)
+
+
+def test_limit_offset(table, ray_session):
+    import ray.data as rd
+
+    got = ogrsql.execute(
+        "SELECT id FROM t ORDER BY id LIMIT 5 OFFSET 3",
+        {"t": rd.from_arrow(table)},
+    ).to_pandas()
+    assert got["id"].tolist() == [3, 4, 5, 6, 7]
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        ogrsql.parse_select("SELECT FROM t")
+    with pytest.raises(ValueError):
+        ogrsql.parse_select("SELECT a FROM t WHERE ^bad")
+    with pytest.raises(ValueError):
+        ogrsql.parse_select("SELECT a FROM t extra garbage ,")
