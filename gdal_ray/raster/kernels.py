@@ -161,3 +161,62 @@ def map_tiles(fn, **kwargs):
         return pa.Table.from_pylist(rows, schema=batch.schema)
 
     return _apply
+
+
+def unscale(arr: np.ndarray, scale_factor: float, offset: float) -> np.ndarray:
+    """gdal_translate -unscale: apply the band's scale/offset metadata
+    (true value = raw * scale + offset; GDALRasterBand::GetScale/
+    GetOffset semantics)."""
+    return arr.astype(np.float64) * scale_factor + offset
+
+
+def set_type(arr: np.ndarray, dtype: str, clamp: bool = True) -> np.ndarray:
+    """gdal raster set-type / -ot: convert with GDALCopyWords clamping
+    semantics (out-of-range values clamp to the target range; NaN →
+    0 for integer targets)."""
+    dt = np.dtype(dtype)
+    if dt.kind in ("i", "u"):
+        info = np.iinfo(dt)
+        v = np.nan_to_num(arr.astype(np.float64), nan=0.0)
+        if clamp:
+            v = np.clip(v, info.min, info.max)
+        return np.rint(v).astype(dt) if arr.dtype.kind == "f" else (
+            np.clip(arr, info.min, info.max).astype(dt)
+        )
+    return arr.astype(dt)
+
+
+def nodata_to_alpha(
+    arr: np.ndarray, nodata: float
+) -> tuple[np.ndarray, np.ndarray]:
+    """gdal raster nodata-to-alpha: returns (band, alpha) where alpha
+    is 255 for valid pixels and 0 for nodata/NaN."""
+    if np.isnan(nodata):
+        valid = np.isfinite(arr)
+    else:
+        valid = np.isfinite(arr) & (arr != nodata)
+    return arr, np.where(valid, 255, 0).astype(np.uint8)
+
+
+def color_map(
+    arr: np.ndarray, ramp: list[tuple[float, tuple[int, int, int]]],
+    interpolate: bool = True,
+) -> np.ndarray:
+    """gdaldem color-relief: value → RGB via a sorted color ramp.
+    ``interpolate=True`` blends linearly between ramp entries (the
+    default color-relief behavior); False snaps to the nearest-below
+    entry (exact-color mode). → (H, W, 3) uint8."""
+    vals = np.array([v for v, _c in ramp], dtype=np.float64)
+    cols = np.array([c for _v, c in ramp], dtype=np.float64)
+    if (np.diff(vals) <= 0).any():
+        raise ValueError("color ramp values must be strictly increasing")
+    a = arr.astype(np.float64)
+    idx = np.clip(np.searchsorted(vals, a, side="right") - 1, 0, len(vals) - 1)
+    if not interpolate:
+        out = cols[idx]
+    else:
+        hi = np.clip(idx + 1, 0, len(vals) - 1)
+        denom = np.where(vals[hi] > vals[idx], vals[hi] - vals[idx], 1.0)
+        t = np.clip((a - vals[idx]) / denom, 0.0, 1.0)
+        out = cols[idx] + t[..., None] * (cols[hi] - cols[idx])
+    return np.rint(out).astype(np.uint8)

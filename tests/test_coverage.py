@@ -59,3 +59,66 @@ def test_unshared_ring_plain_dp():
     out = simplify_coverage([ring], tolerance=0.5)
     assert len(out) == 1
     assert len(out[0]) < len(ring)
+
+
+class TestCheckClean:
+    def test_check_geometry_reports(self):
+        import numpy as np
+
+        from gdal_ray.geom import wkb as gwkb
+        from gdal_ray.geom.coverage import check_geometry
+
+        ok = gwkb.polygon_wkb(
+            np.array([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)], float)
+        )
+        assert check_geometry(ok) == []
+        bow = gwkb.polygon_wkb(
+            np.array([(0, 0), (2, 2), (2, 0), (0, 2), (0, 0)], float)
+        )
+        assert any("self-intersection" in e for e in check_geometry(bow))
+        dup = gwkb.linestring_wkb(
+            np.array([(0, 0), (0, 0), (1, 1)], float)
+        )
+        assert any("duplicate" in e for e in check_geometry(dup))
+
+    def test_check_coverage_detects_overlap_and_misalignment(self):
+        import numpy as np
+
+        from gdal_ray.geom.coverage import check_coverage
+
+        a = np.array([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)], float)
+        b_clean = np.array([(2, 0), (4, 0), (4, 2), (2, 2), (2, 0)], float)
+        assert check_coverage([a, b_clean]) == []
+        b_overlap = np.array([(1.5, 0), (4, 0), (4, 2), (1.5, 2), (1.5, 0)], float)
+        f = check_coverage([a, b_overlap])
+        assert any(x["kind"] == "overlap" for x in f)
+        # T-node misalignment: b's edge hugs a's border without sharing
+        b_tnode = np.array(
+            [(2, 0), (4, 0), (4, 2), (2, 2), (2, 1), (2, 0)], float
+        )
+        f2 = check_coverage([a, b_tnode])
+        assert any(x["kind"] == "misaligned_edge" for x in f2)
+
+    def test_clean_coverage_snaps(self):
+        import numpy as np
+
+        from gdal_ray.geom.coverage import check_coverage, clean_coverage
+
+        eps = 1e-7
+        a = np.array([(0, 0), (2, 0), (2, 2), (0, 2), (0, 0)], float)
+        b = np.array(
+            [(2 + eps, 0), (4, 0), (4, 2), (2 - eps, 2 + eps), (2 + eps, 0)],
+            float,
+        )
+        cleaned = clean_coverage([a, b], snap_tolerance=1e-5)
+        # the two rings now share both border corners BITWISE (the
+        # cluster representative is the lex-lowest member, so compare
+        # ring-to-ring, not to a literal)
+        ca, cb = cleaned
+        averts = {tuple(p) for p in ca[:-1]}
+        bverts = {tuple(p) for p in cb[:-1]}
+        assert len(averts & bverts) == 2
+        # no overlap findings on the cleaned pair
+        assert not any(
+            x["kind"] == "overlap" for x in check_coverage(cleaned)
+        )

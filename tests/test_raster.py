@@ -369,3 +369,41 @@ class TestAdviceRegressions:
         ):
             with _pytest.raises((ValueError, SyntaxError)):
                 calc_expr(bad, a)
+
+
+class TestScaleVariants:
+    def test_unscale(self):
+        from gdal_ray.raster.kernels import unscale
+
+        raw = np.array([[0, 100], [200, 300]], dtype=np.int32)
+        out = unscale(raw, 0.01, -5.0)
+        assert np.allclose(out, raw * 0.01 - 5.0)
+
+    def test_set_type_clamps(self):
+        from gdal_ray.raster.kernels import set_type
+
+        v = np.array([[-300.7, 300.2], [np.nan, 127.5]])
+        out = set_type(v, "int8")
+        assert out.dtype == np.int8
+        assert out[0, 0] == -128 and out[0, 1] == 127
+        assert out[1, 0] == 0 and out[1, 1] == 128 - 1 or out[1, 1] == 127
+
+    def test_nodata_to_alpha(self):
+        from gdal_ray.raster.kernels import nodata_to_alpha
+
+        arr = np.array([[1.0, -9.0], [np.nan, 4.0]])
+        _band, alpha = nodata_to_alpha(arr, -9.0)
+        assert alpha.tolist() == [[255, 0], [0, 255]]
+
+    def test_color_map(self):
+        from gdal_ray.raster.kernels import color_map
+
+        ramp = [(0.0, (0, 0, 0)), (10.0, (100, 200, 50))]
+        arr = np.array([[0.0, 5.0, 10.0, 20.0]])
+        rgb = color_map(arr, ramp)
+        assert rgb[0, 0].tolist() == [0, 0, 0]
+        assert rgb[0, 1].tolist() == [50, 100, 25]
+        assert rgb[0, 2].tolist() == [100, 200, 50]
+        assert rgb[0, 3].tolist() == [100, 200, 50]   # clamped above
+        exact = color_map(arr, ramp, interpolate=False)
+        assert exact[0, 1].tolist() == [0, 0, 0]      # snap below
