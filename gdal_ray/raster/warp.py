@@ -333,3 +333,57 @@ def warp_array_aggregate(
             prev = col
         out[good] = best_val[good]
     return out.reshape(h, w)
+
+
+class GCPTransformer:
+    """Ground-control-point polynomial transformer — the
+    GDALGCPTransformer role (alg/gdal_crs.cpp): least-squares fit of
+    order-1 (affine) or order-2 polynomials mapping pixel/line ↔
+    geo X/Y from the GCP set, both directions fitted independently
+    (the reference's CRS_compute_georef_equations).
+
+    GCPs: iterable of (pixel, line, geo_x, geo_y).
+    """
+
+    def __init__(self, gcps, order: int = 1):
+        if order not in (1, 2):
+            raise ValueError("order must be 1 or 2")
+        g = np.asarray(gcps, dtype=np.float64)
+        need = 3 if order == 1 else 6
+        if len(g) < need:
+            raise ValueError(f"order {order} needs >= {need} GCPs")
+        self.order = order
+        px, py, gx, gy = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+        A_fwd = self._design(px, py)
+        A_inv = self._design(gx, gy)
+        self.cx, *_ = np.linalg.lstsq(A_fwd, gx, rcond=None)
+        self.cy, *_ = np.linalg.lstsq(A_fwd, gy, rcond=None)
+        self.ix, *_ = np.linalg.lstsq(A_inv, px, rcond=None)
+        self.iy, *_ = np.linalg.lstsq(A_inv, py, rcond=None)
+        # fit quality (max residual in geo units) for callers to gate on
+        self.max_residual = float(
+            np.max(np.hypot(A_fwd @ self.cx - gx, A_fwd @ self.cy - gy))
+        )
+
+    def _design(self, u, v):
+        cols = [np.ones_like(u), u, v]
+        if self.order == 2:
+            cols += [u * v, u * u, v * v]
+        return np.column_stack(cols)
+
+    def pixel_to_geo(self, px, py):
+        A = self._design(np.asarray(px, np.float64), np.asarray(py, np.float64))
+        return A @ self.cx, A @ self.cy
+
+    def geo_to_pixel(self, gx, gy):
+        A = self._design(np.asarray(gx, np.float64), np.asarray(gy, np.float64))
+        return A @ self.ix, A @ self.iy
+
+    def as_geotransform(self):
+        """Order-1 fit → the equivalent GDAL geotransform tuple
+        (GDALGCPsToGeoTransform role)."""
+        if self.order != 1:
+            raise ValueError("geotransform requires order 1")
+        c0x, c1x, c2x = self.cx
+        c0y, c1y, c2y = self.cy
+        return (c0x, c1x, c2x, c0y, c1y, c2y)

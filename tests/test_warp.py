@@ -176,3 +176,41 @@ class TestAggregateKernels:
             w_nan = np.isnan(whole)
             assert (np.isnan(tiled) == w_nan).all(), m
             assert (tiled[~w_nan] == whole[~w_nan]).all(), m
+
+
+class TestGCPTransformer:
+    def test_affine_recovery_exact(self):
+        """GCPs sampled from a known affine map -> order-1 fit recovers
+        it to float precision, both directions."""
+        from gdal_ray.raster.warp import GCPTransformer
+
+        rng = np.random.default_rng(3)
+        gt = (100.0, 0.5, 0.1, 200.0, -0.05, -0.5)
+        px = rng.uniform(0, 1000, 20)
+        py = rng.uniform(0, 1000, 20)
+        gx = gt[0] + gt[1] * px + gt[2] * py
+        gy = gt[3] + gt[4] * px + gt[5] * py
+        t = GCPTransformer(np.column_stack([px, py, gx, gy]), order=1)
+        assert t.max_residual < 1e-9
+        qx, qy = rng.uniform(0, 1000, 5), rng.uniform(0, 1000, 5)
+        fx, fy = t.pixel_to_geo(qx, qy)
+        assert np.allclose(fx, gt[0] + gt[1]*qx + gt[2]*qy, atol=1e-8)
+        assert np.allclose(fy, gt[3] + gt[4]*qx + gt[5]*qy, atol=1e-8)
+        bx, by = t.geo_to_pixel(fx, fy)
+        assert np.allclose(bx, qx, atol=1e-7)
+        assert np.allclose(by, qy, atol=1e-7)
+        rec = t.as_geotransform()
+        assert np.allclose(rec, gt, atol=1e-9)
+
+    def test_order2_fits_quadratic(self):
+        from gdal_ray.raster.warp import GCPTransformer
+
+        rng = np.random.default_rng(5)
+        px = rng.uniform(0, 100, 30)
+        py = rng.uniform(0, 100, 30)
+        gx = 1.0 + 2.0*px + 0.5*py + 0.01*px*py + 0.002*px*px
+        gy = -3.0 + 0.1*px + 1.5*py + 0.005*py*py
+        t = GCPTransformer(np.column_stack([px, py, gx, gy]), order=2)
+        assert t.max_residual < 1e-6
+        t1 = GCPTransformer(np.column_stack([px, py, gx, gy]), order=1)
+        assert t1.max_residual > 1.0  # affine can't fit the quadratic
