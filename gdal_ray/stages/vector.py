@@ -47,6 +47,57 @@ def limit(ds: rd.Dataset, n: int) -> rd.Dataset:
     return ds.limit(n)
 
 
+def edit(
+    ds: rd.Dataset,
+    rename: dict[str, str] | None = None,
+    set_values: dict[str, object] | None = None,
+    drop: list[str] | None = None,
+    computed: dict[str, str] | None = None,
+) -> rd.Dataset:
+    """`gdal vector edit` (apps/gdalalg_vector_edit.cpp surface):
+    rename fields, set constant field values (new or existing
+    columns), drop fields, and add computed fields (OGR SQL
+    expressions evaluated per batch via the ogrsql evaluator)."""
+    comp_asts = None
+    if computed:
+        from gdal_ray.ogrsql import _Parser, _tokenize
+
+        comp_asts = {
+            name: _Parser(_tokenize(expr)).parse_expr()
+            for name, expr in computed.items()
+        }
+
+    def f(t: pa.Table) -> pa.Table:
+        if drop:
+            t = t.drop_columns([c for c in drop if c in t.schema.names])
+        if set_values:
+            for name, val in set_values.items():
+                arr = pa.nulls(t.num_rows).cast(
+                    pa.scalar(val).type
+                ).fill_null(val)
+                if name in t.schema.names:
+                    t = t.set_column(
+                        t.schema.get_field_index(name), name, arr
+                    )
+                else:
+                    t = t.append_column(name, arr)
+        if comp_asts:
+            from gdal_ray.ogrsql import eval_expr
+
+            for name, ast in comp_asts.items():
+                v = eval_expr(ast, t)
+                if isinstance(v, pa.ChunkedArray):
+                    v = v.combine_chunks()
+                t = t.append_column(name, v)
+        if rename:
+            t = t.rename_columns(
+                [rename.get(c, c) for c in t.schema.names]
+            )
+        return t
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def set_field_type(ds: rd.Dataset, column: str, new_type: pa.DataType) -> rd.Dataset:
     """`gdal vector set-field-type`: CAST column."""
 

@@ -222,3 +222,28 @@ class TestMakeValidFull:
         assert len(parts) >= 2
         for p in parts:
             assert ops._self_intersections(p[:-1]) == []
+
+
+def test_vector_edit(ray_session):
+    """`gdal vector edit`: rename + constant set + drop + computed."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.stages.vector import edit
+
+    t = pa.table(
+        {"a": pa.array([1, 2, 3], pa.int64()),
+         "b": pa.array([10.0, 20.0, 30.0]),
+         "junk": pa.array(["x", "y", "z"])}
+    )
+    out = edit(
+        rd.from_arrow(t),
+        rename={"a": "ident"},
+        set_values={"source": "survey"},
+        drop=["junk"],
+        computed={"b2": "b * 2.0 + a"},
+    ).to_pandas()
+    assert list(out.columns) == ["ident", "b", "source", "b2"]
+    assert out["ident"].tolist() == [1, 2, 3]
+    assert (out["source"] == "survey").all()
+    assert out["b2"].tolist() == [21.0, 42.0, 63.0]
