@@ -898,3 +898,294 @@ def cell_to_string(cell) -> np.ndarray:
 def string_to_cell(s) -> np.ndarray:
     arr = np.atleast_1d(np.asarray(s))
     return np.array([int(x, 16) for x in arr], dtype=np.uint64)
+
+
+# digit -> axial offset (inverse of _AXIAL_DIGIT)
+_DIGIT_AXIAL = np.array(
+    [[0, 0], [-1, -1], [0, 1], [-1, 0], [1, 0], [0, -1], [1, 1]],
+    dtype=np.float64,
+)
+
+_UNFOLD = None  # (face, face) -> (rot, axial translation) at res 0
+
+
+def _build_unfolds():
+    global _UNFOLD
+    if _UNFOLD is not None:
+        return
+    _build_bc_lut()
+    # re-derive the adjacency transforms (same construction as the LUT)
+    centers = np.empty((122, 3))
+    for b, (f, i, j, k, _p, _c0, _c1) in enumerate(BASE_CELL_DATA):
+        lat, lng = _res0_center_geo(f, i, j, k)
+        centers[b] = _geo_to_xyz(np.float64(lat), np.float64(lng))
+    pents = sorted(PENTAGON_BASE_CELLS)
+    pent_xyz = centers[pents]
+    slot_vertex = {}
+    for f in range(20):
+        for s in _VERTEX_SLOTS:
+            x, y = _ijk_to_hex2d(
+                np.asarray([s[0]]), np.asarray([s[1]]), np.asarray([s[2]])
+            )
+            lat, lng = _plane_to_geo(f, float(x[0]), float(y[0]))
+            v = _geo_to_xyz(np.float64(lat), np.float64(lng))
+            slot_vertex[(f, s)] = pents[int(np.argmax(pent_xyz @ v))]
+    out = {}
+    for f in range(20):
+        for g in range(20):
+            if f == g:
+                continue
+            shared = [
+                (sf, sg)
+                for sf in _VERTEX_SLOTS
+                for sg in _VERTEX_SLOTS
+                if slot_vertex[(f, sf)] == slot_vertex[(g, sg)]
+            ]
+            if len(shared) != 2:
+                continue
+            (af, ag), (bf, bg) = shared
+            vf = _ijk_sub(bf, af)
+            vg = _ijk_sub(bg, ag)
+            for rr in range(6):
+                if _ijk_rotn(vf, rr) == vg:
+                    t = _ijk_sub(ag, _ijk_rotn(af, rr))
+                    out[(f, g)] = (rr, t)
+                    break
+    _UNFOLD = out
+
+
+def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
+    """H3 cellToLatLng: cell center in degrees (vectorized).
+
+    Digits rebuild the res-r lattice position on the base cell's home
+    face (deleted-subsequence rotation applied for pentagon leading-5
+    cells); centers whose closest face differs are re-expressed in the
+    owning face through the exact res-scaled unfold transform before
+    inverse projection, matching the C library's overage adjustment."""
+    _build_unfolds()
+    cells = np.atleast_1d(np.asarray(cells, np.uint64))
+    n = len(cells)
+    res_arr = get_resolution(cells).astype(np.int64)
+    if len(np.unique(res_arr)) > 1:
+        # process per resolution group
+        lat = np.empty(n)
+        lng = np.empty(n)
+        for r in np.unique(res_arr):
+            m = res_arr == r
+            la, lo = cell_to_latlng(cells[m])
+            lat[m] = la
+            lng[m] = lo
+        return lat, lng
+    res = int(res_arr[0]) if n else 0
+    bc = get_base_cell(cells).astype(np.int64)
+    digits = np.zeros((n, res), dtype=np.int64)
+    for rr in range(1, res + 1):
+        digits[:, rr - 1] = (
+            (cells >> np.uint64((15 - rr) * 3)) & np.uint64(7)
+        ).astype(np.int64)
+    # pentagon leading-digit-5 deleted-subsequence adjustment (cw)
+    is_pent = _BC_IS_PENT[bc]
+    if res and is_pent.any():
+        lead = _leading_nonzero_digit(digits, res)
+        fix = is_pent & (lead == 5)
+        if fix.any():
+            digits[fix] = _ROT_CW[digits[fix]]
+    home = np.array([BASE_CELL_DATA[b][0] for b in bc], dtype=np.int64)
+    a = np.array(
+        [BASE_CELL_DATA[b][1] - BASE_CELL_DATA[b][3] for b in bc],
+        dtype=np.float64,
+    )
+    b_ax = np.array(
+        [BASE_CELL_DATA[b][2] - BASE_CELL_DATA[b][3] for b in bc],
+        dtype=np.float64,
+    )
+    for rr in range(1, res + 1):
+        if rr % 2 == 1:  # Class III: down is ccw aperture 7
+            a, b_ax = 2.0 * a + b_ax, 3.0 * b_ax - a
+        else:
+            a, b_ax = 3.0 * a - b_ax, a + 2.0 * b_ax
+        off = _DIGIT_AXIAL[digits[:, rr - 1]]
+        a = a + off[:, 0]
+        b_ax = b_ax + off[:, 1]
+
+    def project(face_arr, aa, bb):
+        scale = M_SQRT7 ** res
+        x = (aa - 0.5 * bb) / scale
+        y = (bb * M_SIN60) / scale
+        rp = np.hypot(x, y)
+        theta_used = np.arctan2(y, x)
+        if res % 2 == 1:
+            theta_used = theta_used + M_AP7_ROT_RADS
+        az = FACE_AX_AZ[face_arr] - theta_used
+        dist = np.arctan(rp * RES0_U_GNOMONIC)
+        clat = FACE_CENTER_GEO[face_arr, 0]
+        clng = FACE_CENTER_GEO[face_arr, 1]
+        lat, lng = _az_destination(clat, clng, az, dist)
+        zero = rp < 1e-15
+        lat = np.where(zero, clat, lat)
+        lng = np.where(zero, clng, lng)
+        return lat, lng
+
+    lat, lng = project(home, a, b_ax)
+    # pentagon base cells: the home-frame digit rebuild does not model
+    # the deleted-K-axis wedges across the 5 surrounding faces — use
+    # the per-view reversal validated by re-encode
+    if is_pent.any():
+        for i in np.flatnonzero(is_pent):
+            got = _pentagon_center(int(cells[i]))
+            if got is not None:
+                lat[i], lng[i] = got
+    # overage: the true center is the lattice point of the face whose
+    # projection of it is self-consistent (that face is the closest
+    # face to the projected point — the C library reaches the same
+    # fixed point through coordinate-range adjustment). Try the home
+    # face, then 1- and 2-step unfold candidates.
+    p = _geo_to_xyz(lat, lng)
+    owner = np.argmax(p @ _FACE_XYZ.T, axis=1)
+    move = (owner != home) & ~is_pent  # pentagon rows already resolved
+    if move.any():
+        adj = {}
+        for (f, g), tr in _UNFOLD.items():
+            adj.setdefault(f, []).append((g, tr))
+
+        def candidates(h):
+            """[(face, k60, (ta0, tb0))] composed transforms from h."""
+            out = [(h, 0, (0.0, 0.0))]
+            seen = {h}
+            for g, (k1, t1) in adj.get(h, []):
+                t1a = float(t1[0] - t1[2])
+                t1b = float(t1[1] - t1[2])
+                out.append((g, k1, (t1a, t1b)))
+                seen.add(g)
+            for g, (k1, t1) in adj.get(h, []):
+                t1a = float(t1[0] - t1[2])
+                t1b = float(t1[1] - t1[2])
+                for g2, (k2, t2) in adj.get(g, []):
+                    if g2 in seen:
+                        continue
+                    # compose: p -> R2 (R1 p + t1) + t2
+                    t2a = float(t2[0] - t2[2])
+                    t2b = float(t2[1] - t2[2])
+                    ra, rb = t1a, t1b
+                    for _ in range(k2):
+                        ra, rb = ra - rb, ra
+                    out.append((g2, (k1 + k2) % 6, (ra + t2a, rb + t2b)))
+                    seen.add(g2)
+            return out
+
+        def scale_translation(ta, tb):
+            for rr in range(1, res + 1):
+                if rr % 2 == 1:
+                    ta, tb = 2.0 * ta + tb, 3.0 * tb - ta
+                else:
+                    ta, tb = 3.0 * ta - tb, ta + 2.0 * tb
+            return ta, tb
+
+        cand_cache: dict = {}
+        for i in np.flatnonzero(move):
+            h = int(home[i])
+            if h not in cand_cache:
+                cand_cache[h] = [
+                    (g, k60, scale_translation(ta, tb))
+                    for g, k60, (ta, tb) in candidates(h)
+                ]
+            best = None
+            for g, k60, (ta, tb) in cand_cache[h]:
+                ca, cb = float(a[i]), float(b_ax[i])
+                for _ in range(k60):
+                    ca, cb = ca - cb, ca  # axial ccw 60-degree rotation
+                la, lo = project(
+                    np.array([g]), np.array([ca + ta]), np.array([cb + tb])
+                )
+                v = _geo_to_xyz(la, lo)[0]
+                own = int(np.argmax(_FACE_XYZ @ v))
+                if own == g:
+                    best = (la[0], lo[0])
+                    break
+            if best is not None:
+                lat[i] = best[0]
+                lng[i] = best[1]
+    return np.degrees(lat), np.degrees(lng)
+
+
+def _rotate_digits_pent60cw_row(d: np.ndarray, res: int) -> np.ndarray:
+    """Inverse of the pentagon ccw digit rotation for one digit row
+    (_h3RotatePent60cw): rotate all digits cw, with the extra cw
+    rotation when the leading digit lands on K."""
+    out = d.copy()
+    found = False
+    for r in range(res):
+        out[r] = _ROT_CW[out[r]]
+        if not found and out[r] != 0:
+            found = True
+            if out[r] == _K_DIGIT:
+                out = _ROT_CW[out]
+    return out
+
+
+def _pentagon_center(cell: int) -> tuple[float, float] | None:
+    """Center of a cell in a pentagon base cell: reverse the encoder's
+    face-frame transform for each of the 5 surrounding faces and keep
+    the candidate whose re-encode round-trips (the encoder is the
+    validated parity surface, so a round-tripping candidate is the
+    true center).  Returns radians (lat, lng) or None."""
+    cell_u = np.uint64(cell)
+    res = int(get_resolution(np.array([cell_u]))[0])
+    bc = int(get_base_cell(np.array([cell_u]))[0])
+    digits_home = np.array(
+        [
+            int((int(cell_u) >> ((15 - rr) * 3)) & 7)
+            for rr in range(1, res + 1)
+        ],
+        dtype=np.int64,
+    )
+    _build_bc_lut()
+    # faces + slots + rots where this pentagon appears
+    views = []
+    for f in range(20):
+        for slot in _VERTEX_SLOTS:
+            if int(_BC_LUT[f][slot]) == bc:
+                views.append((f, slot, int(_BC_ROT[f][slot])))
+    for f, slot, nrot in views:
+        dF = digits_home.copy()
+        for _ in range(nrot):
+            dF = _rotate_digits_pent60cw_row(dF, res)
+        for unfix in ("none", "ccw", "cw"):
+            d2 = dF.copy()
+            if unfix == "ccw":
+                d2 = _ROT_CCW[d2]
+            elif unfix == "cw":
+                d2 = _ROT_CW[d2]
+            # rebuild position in F's frame from the slot coords
+            a = float(slot[0] - slot[2])
+            b = float(slot[1] - slot[2])
+            for rr in range(1, res + 1):
+                if rr % 2 == 1:
+                    a, b = 2.0 * a + b, 3.0 * b - a
+                else:
+                    a, b = 3.0 * a - b, a + 2.0 * b
+                off = _DIGIT_AXIAL[d2[rr - 1]]
+                a += off[0]
+                b += off[1]
+            scale = M_SQRT7 ** res
+            x = (a - 0.5 * b) / scale
+            y = (b * M_SIN60) / scale
+            rp = float(np.hypot(x, y))
+            theta_used = float(np.arctan2(y, x))
+            if res % 2 == 1:
+                theta_used += M_AP7_ROT_RADS
+            az = FACE_AX_AZ[f] - theta_used
+            dist = float(np.arctan(rp * RES0_U_GNOMONIC))
+            clat, clng = FACE_CENTER_GEO[f]
+            if rp < 1e-15:
+                lat, lng = float(clat), float(clng)
+            else:
+                lat_a, lng_a = _az_destination(
+                    np.float64(clat), np.float64(clng), np.float64(az),
+                    np.float64(dist),
+                )
+                lat, lng = float(lat_a), float(lng_a)
+            enc = latlng_to_cell(np.degrees(lat), np.degrees(lng), res)
+            if int(enc) == int(cell_u):
+                return lat, lng
+    return None

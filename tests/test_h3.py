@@ -228,3 +228,33 @@ class TestBehavior:
                     even_first += 1
         assert even_first > 10
         assert odd_first <= 0.3 * even_first
+
+
+class TestCellToLatLng:
+    def test_golden_center(self):
+        """cellToLatLng of the SF golden cell matches the reference
+        library's published center to float precision."""
+        c = H.string_to_cell(["8928308280fffff"])
+        lat, lng = H.cell_to_latlng(c)
+        assert lat[0] == pytest.approx(37.77670234943567, abs=1e-9)
+        assert lng[0] == pytest.approx(-122.41845932318311, abs=1e-9)
+
+    def test_round_trip_res789(self):
+        """encode(center(cell)) == cell for every cell at the
+        north-rule resolutions (overage + pentagon handling exact)."""
+        lat = RNG.uniform(-85, 85, 5000)
+        lng = RNG.uniform(-180, 180, 5000)
+        for res in (7, 8, 9):
+            cells = H.latlng_to_cell(lat, lng, res)
+            clat, clng = H.cell_to_latlng(cells)
+            back = H.latlng_to_cell(clat, clng, res)
+            assert (back == cells).all(), res
+
+    def test_res0_centers(self):
+        lat = RNG.uniform(-89, 89, 30000)
+        lng = RNG.uniform(-180, 180, 30000)
+        cells = np.unique(H.latlng_to_cell(lat, lng, 0))
+        assert len(cells) == 122
+        clat, clng = H.cell_to_latlng(cells)
+        back = H.latlng_to_cell(clat, clng, 0)
+        assert (back == cells).all()
