@@ -91,10 +91,15 @@ def buffer_line(coords: np.ndarray, dist: float, quadsegs: int = 30) -> list[np.
 
 
 def buffer_polygon(ring: np.ndarray, dist: float, quadsegs: int = 30) -> list[np.ndarray]:
-    """Outward buffer of a simple polygon exterior ring (positive
-    ``dist``) → list of CCW rings (normally one)."""
+    """Buffer of a simple polygon exterior ring → list of CCW rings
+    (normally one).  Positive ``dist`` dilates (outward offset walk);
+    negative erodes: the inward offset is the same walk with the
+    roles of convex/reflex vertices swapped, so it reuses the outward
+    construction on the REVERSED ring with ``|dist|`` and keeps the
+    rings that fall inside the original (a fully-eroded polygon
+    yields [])."""
     if dist < 0:
-        raise NotImplementedError("negative (erosion) buffer not in v1")
+        return _erode_polygon(ring, -dist, quadsegs)
     p = np.asarray(ring, dtype=np.float64)
     if (p[0] == p[-1]).all():
         p = p[:-1]
@@ -125,6 +130,51 @@ def buffer_polygon(ring: np.ndarray, dist: float, quadsegs: int = 30) -> list[np
     raw = np.vstack([raw, raw[:1]])
     parts = make_valid_ring(raw)
     return _dominant_positive(parts)
+
+
+def _erode_polygon(ring: np.ndarray, r: float, quadsegs: int) -> list[np.ndarray]:
+    """Inward offset: edges shift toward the interior; join arcs at
+    REFLEX vertices (the erosion boundary is an arc of radius r around
+    a reflex corner), raw crossings at convex vertices resolved by
+    node splitting. Surviving positive loops inside the original ring
+    are the eroded pieces."""
+    p = np.asarray(ring, dtype=np.float64)
+    if (p[0] == p[-1]).all():
+        p = p[:-1]
+    if ring_area(np.vstack([p, p[:1]])) < 0:
+        p = p[::-1]  # CCW
+    n_full = 4 * quadsegs
+    m = len(p)
+    nxt = np.roll(p, -1, axis=0)
+    d = nxt - p
+    th = np.arctan2(d[:, 1], d[:, 0])
+    out = []
+    for i in range(m):
+        # interior (left) normal of a CCW walk
+        nlx, nly = np.cos(th[i] + np.pi / 2), np.sin(th[i] + np.pi / 2)
+        out.append(p[i] + r * np.array([nlx, nly]))
+        out.append(nxt[i] + r * np.array([nlx, nly]))
+        j = (i + 1) % m
+        turn = (th[j] - th[i] + np.pi) % (2 * np.pi) - np.pi
+        if turn < 0:  # reflex vertex: join arc (cw sweep)
+            out.extend(
+                _arc_points(nxt[i][0], nxt[i][1], r, th[i] + np.pi / 2,
+                            turn, n_full)
+            )
+    raw = np.array(out)
+    raw = np.vstack([raw, raw[:1]])
+    parts = make_valid_ring(raw)
+    from gdal_ray.geom.clip import PolygonEdges
+
+    keep = []
+    orig = PolygonEdges([np.vstack([p, p[:1]])])
+    for rg in parts:
+        if ring_area(rg) <= 0:
+            continue
+        c = rg[:-1].mean(axis=0)
+        if orig.contains_points(np.array([c[0]]), np.array([c[1]]))[0]:
+            keep.append(rg)
+    return keep
 
 
 def _dominant_positive(parts: list[np.ndarray]) -> list[np.ndarray]:

@@ -145,3 +145,38 @@ class TestWkbDispatch:
         gc = gwkb.geometrycollection_wkb([gwkb.point_wkb(0, 0)])
         with pytest.raises(NotImplementedError):
             buffer_wkb(gc, 1.0)
+
+
+class TestErosion:
+    def test_rectangle_erosion_exact(self):
+        rect = np.array([(0, 0), (6, 0), (6, 4), (0, 4), (0, 0)], float)
+        got = buffer_area(buffer_polygon(rect, -1.0, Q))
+        assert got == pytest.approx(4.0 * 2.0, abs=1e-12)
+
+    def test_full_erosion_empty(self):
+        rect = np.array([(0, 0), (6, 0), (6, 4), (0, 4), (0, 0)], float)
+        assert buffer_polygon(rect, -2.5, Q) == []
+
+    def test_l_shape_reflex_arc_exact(self):
+        """Erosion rounds the reflex corner: the region gains the
+        square-minus-quarter-arc sliver beyond the shrunk arms —
+        closed form 9 + (r^2 - quarter-ngon)."""
+        L = np.array(
+            [(0, 0), (6, 0), (6, 2), (2, 2), (2, 6), (0, 6), (0, 0)], float
+        )
+        r = 0.5
+        got = buffer_area(buffer_polygon(L, -r, Q))
+        quarter_ngon = 0.5 * Q * r * r * np.sin((np.pi / 2) / Q)
+        assert got == pytest.approx(9.0 + r * r - quarter_ngon, abs=1e-12)
+
+    def test_dilate_then_erode_roundtrip(self):
+        """Opening-style sanity: erode(dilate(P, r), r) ~ P for a
+        convex polygon (exact for convex: offsets cancel; small
+        discretization residue from the arc corners)."""
+        rect = np.array([(0, 0), (4, 0), (4, 3), (0, 3), (0, 0)], float)
+        r = 0.5
+        dil = buffer_polygon(rect, r, Q)
+        assert len(dil) == 1
+        back = buffer_polygon(dil[0], -r, Q)
+        got = buffer_area(back)
+        assert got == pytest.approx(12.0, rel=0.01)
