@@ -45,7 +45,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
-    "BETWEEN", "LIKE", "IS", "NULL", "CAST",
+    "BETWEEN", "LIKE", "IS", "NULL", "CAST", "JOIN", "ON", "INNER",
+    "LEFT",
 }
 
 
@@ -278,6 +279,10 @@ class _Parser:
             return CastExpr(e, typ)
         if t[0] == "name":
             name = self.next()[1]
+            if self.peek() == ("op", ".") and self.toks[self.i + 1][0] == "name":
+                self.next()
+                name = name + "." + self.next()[1]
+                return Col(name)
             if self.accept("op", "("):
                 fn = name.upper()
                 if fn == "COUNT" and self.accept("op", "*"):
@@ -298,6 +303,8 @@ class _Parser:
 class Select:
     columns: list  # (expr, alias or None)
     table: str
+    table_alias: str | None = None
+    joins: list = field(default_factory=list)  # (table, alias, kind, lcol, rcol)
     where: object = None
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (name, desc)
@@ -326,7 +333,23 @@ def parse_select(sql: str) -> Select:
                 break
     p.expect("kw", "FROM")
     table = p.next()[1]
-    sel = Select(cols, table, distinct=distinct)
+    alias = p.next()[1] if p.peek()[0] == "name" else None
+    sel = Select(cols, table, table_alias=alias, distinct=distinct)
+    while p.peek() in (("kw", "JOIN"), ("kw", "INNER"), ("kw", "LEFT")):
+        kind = "inner"
+        if p.accept("kw", "LEFT"):
+            kind = "left_outer"
+        else:
+            p.accept("kw", "INNER")
+        p.expect("kw", "JOIN")
+        jt = p.next()[1]
+        ja = p.next()[1] if p.peek()[0] == "name" else None
+        p.expect("kw", "ON")
+        lhs = p.parse_expr()
+        if not (isinstance(lhs, Bin) and lhs.op == "=" and
+                isinstance(lhs.left, Col) and isinstance(lhs.right, Col)):
+            raise ValueError("JOIN ON must be column = column")
+        sel.joins.append((jt, ja, kind, lhs.left.name, lhs.right.name))
     if p.accept("kw", "WHERE"):
         sel.where = p.parse_expr()
     if p.accept("kw", "GROUP"):
@@ -469,15 +492,47 @@ def _has_agg(node) -> bool:
     return False
 
 
+def _strip_quals(node):
+    """Replace qualified Col('t.c') with Col('c') (post-join columns
+    carry bare names; qualifiers only disambiguate in the ON clause)."""
+    if isinstance(node, Col) and "." in node.name:
+        return Col(node.name.split(".", 1)[1])
+    for attr in ("left", "right", "operand", "lo", "hi"):
+        child = getattr(node, attr, None)
+        if child is not None:
+            setattr(node, attr, _strip_quals(child))
+    if isinstance(node, Func):
+        node.args = [_strip_quals(a) for a in node.args]
+    return node
+
+
 def execute(sql: str, tables: dict):
     """Run a SELECT over Ray Datasets: ``tables`` maps name →
-    ray.data.Dataset. Returns a Dataset."""
+    ray.data.Dataset. Returns a Dataset. Single-equality INNER/LEFT
+    JOINs are compiled onto Dataset.join (hash join); non-key column
+    names must be distinct across the joined tables."""
     from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
     sel = parse_select(sql)
     if sel.table not in tables:
         raise ValueError(f"unknown table {sel.table}")
     ds = tables[sel.table]
+    for jt, _ja, kind, lcol, rcol in sel.joins:
+        if jt not in tables:
+            raise ValueError(f"unknown join table {jt}")
+        right = tables[jt]
+        lc = lcol.split(".")[-1]
+        rc = rcol.split(".")[-1]
+        if lc not in ds.schema().names:
+            lc, rc = rc, lc
+        ds = ds.join(
+            right, join_type=kind, num_partitions=4, on=(lc,),
+            right_on=(rc,),
+        )
+    if sel.joins:
+        sel.columns = [(_strip_quals(e), a) for e, a in sel.columns]
+        if sel.where is not None:
+            sel.where = _strip_quals(sel.where)
 
     if sel.where is not None:
         where = sel.where

@@ -92,3 +92,23 @@ def test_parse_errors():
         ogrsql.parse_select("SELECT a FROM t WHERE ^bad")
     with pytest.raises(ValueError):
         ogrsql.parse_select("SELECT a FROM t extra garbage ,")
+
+
+def test_inner_join(table, ray_session):
+    import ray.data as rd
+
+    lut = pa.table(
+        {"g": pa.array([0, 1, 2, 3, 4], pa.int64()),
+         "label": pa.array(["a", "b", "c", "d", "e"])}
+    )
+    sql = ("SELECT t.id, lut.label FROM t JOIN lut ON t.grp = lut.g "
+           "WHERE t.id < 100")
+    got = ogrsql.execute(
+        sql, {"t": rd.from_arrow(table), "lut": rd.from_arrow(lut)}
+    ).to_pandas().sort_values("id").reset_index(drop=True)
+    con = duckdb.connect()
+    con.register("t", table)
+    con.register("lut", lut)
+    want = con.execute(sql).fetch_df().sort_values("id").reset_index(drop=True)
+    assert got["id"].tolist() == want["id"].tolist()
+    assert got["label"].tolist() == want["label"].tolist()
