@@ -125,3 +125,34 @@ def resize_stage(batch: pa.Table, out_hw: tuple[int, int] = (4, 4),
         j, f"{col}_shape",
         pa.array([[oh, ow, 3]] * len(out), pa.list_(pa.int32())),
     )
+
+
+class PngImageDecoder(ImageDecoder):
+    """REAL image decode path: baseline 8-bit PNG via the engine's own
+    spec-correct codec (gdal_ray.raster.png — stdlib zlib, all five
+    scanline filters). The 'no codec in this container' limitation now
+    applies only to JPEG/WebP/audio/video; PNG media columns decode to
+    genuine (H, W[, C]) uint8 tensors through the same actor-pool
+    plumbing."""
+
+    def __init__(self, col: str = "media", out_col: str = "pixels"):
+        from gdal_ray.raster.png import decode_png
+
+        def decode(payload: bytes) -> np.ndarray:
+            t = decode_png(payload)
+            return t[..., None] if t.ndim == 2 else t
+
+        super().__init__(decode_fn=decode, col=col, out_col=out_col)
+
+
+def png_decode_stage(ds, col: str = "media", out_col: str = "pixels",
+                     avg_item_bytes: int = 256 * 1024,
+                     concurrency=(1, 4)):
+    """Dataset-level PNG decode: actor pool + byte-capped batches."""
+    return ds.map_batches(
+        PngImageDecoder,
+        batch_format="pyarrow",
+        batch_size=media_batch_size(avg_item_bytes),
+        concurrency=concurrency,
+        fn_constructor_kwargs={"col": col, "out_col": out_col},
+    )

@@ -50,3 +50,29 @@ def test_full_pipeline_with_fake_decoder(ray_session):
         mm.FakeImageDecoder, batch_format="pyarrow", concurrency=1
     ).to_pandas()
     assert (t2["pixels"] == ds3["pixels"]).all()
+
+
+def test_png_decoder_real_roundtrip(ray_session):
+    """The PNG decode path is REAL (no fake): encode tensors with the
+    engine codec, run the actor-pool decode stage, get the exact
+    pixels back."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.raster.png import encode_png
+    from gdal_ray.stages.multimodal import png_decode_stage
+
+    rng = np.random.default_rng(8)
+    imgs = [rng.integers(0, 256, (12, 9, 3), dtype=np.uint8) for _ in range(6)]
+    t = pa.table(
+        {
+            "img_id": pa.array(np.arange(6, dtype=np.int64)),
+            "media": pa.array([encode_png(im) for im in imgs], pa.binary()),
+        }
+    )
+    out = png_decode_stage(rd.from_arrow(t)).to_pandas().sort_values("img_id")
+    for i, row in out.iterrows():
+        shape = tuple(row["pixels_shape"])
+        got = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(shape)
+        assert (got == imgs[row["img_id"]]).all()
