@@ -1,0 +1,47 @@
+"""WKT read/write tests: round-trip identity across all geometry
+types, numeric precision, and malformed-input errors."""
+
+import numpy as np
+import pytest
+
+from gdal_ray.geom import wkb as gwkb
+from gdal_ray.geom import wkt as W
+
+CASES = [
+    "POINT (1 2)",
+    "LINESTRING (0 0, 1 1, 2 0.5)",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0))",
+    "POLYGON ((0 0, 4 0, 4 4, 0 4, 0 0), (1 1, 2 1, 2 2, 1 2, 1 1))",
+    "MULTIPOINT ((1 2), (3 4))",
+    "MULTIPOINT (1 2, 3 4)",          # bare-coordinate variant
+    "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3))",
+    "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 0)), ((5 5, 6 5, 6 6, 5 5)))",
+    "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+]
+
+
+@pytest.mark.parametrize("wkt", CASES)
+def test_roundtrip(wkt):
+    buf = W.from_wkt(wkt)
+    assert W.from_wkt(W.to_wkt(buf)) == buf
+
+
+def test_precision():
+    buf = W.from_wkt("POINT (1.2345678901234567 -9.87654321e-05)")
+    g = gwkb.parse(buf)
+    assert g["coords"][0][0] == 1.2345678901234567
+    assert g["coords"][0][1] == -9.87654321e-05
+    assert W.from_wkt(W.to_wkt(buf)) == buf
+
+
+def test_wkb_cross_consistency():
+    ring = np.array([(0, 0), (3, 0), (3, 2), (0, 2), (0, 0)], float)
+    buf = gwkb.polygon_wkb(ring)
+    assert W.from_wkt(W.to_wkt(buf)) == buf
+
+
+def test_errors():
+    for bad in ("POINT 1 2", "POLYGON ((0 0, 1 1)", "TRIANGLE ((0 0))",
+                "LINESTRING (a b)"):
+        with pytest.raises(ValueError):
+            W.from_wkt(bad)
