@@ -52,13 +52,39 @@ def _norm(crs: str) -> str:
 
 
 @functools.lru_cache(maxsize=256)
+class _ConicAdapter:
+    """Wrap a conic projection object with the (x, y, ok) contract."""
+
+    def __init__(self, proj):
+        self.p = proj
+
+    def forward(self, lon, lat):
+        x, y = self.p.forward(lon, lat)
+        ok = np.isfinite(x) & np.isfinite(y)
+        return x, y, ok
+
+    def inverse(self, x, y):
+        lon, lat = self.p.inverse(x, y)
+        ok = np.isfinite(lon) & np.isfinite(lat)
+        return lon, lat, ok
+
+
 def _projection(crs: str):
-    """Return (kind, obj): kind ∈ {geographic, webmercator, tmerc}."""
+    """Return (kind, obj): kind ∈ {geographic, webmercator, tmerc,
+    conic}."""
     c = _norm(crs)
     if c in _GEOGRAPHIC:
         return ("geographic", None)
     if c in ("EPSG:3857", "EPSG:900913", "EPSG:3785"):
         return ("webmercator", None)
+    if c in ("EPSG:5070", "ESRI:102003"):
+        from gdal_ray.proj.conic import EPSG_5070
+
+        return ("conic", _ConicAdapter(EPSG_5070))
+    if c == "ESRI:102004":
+        from gdal_ray.proj.conic import ESRI_102004
+
+        return ("conic", _ConicAdapter(ESRI_102004))
     if c.startswith("EPSG:"):
         code = int(c.split(":")[1])
         if 32601 <= code <= 32660:

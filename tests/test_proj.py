@@ -133,3 +133,79 @@ def test_transformer_cached():
 def test_transformer_unsupported():
     with pytest.raises(ValueError):
         Transformer.from_crs("EPSG:9999", "EPSG:4326")
+
+
+class TestConicProjections:
+    """LCC/Albers validated against Snyder PP 1395 worked examples
+    (Clarke 1866, pp. 292/296) and machine-precision round-trips."""
+
+    CLARKE = None
+
+    @classmethod
+    def _clarke(cls):
+        from gdal_ray.proj.transverse_mercator import Ellipsoid
+
+        return Ellipsoid(a=6378206.4, f=1 - 6356583.8 / 6378206.4)
+
+    def test_albers_snyder_example(self):
+        from gdal_ray.proj.conic import AlbersEqualArea
+
+        aea = AlbersEqualArea(29.5, 45.5, 23.0, -96.0,
+                              ellipsoid=self._clarke())
+        x, y = aea.forward(-75.0, 35.0)
+        assert abs(x - 1885472.7) < 1.0
+        assert abs(y - 1535925.0) < 1.0
+        lon, lat = aea.inverse(x, y)
+        assert abs(lon - (-75.0)) < 1e-9 and abs(lat - 35.0) < 1e-9
+
+    def test_lcc_snyder_example(self):
+        from gdal_ray.proj.conic import LambertConformalConic
+
+        lcc = LambertConformalConic(33.0, 45.0, 23.0, -96.0,
+                                    ellipsoid=self._clarke())
+        x, y = lcc.forward(-75.0, 35.0)
+        assert abs(x - 1894410.9) < 1.0
+        assert abs(y - 1564649.5) < 1.0
+        lon, lat = lcc.inverse(x, y)
+        assert abs(lon - (-75.0)) < 1e-9 and abs(lat - 35.0) < 1e-9
+
+    def test_transformer_dispatch_roundtrip(self):
+        from gdal_ray.proj.transformer import Transformer
+
+        rng = np.random.default_rng(3)
+        lon = rng.uniform(-120, -75, 500)
+        lat = rng.uniform(25, 48, 500)
+        for crs in ("EPSG:5070", "ESRI:102004"):
+            fwd = Transformer.from_crs("EPSG:4326", crs)
+            x, y, ok = fwd.transform_with_errors(lon, lat)
+            assert ok.all()
+            inv = Transformer.from_crs(crs, "EPSG:4326")
+            lo, la, ok2 = inv.transform_with_errors(x, y)
+            assert ok2.all()
+            assert np.abs(lo - lon).max() < 1e-10
+            assert np.abs(la - lat).max() < 1e-10
+
+    def test_albers_preserves_area(self):
+        """Equal-area property: the projected area of a spherical quad
+        equals its ellipsoidal area (checked via a fine ring)."""
+        from gdal_ray.proj.conic import EPSG_5070
+
+        # 1-degree cell in the CONUS; ellipsoidal area via the
+        # authalic q function the projection itself is built on
+        lon0, lat0 = -100.0, 40.0
+        t = np.linspace(0, 1, 201)
+        ring_lon = np.concatenate([
+            lon0 + t, np.full(201, lon0 + 1), lon0 + 1 - t,
+            np.full(201, lon0),
+        ])
+        ring_lat = np.concatenate([
+            np.full(201, lat0), lat0 + t, np.full(201, lat0 + 1),
+            lat0 + 1 - t,
+        ])
+        x, y = EPSG_5070.forward(ring_lon, ring_lat)
+        proj_area = 0.5 * abs(np.sum(x[:-1] * y[1:] - x[1:] * y[:-1]))
+        e = EPSG_5070.ellipsoid
+        q1 = EPSG_5070._q(np.radians(lat0))
+        q2 = EPSG_5070._q(np.radians(lat0 + 1))
+        true_area = (e.a**2 / 2.0) * (q2 - q1) * np.radians(1.0)
+        assert proj_area == pytest.approx(true_area, rel=1e-6)
