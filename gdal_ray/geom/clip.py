@@ -372,3 +372,38 @@ def polygon_symdifference(a, b) -> list[np.ndarray]:
 
 def symdifference_area(a, b) -> float:
     return sum(_area(r) for r in polygon_symdifference(a, b))
+
+
+def polygon_intersection_holes(rings_a, rings_b):
+    """Intersection of polygons WITH holes (lifts the round-1 v0
+    exclusion): shell∩shell pieces via the Greiner-Hormann core, then
+    every hole of either input is subtracted from each piece
+    (sequential difference, holes attached to containing shells).
+    → list of (shell, [holes]) with containment orientation."""
+    from gdal_ray.stages.overlay import _rings_to_polygons
+
+    shells = polygon_intersection(
+        np.asarray(rings_a[0], np.float64), np.asarray(rings_b[0], np.float64)
+    )
+    pieces = [(s if _area(s) > 0 else s[::-1], []) for s in shells
+              if abs(_area(s)) > 1e-12]
+    for hole in list(rings_a[1:]) + list(rings_b[1:]):
+        h = np.asarray(hole, np.float64)
+        if _area(h) < 0:
+            h = h[::-1]  # difference expects a CCW clip ring
+        nxt = []
+        for shell, holes in pieces:
+            out_rings = polygon_difference(shell, h)
+            for s2, h2 in _rings_to_polygons(out_rings):
+                nxt.append((s2, holes + h2))
+        pieces = nxt
+        if not pieces:
+            break
+    return pieces
+
+
+def polygon_area_holes(pieces) -> float:
+    """Area of a (shell, holes) piece list."""
+    return float(sum(
+        abs(_area(s)) - sum(abs(_area(h)) for h in hs) for s, hs in pieces
+    ))

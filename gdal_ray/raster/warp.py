@@ -387,3 +387,57 @@ class GCPTransformer:
         c0x, c1x, c2x = self.cx
         c0y, c1y, c2y = self.cy
         return (c0x, c1x, c2x, c0y, c1y, c2y)
+
+
+class TPSTransformer:
+    """Thin-plate-spline transformer — the GDALTPSTransformer role
+    (alg/gdal_tps.cpp; kernel U(r) = r^2 log r^2 with an affine part,
+    both directions fitted independently).  Interpolates the GCPs
+    exactly; smooth in between."""
+
+    def __init__(self, gcps):
+        g = np.asarray(gcps, dtype=np.float64)
+        if len(g) < 3:
+            raise ValueError("TPS needs >= 3 GCPs")
+        self._fwd = self._fit(g[:, 0:2], g[:, 2:4])
+        self._inv = self._fit(g[:, 2:4], g[:, 0:2])
+
+    @staticmethod
+    def _kernel(r2):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            k = r2 * np.log(r2)
+        return np.where(r2 > 0, k, 0.0)
+
+    def _fit(self, src, dst):
+        n = len(src)
+        d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+        K = self._kernel(d2)
+        P = np.column_stack([np.ones(n), src])
+        A = np.zeros((n + 3, n + 3))
+        A[:n, :n] = K
+        A[:n, n:] = P
+        A[n:, :n] = P.T
+        rhs = np.zeros((n + 3, 2))
+        rhs[:n] = dst
+        coef = np.linalg.solve(A, rhs)
+        return (src.copy(), coef)
+
+    @staticmethod
+    def _apply(model, pts):
+        src, coef = model
+        pts = np.asarray(pts, dtype=np.float64)
+        d2 = ((pts[:, None, :] - src[None, :, :]) ** 2).sum(-1)
+        K = TPSTransformer._kernel(d2)
+        P = np.column_stack([np.ones(len(pts)), pts])
+        out = K @ coef[: len(src)] + P @ coef[len(src):]
+        return out[:, 0], out[:, 1]
+
+    def pixel_to_geo(self, px, py):
+        pts = np.column_stack([np.asarray(px, np.float64),
+                               np.asarray(py, np.float64)])
+        return self._apply(self._fwd, pts)
+
+    def geo_to_pixel(self, gx, gy):
+        pts = np.column_stack([np.asarray(gx, np.float64),
+                               np.asarray(gy, np.float64)])
+        return self._apply(self._inv, pts)

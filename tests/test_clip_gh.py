@@ -270,3 +270,49 @@ def test_difference_components_all_ccw():
     for r in rings:
         assert _area(r) > 0
     assert sum(_area(r) for r in rings) == pytest.approx(28.0, abs=1e-5)
+
+
+class TestMultiHoleOverlay:
+    def test_intersection_with_holes_closed_form(self):
+        """Boxes with holes: inclusion-exclusion of rectangles gives
+        the exact expected area."""
+        import numpy as np
+
+        from gdal_ray.geom.clip import (
+            polygon_area_holes,
+            polygon_intersection_holes,
+        )
+
+        def box(x0, y0, x1, y1):
+            return np.array(
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float
+            )
+
+        # A: 10x10 with a 2x2 hole at (2..4, 2..4)
+        A = [box(0, 0, 10, 10), box(2, 2, 4, 4)]
+        # B: 8x8 shifted with a 2x2 hole at (5..7, 5..7)
+        B = [box(3, 3, 11, 11), box(5, 5, 7, 7)]
+        pieces = polygon_intersection_holes(A, B)
+        got = polygon_area_holes(pieces)
+        # shell∩shell = (3..10)x(3..10) = 49;
+        # minus holeA∩region = (3..4)x(3..4) = 1;
+        # minus holeB (inside region, disjoint from holeA) = 4
+        assert got == 49 - 1 - 4
+
+    def test_hole_fully_covering_piece(self):
+        import numpy as np
+
+        from gdal_ray.geom.clip import (
+            polygon_area_holes,
+            polygon_intersection_holes,
+        )
+
+        def box(x0, y0, x1, y1):
+            return np.array(
+                [(x0, y0), (x1, y0), (x1, y1), (x0, y1), (x0, y0)], float
+            )
+
+        A = [box(0, 0, 4, 4), box(1, 1, 3, 3)]       # ring (donut)
+        B = [box(1.25, 1.25, 2.75, 2.75)]            # inside the hole
+        pieces = polygon_intersection_holes(A, B)
+        assert polygon_area_holes(pieces) == 0.0

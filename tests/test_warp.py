@@ -214,3 +214,36 @@ class TestGCPTransformer:
         assert t.max_residual < 1e-6
         t1 = GCPTransformer(np.column_stack([px, py, gx, gy]), order=1)
         assert t1.max_residual > 1.0  # affine can't fit the quadratic
+
+
+class TestTPSTransformer:
+    def test_interpolates_gcps_exactly(self):
+        from gdal_ray.raster.warp import TPSTransformer
+
+        rng = np.random.default_rng(11)
+        px = rng.uniform(0, 100, 12)
+        py = rng.uniform(0, 100, 12)
+        # smooth warped targets
+        gx = 2 * px + 0.3 * py + 5 * np.sin(px / 30)
+        gy = -py + 0.1 * px + 3 * np.cos(py / 25)
+        t = TPSTransformer(np.column_stack([px, py, gx, gy]))
+        fx, fy = t.pixel_to_geo(px, py)
+        assert np.allclose(fx, gx, atol=1e-8)
+        assert np.allclose(fy, gy, atol=1e-8)
+
+    def test_reduces_to_affine(self):
+        """For GCPs sampled from an affine map the spline weights
+        vanish and TPS == the affine everywhere."""
+        from gdal_ray.raster.warp import TPSTransformer
+
+        rng = np.random.default_rng(13)
+        px = rng.uniform(0, 50, 10)
+        py = rng.uniform(0, 50, 10)
+        gx = 3.0 + 2.0 * px - 0.5 * py
+        gy = -1.0 + 0.25 * px + 1.5 * py
+        t = TPSTransformer(np.column_stack([px, py, gx, gy]))
+        qx = rng.uniform(0, 50, 20)
+        qy = rng.uniform(0, 50, 20)
+        fx, fy = t.pixel_to_geo(qx, qy)
+        assert np.allclose(fx, 3.0 + 2.0 * qx - 0.5 * qy, atol=1e-6)
+        assert np.allclose(fy, -1.0 + 0.25 * qx + 1.5 * qy, atol=1e-6)
