@@ -441,3 +441,88 @@ class TPSTransformer:
         pts = np.column_stack([np.asarray(gx, np.float64),
                                np.asarray(gy, np.float64)])
         return self._apply(self._inv, pts)
+
+
+class RPCTransformer:
+    """Rational Polynomial Coefficients transformer — the
+    GDALRPCTransformer role (alg/gdal_rpc.cpp): the RPC00B satellite
+    model, (lat, lng, height) → (line, sample) through four cubic
+    20-coefficient polynomials with offset/scale normalization;
+    ground→image is the model's native direction, image→ground
+    inverts per point by damped Newton iteration on the 2x2 Jacobian
+    (finite differences), matching the reference's iterative inverse.
+
+    ``rpc``: dict with LINE_OFF/_SCALE, SAMP_OFF/_SCALE, LAT_OFF/
+    _SCALE, LONG_OFF/_SCALE, HEIGHT_OFF/_SCALE and the four
+    20-element arrays LINE_NUM/LINE_DEN/SAMP_NUM/SAMP_DEN_COEFF.
+    """
+
+    _TERMS = (
+        # RPC00B ordering of the 20 cubic terms in (L=long, P=lat, H)
+        lambda L, P, H: np.ones_like(L),
+        lambda L, P, H: L, lambda L, P, H: P, lambda L, P, H: H,
+        lambda L, P, H: L * P, lambda L, P, H: L * H,
+        lambda L, P, H: P * H, lambda L, P, H: L * L,
+        lambda L, P, H: P * P, lambda L, P, H: H * H,
+        lambda L, P, H: P * L * H, lambda L, P, H: L ** 3,
+        lambda L, P, H: L * P * P, lambda L, P, H: L * H * H,
+        lambda L, P, H: L * L * P, lambda L, P, H: P ** 3,
+        lambda L, P, H: P * H * H, lambda L, P, H: L * L * H,
+        lambda L, P, H: P * P * H, lambda L, P, H: H ** 3,
+    )
+
+    def __init__(self, rpc: dict):
+        self.rpc = {k: np.asarray(v, np.float64) if hasattr(v, "__len__")
+                    else float(v) for k, v in rpc.items()}
+        for k in ("LINE_NUM_COEFF", "LINE_DEN_COEFF", "SAMP_NUM_COEFF",
+                  "SAMP_DEN_COEFF"):
+            if len(self.rpc[k]) != 20:
+                raise ValueError(f"{k} must have 20 coefficients")
+
+    def _poly(self, coeff, L, P, H):
+        out = np.zeros_like(L)
+        for c, term in zip(coeff, self._TERMS):
+            if c != 0.0:
+                out = out + c * term(L, P, H)
+        return out
+
+    def ground_to_image(self, lng, lat, height=0.0):
+        r = self.rpc
+        L = (np.asarray(lng, np.float64) - r["LONG_OFF"]) / r["LONG_SCALE"]
+        P = (np.asarray(lat, np.float64) - r["LAT_OFF"]) / r["LAT_SCALE"]
+        H = (np.asarray(height, np.float64) - r["HEIGHT_OFF"]) / r["HEIGHT_SCALE"]
+        H = np.broadcast_to(H, L.shape).astype(np.float64)
+        line = self._poly(r["LINE_NUM_COEFF"], L, P, H) / self._poly(
+            r["LINE_DEN_COEFF"], L, P, H
+        )
+        samp = self._poly(r["SAMP_NUM_COEFF"], L, P, H) / self._poly(
+            r["SAMP_DEN_COEFF"], L, P, H
+        )
+        return (
+            samp * r["SAMP_SCALE"] + r["SAMP_OFF"],
+            line * r["LINE_SCALE"] + r["LINE_OFF"],
+        )
+
+    def image_to_ground(self, samp, line, height=0.0, iters: int = 12):
+        r = self.rpc
+        samp = np.asarray(samp, np.float64)
+        line = np.asarray(line, np.float64)
+        lng = np.full_like(samp, r["LONG_OFF"])
+        lat = np.full_like(samp, r["LAT_OFF"])
+        eps_lng = r["LONG_SCALE"] * 1e-7
+        eps_lat = r["LAT_SCALE"] * 1e-7
+        for _ in range(iters):
+            s0, l0 = self.ground_to_image(lng, lat, height)
+            fx = s0 - samp
+            fy = l0 - line
+            sx1, lx1 = self.ground_to_image(lng + eps_lng, lat, height)
+            sy1, ly1 = self.ground_to_image(lng, lat + eps_lat, height)
+            j11 = (sx1 - s0) / eps_lng
+            j12 = (sy1 - s0) / eps_lat
+            j21 = (lx1 - l0) / eps_lng
+            j22 = (ly1 - l0) / eps_lat
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, 1e-30, det)
+            lng = lng - (j22 * fx - j12 * fy) / det
+            lat = lat - (-j21 * fx + j11 * fy) / det
+        return lng, lat

@@ -247,3 +247,50 @@ class TestTPSTransformer:
         fx, fy = t.pixel_to_geo(qx, qy)
         assert np.allclose(fx, 3.0 + 2.0 * qx - 0.5 * qy, atol=1e-6)
         assert np.allclose(fy, -1.0 + 0.25 * qx + 1.5 * qy, atol=1e-6)
+
+
+class TestRPCTransformer:
+    def _synthetic_rpc(self):
+        """An affine-dominant RPC with mild nonlinear terms (valid
+        denominators): exercises the full 20-term path."""
+        num_line = np.zeros(20)
+        num_line[0:4] = [0.002, 0.1, -1.0, 0.01]
+        num_line[7] = 0.0005
+        den_line = np.zeros(20)
+        den_line[0] = 1.0
+        den_line[2] = 0.0008
+        num_samp = np.zeros(20)
+        num_samp[0:4] = [-0.001, 1.0, 0.12, -0.02]
+        num_samp[8] = 0.0004
+        den_samp = np.zeros(20)
+        den_samp[0] = 1.0
+        den_samp[1] = 0.0005
+        return {
+            "LINE_OFF": 5000.0, "LINE_SCALE": 5000.0,
+            "SAMP_OFF": 6000.0, "SAMP_SCALE": 6000.0,
+            "LAT_OFF": 40.0, "LAT_SCALE": 0.5,
+            "LONG_OFF": -105.0, "LONG_SCALE": 0.5,
+            "HEIGHT_OFF": 1500.0, "HEIGHT_SCALE": 1000.0,
+            "LINE_NUM_COEFF": num_line, "LINE_DEN_COEFF": den_line,
+            "SAMP_NUM_COEFF": num_samp, "SAMP_DEN_COEFF": den_samp,
+        }
+
+    def test_inverse_round_trip(self):
+        from gdal_ray.raster.warp import RPCTransformer
+
+        t = RPCTransformer(self._synthetic_rpc())
+        rng = np.random.default_rng(7)
+        lng = rng.uniform(-105.4, -104.6, 200)
+        lat = rng.uniform(39.6, 40.4, 200)
+        samp, line = t.ground_to_image(lng, lat, 1500.0)
+        lng2, lat2 = t.image_to_ground(samp, line, 1500.0)
+        assert np.abs(lng2 - lng).max() < 1e-9
+        assert np.abs(lat2 - lat).max() < 1e-9
+
+    def test_height_dependence(self):
+        from gdal_ray.raster.warp import RPCTransformer
+
+        t = RPCTransformer(self._synthetic_rpc())
+        s0, l0 = t.ground_to_image(-105.0, 40.0, 1500.0)
+        s1, l1 = t.ground_to_image(-105.0, 40.0, 2500.0)
+        assert (s0 != s1) or (l0 != l1)  # parallax present
