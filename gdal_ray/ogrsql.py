@@ -46,7 +46,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
     "BETWEEN", "LIKE", "IS", "NULL", "CAST", "JOIN", "ON", "INNER",
-    "LEFT",
+    "LEFT", "HAVING",
 }
 
 
@@ -306,6 +306,7 @@ class Select:
     table_alias: str | None = None
     joins: list = field(default_factory=list)  # (table, alias, kind, lcol, rcol)
     where: object = None
+    having: object = None
     group_by: list = field(default_factory=list)
     order_by: list = field(default_factory=list)  # (name, desc)
     limit: int | None = None
@@ -358,6 +359,8 @@ def parse_select(sql: str) -> Select:
             sel.group_by.append(p.next()[1])
             if not p.accept("op", ","):
                 break
+    if p.accept("kw", "HAVING"):
+        sel.having = p.parse_expr()
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
@@ -603,6 +606,32 @@ def execute(sql: str, tables: dict):
             return pa.table(cols)
 
         ds = ds.map_batches(post, batch_format="pyarrow")
+        if sel.having is not None:
+            # aggregate calls in HAVING refer to select aliases;
+            # equal-shaped Func nodes rewrite to the output column
+            def rewrite(node):
+                if isinstance(node, Func) and node.name in _AGG_FUNCS:
+                    for k2, (e2, alias2) in enumerate(sel.columns):
+                        if repr(e2) == repr(node):
+                            return Col(alias2 or _expr_name(e2, k2))
+                    raise ValueError(
+                        "HAVING aggregate must appear in SELECT"
+                    )
+                for attr in ("left", "right", "operand", "lo", "hi"):
+                    child = getattr(node, attr, None)
+                    if child is not None:
+                        setattr(node, attr, rewrite(child))
+                return node
+
+            having = rewrite(sel.having)
+
+            def hflt(batch: pa.Table) -> pa.Table:
+                mask = eval_expr(having, batch)
+                if isinstance(mask, pa.ChunkedArray):
+                    mask = mask.combine_chunks()
+                return batch.filter(mask)
+
+            ds = ds.map_batches(hflt, batch_format="pyarrow")
     else:
         star = len(sel.columns) == 1 and isinstance(sel.columns[0][0], Col) \
             and sel.columns[0][0].name == "*"

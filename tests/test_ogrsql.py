@@ -112,3 +112,18 @@ def test_inner_join(table, ray_session):
     want = con.execute(sql).fetch_df().sort_values("id").reset_index(drop=True)
     assert got["id"].tolist() == want["id"].tolist()
     assert got["label"].tolist() == want["label"].tolist()
+
+
+def test_having(table, ray_session):
+    import ray.data as rd
+
+    sql = ("SELECT grp, COUNT(*) AS n, SUM(val) AS s FROM t "
+           "GROUP BY grp HAVING SUM(val) > 15000 AND COUNT(*) > 100")
+    got = ogrsql.execute(sql, {"t": rd.from_arrow(table)}).to_pandas()
+    con = duckdb.connect()
+    con.register("t", table)
+    want = con.execute(sql).fetch_df()
+    got = got.sort_values("grp").reset_index(drop=True)
+    want = want.sort_values("grp").reset_index(drop=True)
+    assert got["grp"].tolist() == want["grp"].tolist()
+    assert np.allclose(got["s"], want["s"])
