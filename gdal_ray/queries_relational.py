@@ -597,6 +597,95 @@ _QBOXES = [
 ]
 
 
+def q_update_layer(sf_dir: str):
+    """Layer-algebra Update (ogrlayer.cpp:7164): method strips replace
+    the overlapping parts of the 100 admin boxes — engine runs the
+    geometric Erase(input, method) ∪ method composition and reports
+    area per surviving feature id (method ids offset by 1000). Oracle:
+    strips are disjoint, so erased area = box − Σ overlap(box, strip)
+    in closed form. sf_dir unused (fixture geometry)."""
+    import ray.data as rd
+
+    from gdal_ray import fixtures
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.stages.overlay import update_layer
+
+    boxes = fixtures.gen_boundaries().select(["admin_id", "geometry"])
+    strips = [_QBOXES[1], _QBOXES[3]]
+    method = pa.table(
+        {
+            "admin_id": pa.array([1000 + i for i in range(len(strips))],
+                                 pa.int64()),
+            "geometry": pa.array(
+                [gwkb.box_polygon_wkb(*s) for s in strips], pa.binary()
+            ),
+        }
+    )
+    out = update_layer(
+        rd.from_arrow(boxes), method, general=True, concurrency=(1, 4)
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "fid": t["admin_id"].cast(pa.int64()),
+                "area": pc.round(t["overlay_area"], 6),
+            }
+        )
+
+    agg = out.map_batches(finish, batch_format="pyarrow").groupby(
+        "fid", num_partitions=2
+    ).aggregate(Sum("area", alias_name="area"))
+
+    def round_sum(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"fid": t["fid"], "area": pc.round(t["area"], 6)}
+        )
+
+    return agg.map_batches(round_sum, batch_format="pyarrow")
+
+
+def _sql_update_layer() -> str:
+    from gdal_ray.fixtures import boundary_boxes
+
+    def dbl(v):
+        # VALUES floats parse as DECIMAL in DuckDB (and the area
+        # products overflow DECIMAL(18)); force DOUBLE
+        return f"CAST({v!r} AS DOUBLE)"
+
+    brows = ", ".join(
+        f"({i}, {dbl(b[0])}, {dbl(b[1])}, {dbl(b[2])}, {dbl(b[3])})"
+        for i, b in enumerate(boundary_boxes())
+    )
+    srows = ", ".join(
+        f"({1000 + i}, {dbl(s[0])}, {dbl(s[1])}, {dbl(s[2])}, {dbl(s[3])})"
+        for i, s in enumerate([_QBOXES[1], _QBOXES[3]])
+    )
+    return f"""
+WITH bnd(admin_id, minx, miny, maxx, maxy) AS (VALUES {brows}),
+s(sid, sx0, sy0, sx1, sy1) AS (VALUES {srows}),
+erased AS (
+  SELECT b.admin_id AS fid,
+         ROUND((b.maxx - b.minx) * (b.maxy - b.miny)
+           - COALESCE(SUM(
+               CASE WHEN s.sid IS NULL THEN 0 ELSE
+                 GREATEST(LEAST(b.maxx, s.sx1) - GREATEST(b.minx, s.sx0), 0)
+               * GREATEST(LEAST(b.maxy, s.sy1) - GREATEST(b.miny, s.sy0), 0)
+               END), 0), 6) AS area
+  FROM bnd b LEFT JOIN s ON LEAST(b.maxx, s.sx1) > GREATEST(b.minx, s.sx0)
+                        AND LEAST(b.maxy, s.sy1) > GREATEST(b.miny, s.sy0)
+  GROUP BY b.admin_id, b.minx, b.miny, b.maxx, b.maxy
+),
+kept AS (SELECT fid, area FROM erased WHERE area > 0),
+meth AS (
+  SELECT sid AS fid, ROUND((sx1 - sx0) * (sy1 - sy0), 6) AS area FROM s
+)
+SELECT fid, ROUND(area, 6) AS area FROM (
+  SELECT * FROM kept UNION ALL SELECT * FROM meth
+)
+"""
+
+
 def q_box_overlay(sf_dir: str):
     """Layer-algebra Intersection of the 100 admin boxes against 5
     vertical query strips (convex S-H clipping per pair, envelope
@@ -955,6 +1044,7 @@ RELATIONAL_QUERIES = {
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),
     "box_union": (q_box_union, _sql_box_union()),
+    "update_layer": (q_update_layer, _sql_update_layer()),
     "topk_per_user": (q_topk_per_user, SQL_TOPK_PER_USER),
     "stddev": (q_stddev, SQL_STDDEV),
     "quantiles": (q_quantiles, SQL_QUANTILES),

@@ -140,9 +140,15 @@ class ConvexOverlay:
 
         sminx, sminy = subject[:, 0].min(), subject[:, 1].min()
         smaxx, smaxy = subject[:, 0].max(), subject[:, 1].max()
+        subj_area = abs(gops.ring_area(subject))
         pieces = [(subject, [])]
         for _mid, mring, (eminx, eminy, emaxx, emaxy) in self.method:
-            if smaxx < eminx or sminx > emaxx or smaxy < eminy or sminy > emaxy:
+            # OPEN-interval pretest: an edge-touching method polygon
+            # (zero-width overlap) cannot remove area — skipping it
+            # keeps the original geometry bit-exact instead of routing
+            # through the GH degenerate-perturbation path
+            if (smaxx <= eminx or sminx >= emaxx
+                    or smaxy <= eminy or sminy >= emaxy):
                 continue
             nxt = []
             for shell, holes in pieces:
@@ -158,7 +164,10 @@ class ConvexOverlay:
             a = abs(gops.ring_area(shell)) - sum(
                 abs(gops.ring_area(h)) for h in holes
             )
-            if a <= 0:
+            # drop degenerate slivers left by the GH perturbation
+            # retry on coincident edges (~1e-7-relative residue); a
+            # genuinely surviving remainder is far larger
+            if a <= max(1e-12, 1e-7 * subj_area):
                 continue
             r = dict(row)
             r[self.geom_col] = gwkb.polygon_wkb(shell, holes)
