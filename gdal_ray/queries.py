@@ -652,6 +652,81 @@ def q_warp_agg_mean(sf_dir: str):
     )
 
 
+def q_buffer_erode(sf_dir: str):
+    """Negative buffer (erosion) per row: each page's rectangle eroded
+    by 0.1 through the full inward-offset + node-split construction;
+    closed form (w-2r)(h-2r) for rectangles — both sides ROUND(9)."""
+    import pyarrow as pa
+
+    from gdal_ray.geom import buffer as gbuf
+    from gdal_ray.geom import ops as gops
+    from gdal_ray.pipelines import flagship
+
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    r = 0.1
+
+    def erode(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        w = 0.5 + np.abs(lon) / 360.0
+        h = 0.5 + np.abs(lat) / 180.0
+        areas = np.empty(len(w))
+        for i in range(len(w)):
+            rect = np.array(
+                [(0.0, 0.0), (w[i], 0.0), (w[i], h[i]), (0.0, h[i]),
+                 (0.0, 0.0)]
+            )
+            rings = gbuf.buffer_polygon(rect, -r, 8)
+            areas[i] = sum(gops.ring_area(rg) for rg in rings)
+        return pa.table(
+            {"url": t["url"], "erode_area": pa.array(np.round(areas, 9))}
+        )
+
+    return pages.map_batches(erode, batch_format="pyarrow")
+
+
+def _sql_buffer_erode() -> str:
+    return (
+        _PAGES_SQL
+        + """
+SELECT url,
+       ROUND(((0.5 + abs(lon)/360.0) - 0.2) * ((0.5 + abs(lat)/180.0) - 0.2),
+             9) AS erode_area
+FROM pages
+"""
+    )
+
+
+def q_wkt_roundtrip(sf_dir: str):
+    """WKT interchange round trip: page points → WKT strings →
+    re-parsed coordinates. Bit-exact iff the 17-significant-digit
+    formatter preserves doubles; oracle = the raw coordinates."""
+    import pyarrow as pa
+
+    from gdal_ray.geom import wkt as gwkt
+    from gdal_ray.pipelines import flagship
+
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+
+    def roundtrip(t: pa.Table) -> pa.Table:
+        lon = t["lon"].to_numpy(zero_copy_only=False)
+        lat = t["lat"].to_numpy(zero_copy_only=False)
+        out_lon = np.empty(len(lon))
+        out_lat = np.empty(len(lat))
+        from gdal_ray.geom import wkb as gwkb
+
+        for i in range(len(lon)):
+            s = gwkt.to_wkt(gwkb.point_wkb(lon[i], lat[i]))
+            g = gwkb.parse(gwkt.from_wkt(s))
+            out_lon[i], out_lat[i] = g["coords"][0]
+        return pa.table(
+            {"url": t["url"], "lon": pa.array(out_lon),
+             "lat": pa.array(out_lat)}
+        )
+
+    return pages.map_batches(roundtrip, batch_format="pyarrow")
+
+
 _DIST_LINE = [(-60.0, -30.0), (-10.0, 10.0), (30.0, -5.0), (70.0, 40.0)]
 
 
@@ -771,6 +846,8 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "warp_agg_mean": q_warp_agg_mean,
     "contour_bands": q_contour_bands,
     "distance_line": q_distance_line,
+    "buffer_erode": q_buffer_erode,
+    "wkt_roundtrip": q_wkt_roundtrip,
 }
 
 ORACLE: dict[str, str] = {
@@ -790,6 +867,8 @@ ORACLE: dict[str, str] = {
     "warp_agg_mean": _sql_warp_agg_mean(),
     "contour_bands": _sql_contour_bands(),
     "distance_line": _sql_distance_line(),
+    "buffer_erode": _sql_buffer_erode(),
+    "wkt_roundtrip": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
 }
 
 # relational/text operator suite (separate module to keep this one
