@@ -727,6 +727,68 @@ def q_wkt_roundtrip(sf_dir: str):
     return pages.map_batches(roundtrip, batch_format="pyarrow")
 
 
+def q_scrub_canon(sf_dir: str):
+    """Training-data cleaning pass: PII scrub (email/phone/IPv4 →
+    typed placeholders, vectorized RE2) + URL canonicalization
+    (lowercased scheme+host, query/fragment/trailing-slash stripped).
+    Oracle: the identical regex pipeline in DuckDB."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from gdal_ray.pipelines import flagship
+    from gdal_ray.stages.text import canonical_url, scrub_pii
+
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+
+    def clean(t: pa.Table) -> pa.Table:
+        t = scrub_pii(t, "text")
+        t = canonical_url(t, "url")
+        return pa.table(
+            {
+                "url": t["url"],
+                "url_canon": t["url_canon"],
+                "n_email": t["n_email"],
+                "n_phone": t["n_phone"],
+                "n_ipv4": t["n_ipv4"],
+                "scrub_len": pc.cast(
+                    pc.utf8_length(t["text_scrubbed"]), pa.int64()
+                ),
+            }
+        )
+
+    return pages.map_batches(clean, batch_format="pyarrow")
+
+
+def _sql_scrub_canon() -> str:
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}"
+    ipv4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+    sh = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*"
+    return (
+        _PAGES_SQL
+        + f"""
+SELECT url,
+  regexp_replace(
+    lower(COALESCE(regexp_extract(u2, '{sh}'), ''))
+      || regexp_replace(u2, '{sh}', ''),
+    '/$', '') AS url_canon,
+  CAST(length(regexp_extract_all(text, '{email}')) AS BIGINT) AS n_email,
+  CAST(length(regexp_extract_all(t1, '{phone}')) AS BIGINT) AS n_phone,
+  CAST(length(regexp_extract_all(t2, '{ipv4}')) AS BIGINT) AS n_ipv4,
+  CAST(length(regexp_replace(t2, '{ipv4}', '<IP>', 'g')) AS BIGINT)
+    AS scrub_len
+FROM (
+  SELECT url, text,
+         regexp_replace(regexp_replace(url, '#.*$', ''), '\\?.*$', '') AS u2,
+         regexp_replace(text, '{email}', '<EMAIL>', 'g') AS t1,
+         regexp_replace(regexp_replace(text, '{email}', '<EMAIL>', 'g'),
+                        '{phone}', '<PHONE>', 'g') AS t2
+  FROM pages
+)
+"""
+    )
+
+
 _DIST_LINE = [(-60.0, -30.0), (-10.0, 10.0), (30.0, -5.0), (70.0, 40.0)]
 
 
@@ -848,6 +910,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distance_line": q_distance_line,
     "buffer_erode": q_buffer_erode,
     "wkt_roundtrip": q_wkt_roundtrip,
+    "scrub_canon": q_scrub_canon,
 }
 
 ORACLE: dict[str, str] = {
@@ -869,6 +932,7 @@ ORACLE: dict[str, str] = {
     "distance_line": _sql_distance_line(),
     "buffer_erode": _sql_buffer_erode(),
     "wkt_roundtrip": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
+    "scrub_canon": _sql_scrub_canon(),
 }
 
 # relational/text operator suite (separate module to keep this one

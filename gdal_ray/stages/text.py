@@ -141,3 +141,52 @@ def fingerprint64(batch: pa.Table, text_col: str = "text") -> pa.Table:
     return batch.append_column(
         "fingerprint", pa.array(out.astype(np.int64))
     )
+
+
+# PII patterns (training-data scrub): email, phone-like, IPv4 —
+# deliberately conservative (precision over recall), all Arrow C++ RE2
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+?\d{1,2}[-. ]?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}", "<PHONE>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+]
+
+
+def scrub_pii(batch: pa.Table, text_col: str = "text",
+              out_col: str | None = None) -> pa.Table:
+    """Replace common PII shapes with typed placeholder tokens — the
+    standard pre-training scrub pass. Vectorized RE2 substitution via
+    pyarrow (no Python rows); appends ``<col>_scrubbed`` (or
+    ``out_col``) plus per-kind match counts."""
+    col = batch[text_col]
+    out = col
+    counts = {}
+    for name, pat, repl in PII_PATTERNS:
+        counts[f"n_{name}"] = pc.cast(
+            pc.count_substring_regex(out, pat), pa.int64()
+        )
+        out = pc.replace_substring_regex(out, pat, repl)
+    batch = batch.append_column(out_col or f"{text_col}_scrubbed", out)
+    for k, v in counts.items():
+        batch = batch.append_column(k, v)
+    return batch
+
+
+def canonical_url(batch: pa.Table, url_col: str = "url") -> pa.Table:
+    """URL canonicalization for URL-level dedup: lowercase scheme+host,
+    strip the query string, fragment and trailing slash. Appends
+    ``url_canon`` (vectorized RE2)."""
+    u = batch[url_col]
+    # strip fragment, then query
+    u = pc.replace_substring_regex(u, r"#.*$", "")
+    u = pc.replace_substring_regex(u, r"\?.*$", "")
+    # lowercase scheme://host part only
+    host = pc.extract_regex(u, r"^(?P<scheme>[A-Za-z][A-Za-z0-9+.-]*://[^/]*)")
+    scheme_host = pc.struct_field(host, "scheme")
+    rest = pc.replace_substring_regex(
+        u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/]*", ""
+    )
+    lowered = pc.utf8_lower(pc.coalesce(scheme_host, pa.scalar("")))
+    joined = pc.binary_join_element_wise(lowered, pc.coalesce(rest, u), "")
+    joined = pc.replace_substring_regex(joined, r"/$", "")
+    return batch.append_column("url_canon", joined)

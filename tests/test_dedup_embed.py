@@ -207,3 +207,34 @@ class TestDegenerateBucket:
         )
         labels = dedup.connected_components(pairs).to_pandas()
         assert (labels["label"] == 0).all()
+
+
+class TestTextCleaning:
+    def test_scrub_pii(self):
+        from gdal_ray.stages.text import scrub_pii
+
+        t = pa.table({"text": pa.array([
+            "mail john.doe@example.com or call +1 (555) 123-4567",
+            "host 10.0.0.1 pinged 192.168.1.100",
+            "nothing here",
+        ])})
+        out = scrub_pii(t)
+        s = out["text_scrubbed"].to_pylist()
+        assert "<EMAIL>" in s[0] and "<PHONE>" in s[0]
+        assert s[1].count("<IP>") == 2
+        assert s[2] == "nothing here"
+        assert out["n_email"].to_pylist() == [1, 0, 0]
+        assert out["n_ipv4"].to_pylist() == [0, 2, 0]
+
+    def test_canonical_url(self):
+        from gdal_ray.stages.text import canonical_url
+
+        t = pa.table({"url": pa.array([
+            "HTTPS://Example.COM/Path/Page?q=1#frag",
+            "http://a.b/c/",
+            "https://x.y/z",
+        ])})
+        got = canonical_url(t)["url_canon"].to_pylist()
+        assert got == [
+            "https://example.com/Path/Page", "http://a.b/c", "https://x.y/z"
+        ]
