@@ -15,10 +15,14 @@ _NUM = r"[-+]?\d*\.?\d+(?:[eE][-+]?\d+)?"
 
 
 def _fmt(v: float) -> str:
-    # shortest round-trip representation (OGR prints %.15g-like)
-    return format(float(v), ".17g").rstrip("0").rstrip(".") if "." in format(
-        float(v), ".17g"
-    ) else format(float(v), ".17g")
+    # shortest round-trip representation (OGR prints %.15g-like).
+    # repr() is Python's shortest round-trip float repr; never strip
+    # characters from a string that may carry an exponent (stripping
+    # '0' off '1.5e-10' would corrupt the value).
+    v = float(v)
+    if v == int(v) and abs(v) < 1e16:
+        return str(int(v))
+    return repr(v)
 
 
 def _coords_to_wkt(c: np.ndarray) -> str:

@@ -632,6 +632,11 @@ def execute(sql: str, tables: dict):
                 return batch.filter(mask)
 
             ds = ds.map_batches(hflt, batch_format="pyarrow")
+        if sel.distinct:
+            # SELECT DISTINCT over an aggregated result: distinct on
+            # the output rows (post-HAVING), same groupby trick as the
+            # plain path (ADVICE r2: this used to be silently dropped)
+            ds = _distinct_rows(ds)
     else:
         star = len(sel.columns) == 1 and isinstance(sel.columns[0][0], Col) \
             and sel.columns[0][0].name == "*"
@@ -652,13 +657,7 @@ def execute(sql: str, tables: dict):
 
             ds = ds.map_batches(project, batch_format="pyarrow")
         if sel.distinct:
-            names = ds.schema().names
-            from ray.data.aggregate import Count as _C
-
-            ds = ds.groupby(names).aggregate(_C(alias_name="__n"))
-            ds = ds.map_batches(
-                lambda t: t.drop_columns(["__n"]), batch_format="pyarrow"
-            )
+            ds = _distinct_rows(ds)
     if sel.order_by:
         ds = ds.sort(
             [c for c, _d in sel.order_by],
@@ -666,14 +665,23 @@ def execute(sql: str, tables: dict):
         )
     if sel.limit is not None:
         ds = ds.limit(sel.limit + sel.offset)
-        if sel.offset:
-            off = sel.offset
-            t = ds.take_all()
-            tbl = pa.Table.from_pylist(t[off:])
-            import ray.data as rd
-
-            ds = rd.from_arrow(tbl)
+    if sel.offset:
+        # distributed skip: split at the offset and keep the tail —
+        # blocks stay in the object store, nothing lands on the
+        # driver (ADVICE r2: previously take_all + slice)
+        ds = ds.split_at_indices([sel.offset])[1]
     return ds
+
+
+def _distinct_rows(ds):
+    """Distinct over all output columns via groupby (no driver set)."""
+    names = ds.schema().names
+    from ray.data.aggregate import Count as _C
+
+    ds = ds.groupby(names).aggregate(_C(alias_name="__n"))
+    return ds.map_batches(
+        lambda t: t.drop_columns(["__n"]), batch_format="pyarrow"
+    )
 
 
 def _row_to_ds(row: dict):

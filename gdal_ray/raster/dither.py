@@ -1,12 +1,12 @@
 """8-bit palette quantization: median-cut palette computation +
-Floyd-Steinberg error-diffusion dithering — the GDALComputeMedianCutPCT
-/ GDALDitherRGB2PCT roles (reference: alg/gdalmediancut.cpp,
+error-diffusion dithering — the GDALComputeMedianCutPCT /
+GDALDitherRGB2PCT roles (reference: alg/gdalmediancut.cpp,
 alg/gdaldither.cpp).
 
-Median cut is vectorized (numpy partitioning per box); dithering is
-the standard serpentine error diffusion — sequential per image by
-nature, run per tile/image inside map_batches (the reference dithers
-whole images the same way)."""
+Median cut is vectorized (numpy partitioning per box); dithering uses
+the reference's integer error/6 left-to-right kernel (NOT classic
+7/16-FS) — sequential per image by nature, run per tile/image inside
+map_batches (the reference dithers whole images the same way)."""
 
 from __future__ import annotations
 
@@ -55,29 +55,40 @@ def nearest_palette_index(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
     return d.argmin(axis=1).astype(np.uint8).reshape(rgb.shape[:-1])
 
 
-def dither_rgb_to_pct(
-    rgb: np.ndarray, palette: np.ndarray, serpentine: bool = True
-) -> np.ndarray:
-    """Floyd-Steinberg error diffusion onto a palette → (H, W) uint8
-    index raster (GDALDitherRGB2PCT semantics)."""
+def dither_rgb_to_pct(rgb: np.ndarray, palette: np.ndarray) -> np.ndarray:
+    """GDALDitherRGB2PCT error diffusion onto a palette → (H, W) uint8
+    index raster. Reference-parity kernel (alg/gdaldither.cpp:427-634):
+    strict left-to-right scan, integer error/6 distribution — per
+    channel ``sixth = trunc(err/6)`` goes to next-line left and right
+    neighbours, ``err - 5*sixth`` to next-line below, ``2*sixth``
+    carries right on the same line — and L1 (sum-of-abs) nearest-color
+    with first-wins ties (FindNearestColor, gdaldither.cpp:742-757).
+    Sequential per image by nature; run per tile inside map_batches."""
     h, w, _ = rgb.shape
-    work = rgb.astype(np.float64).copy()
-    pal = palette.astype(np.float64)
+    pal = palette.astype(np.int64)
+    src = rgb.astype(np.int64)
     out = np.zeros((h, w), dtype=np.uint8)
+    # next-line error, one slot per pixel + 2 guard slots (ref layout:
+    # slot i+1 feeds pixel i of the next line)
+    pan = np.zeros((w + 2, 3), dtype=np.int64)
+    cache: dict[int, int] = {}
     for y in range(h):
-        rng_x = range(w - 1, -1, -1) if (serpentine and y % 2) else range(w)
-        sign = -1 if (serpentine and y % 2) else 1
-        for x in rng_x:
-            old = np.clip(work[y, x], 0, 255)
-            k = int(((pal - old) ** 2).sum(axis=1).argmin())
-            out[y, x] = k
-            err = old - pal[k]
-            if 0 <= x + sign < w:
-                work[y, x + sign] += err * (7 / 16)
-            if y + 1 < h:
-                if 0 <= x - sign < w:
-                    work[y + 1, x - sign] += err * (3 / 16)
-                work[y + 1, x] += err * (5 / 16)
-                if 0 <= x + sign < w:
-                    work[y + 1, x + sign] += err * (1 / 16)
+        line = np.clip(src[y] + pan[1:w + 1], 0, 255)
+        pan[:] = 0
+        last = np.zeros(3, dtype=np.int64)
+        for i in range(w):
+            v = np.clip(line[i] + last, 0, 255)
+            code = int(v[0]) | (int(v[1]) << 8) | (int(v[2]) << 16)
+            k = cache.get(code)
+            if k is None:
+                k = int(np.abs(pal - v).sum(axis=1).argmin())
+                cache[code] = k
+            out[y, i] = k
+            err = v - pal[k]
+            # C integer division truncates toward zero
+            sixth = np.fix(err / 6).astype(np.int64)
+            pan[i] += sixth                  # next line, pixel i-1
+            pan[i + 2] = sixth               # next line, pixel i+1 (set)
+            pan[i + 1] += err - 5 * sixth    # next line, pixel i
+            last = 2 * sixth
     return out

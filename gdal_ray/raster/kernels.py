@@ -180,9 +180,12 @@ def set_type(arr: np.ndarray, dtype: str, clamp: bool = True) -> np.ndarray:
         v = np.nan_to_num(arr.astype(np.float64), nan=0.0)
         if clamp:
             v = np.clip(v, info.min, info.max)
-        return np.rint(v).astype(dt) if arr.dtype.kind == "f" else (
-            np.clip(arr, info.min, info.max).astype(dt)
-        )
+        if arr.dtype.kind == "f":
+            # GDALCopyWords rounds half AWAY from zero (+0.5 then
+            # truncate), not banker's rounding — np.rint(0.5)==0
+            # would diverge on exact .5 values (ADVICE r2).
+            return np.trunc(v + np.copysign(0.5, v)).astype(dt)
+        return np.clip(arr, info.min, info.max).astype(dt)
     return arr.astype(dt)
 
 

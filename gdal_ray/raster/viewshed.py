@@ -43,8 +43,12 @@ def viewshed(
     samples_per_cell: float = 2.0,
 ) -> np.ndarray:
     """→ bool (H, W): True where the cell center is visible from the
-    observer at pixel (ox, oy). Vectorized: all cells' rays are
-    sampled in one padded (n_cells, n_samples) pass."""
+    observer at pixel (ox, oy). Vectorized: cells are processed in
+    distance-sorted ~8k chunks, each sampled at its own ray length,
+    so memory is O(chunk × longest-ray-in-chunk) — a 1024² DEM peaks
+    around tens of MB instead of tens of GB. Still O(n·d) compute;
+    for DEMs much beyond ~4k² use a radius limit (as gdal_viewshed
+    requires via -md) or tile the targets."""
     h, w = dem.shape
     yy, xx = np.meshgrid(
         np.arange(h, dtype=np.float64), np.arange(w, dtype=np.float64),
@@ -70,17 +74,29 @@ def viewshed(
     fy = yy.ravel()[flat]
     fd = dist.ravel()[flat]
     ftz = tz.ravel()[flat]
-    n_s = max(2, int(np.ceil(fd.max() * samples_per_cell)))
-    # parametric samples strictly between observer and target
-    t = (np.arange(1, n_s) / n_s)[None, :]
-    sx = ox + (fx[:, None] - ox) * t
-    sy = oy + (fy[:, None] - oy) * t
-    terrain = _bilinear(dem, sx.ravel(), sy.ravel()).reshape(len(flat), -1)
-    sight = oz + (ftz - oz)[:, None] * t
-    # samples beyond each ray's own useful resolution still lie on the
-    # segment, so the strict comparison stays correct for short rays
-    blocked = (terrain > sight + 1e-9).any(axis=1)
     vis = np.zeros(h * w, dtype=bool)
-    vis[flat] = ~blocked
+    # ADVICE r2: one (n_cells, n_samples_global_max) matrix OOMs on
+    # real DEMs (1024² × ~2900 samples ≈ 24 GB). Process cells in
+    # distance-sorted chunks so each chunk's sample count matches its
+    # OWN longest ray, and the working set stays ≲ _CHUNK × n_s × 8 B
+    # (≈ tens of MB). Sorting by distance keeps short rays from
+    # paying for the longest ray in the image.
+    order = np.argsort(fd, kind="stable")
+    _CHUNK = 8192
+    for s in range(0, len(order), _CHUNK):
+        idx = order[s:s + _CHUNK]
+        cd = fd[idx]
+        n_s = max(2, int(np.ceil(cd.max() * samples_per_cell)))
+        # parametric samples strictly between observer and target
+        t = (np.arange(1, n_s) / n_s)[None, :]
+        sx = ox + (fx[idx, None] - ox) * t
+        sy = oy + (fy[idx, None] - oy) * t
+        terrain = _bilinear(dem, sx.ravel(), sy.ravel()).reshape(len(idx), -1)
+        sight = oz + (ftz[idx] - oz)[:, None] * t
+        # samples beyond each ray's own useful resolution still lie on
+        # the segment, so the strict comparison stays correct for
+        # short rays
+        blocked = (terrain > sight + 1e-9).any(axis=1)
+        vis[flat[idx]] = ~blocked
     out |= vis.reshape(h, w) & in_range
     return out

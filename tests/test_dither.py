@@ -50,6 +50,45 @@ class TestDither:
         # both entries used (checkerboard-ish mix, not a flat fill)
         assert 0.4 < (out == 1).mean() < 0.6
 
+    def test_reference_kernel_scalar_parity(self):
+        """The vectorized kernel matches a pure-Python transcription
+        of alg/gdaldither.cpp's /6 integer loop (L1 nearest, trunc
+        division, set-then-accumulate panError slots)."""
+        rng = np.random.default_rng(7)
+        img = rng.integers(0, 256, (9, 11, 3), dtype=np.uint8)
+        pal = rng.integers(0, 256, (6, 3), dtype=np.uint8)
+
+        h, w, _ = img.shape
+        exp = np.zeros((h, w), dtype=np.uint8)
+        pan = [[0, 0, 0] for _ in range(w + 2)]
+        for y in range(h):
+            line = []
+            for i in range(w):
+                line.append([
+                    max(0, min(255, int(img[y, i, c]) + pan[i + 1][c]))
+                    for c in range(3)
+                ])
+            pan = [[0, 0, 0] for _ in range(w + 2)]
+            last = [0, 0, 0]
+            for i in range(w):
+                v = [max(0, min(255, line[i][c] + last[c])) for c in range(3)]
+                best, bd = 0, 1 << 30
+                for k in range(len(pal)):
+                    d = sum(abs(v[c] - int(pal[k, c])) for c in range(3))
+                    if d < bd:
+                        best, bd = k, d
+                exp[y, i] = best
+                for c in range(3):
+                    e = v[c] - int(pal[best, c])
+                    sixth = int(e / 6)  # trunc toward zero, like C
+                    pan[i][c] += sixth
+                    pan[i + 2][c] = sixth
+                    pan[i + 1][c] += e - 5 * sixth
+                    last[c] = 2 * sixth
+
+        got = dither_rgb_to_pct(img, pal)
+        assert (got == exp).all()
+
     def test_exact_palette_colors_pass_through(self):
         pal = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
         img = np.zeros((8, 8, 3), dtype=np.uint8)

@@ -67,6 +67,10 @@ QUERIES = [
     "SELECT SUBSTR(name, 1, 4) AS pre, id FROM t WHERE id < 20",
     "SELECT id + grp * 100 AS key2 FROM t WHERE val >= 99.0",
     "SELECT SUM(val * val) AS ss FROM t",
+    # DISTINCT combined with aggregation (ADVICE r2: was silently
+    # dropped in the aggregate path)
+    "SELECT DISTINCT COUNT(*) AS n FROM t GROUP BY grp",
+    "SELECT DISTINCT grp, COUNT(*) AS n FROM t WHERE id < 1000 GROUP BY grp",
 ]
 
 

@@ -388,6 +388,15 @@ class TestScaleVariants:
         assert out[0, 0] == -128 and out[0, 1] == 127
         assert out[1, 0] == 0 and out[1, 1] == 128 - 1 or out[1, 1] == 127
 
+    def test_set_type_rounds_half_away_from_zero(self):
+        # GDALCopyWords semantics: 0.5 -> 1, -0.5 -> -1, 2.5 -> 3
+        # (np.rint would give 0, -0, 2 — banker's rounding)
+        from gdal_ray.raster.kernels import set_type
+
+        v = np.array([[0.5, -0.5], [2.5, -2.5]])
+        out = set_type(v, "int16")
+        assert out.tolist() == [[1, -1], [3, -3]]
+
     def test_nodata_to_alpha(self):
         from gdal_ray.raster.kernels import nodata_to_alpha
 

@@ -34,6 +34,23 @@ def test_precision():
     assert W.from_wkt(W.to_wkt(buf)) == buf
 
 
+@pytest.mark.parametrize("v", [
+    1.5e-10, 2.5e20, 1e16, 1e-16, 5e-324, 1.7976931348623157e308,
+    -3.0000000000000004e-10, 1.0, -0.0, 123456789.123456789,
+])
+def test_fmt_exponent_edges(v):
+    # ADVICE r2: rstrip('0') on %.17g corrupted sci-notation values
+    # whose exponent ends in 0 (1.5e-10 -> '1.5e-1').
+    assert float(W._fmt(v)) == v
+
+
+def test_roundtrip_extreme_coords():
+    buf = W.from_wkt("POINT (1.5e-10 2.5e+20)")
+    g = gwkb.parse(W.from_wkt(W.to_wkt(buf)))
+    assert g["coords"][0][0] == 1.5e-10
+    assert g["coords"][0][1] == 2.5e20
+
+
 def test_wkb_cross_consistency():
     ring = np.array([(0, 0), (3, 0), (3, 2), (0, 2), (0, 0)], float)
     buf = gwkb.polygon_wkb(ring)
