@@ -90,14 +90,6 @@ def q_tile_counts_z9(sf_dir: str):
     return flagship.tile_counts(flagship.flagship(sf_dir), zoom=9)
 
 
-def q_geoparse(sf_dir: str):
-    """url → extracted lon/lat (the geoparse operator in isolation)."""
-    from gdal_ray.pipelines import flagship
-
-    ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
-    return ds.select_columns(["url", "lon", "lat"])
-
-
 def _sql_tile_assign() -> str:
     parts = ["url"]
     for z in (7, 9, 12):
@@ -893,7 +885,6 @@ FROM px GROUP BY 1
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
     "tile_counts_z9": q_tile_counts_z9,
-    "geoparse": q_geoparse,
     "cell_encode": q_cell_encode,
     "pip_join": q_pip_join,
     "pip_counts": q_pip_counts,
@@ -916,7 +907,6 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 ORACLE: dict[str, str] = {
     "tile_assign": _sql_tile_assign(),
     "tile_counts_z9": _sql_tile_counts_z9(),
-    "geoparse": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
     "pip_join": _sql_pip_join(),
     "pip_counts": _sql_pip_counts(),
     "knn_k5": _sql_knn_k5(),
@@ -940,7 +930,10 @@ ORACLE: dict[str, str] = {
 from gdal_ray.queries_ml import ML_QUERIES  # noqa: E402
 from gdal_ray.queries_relational import RELATIONAL_QUERIES  # noqa: E402
 
-for _name, (_fn, _sql) in {**RELATIONAL_QUERIES, **ML_QUERIES}.items():
+# ML queries register BEFORE relational: the r02 driver ran exactly
+# the first 50 registered queries, so ordering is part of the
+# coverage contract (total registry is held at <= 50 entries).
+for _name, (_fn, _sql) in {**ML_QUERIES, **RELATIONAL_QUERIES}.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLE[_name] = _sql

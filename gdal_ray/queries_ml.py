@@ -64,35 +64,32 @@ def q_near_dups(sf_dir: str):
     return near_duplicates(ds, threshold=0.8)
 
 
-def q_simhash(sf_dir: str):
-    """doc_id → 64-bit SimHash fingerprint (rows-only)."""
+def q_text_fingerprints(sf_dir: str):
+    """doc_id → 64-bit SimHash + rolling-hash content fingerprint in
+    one fused pass (rows-only — both hash functions are
+    engine-internal; SimHash brute-force Hamming parity and
+    fingerprint dedup equivalence are pinned in
+    tests/test_dedup_embed.py)."""
     from gdal_ray.stages.dedup import simhash64
-
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
-                         columns=["doc_id", "text"])
-
-    def sh(batch: pa.Table) -> pa.Table:
-        vals = [simhash64(t or "") for t in batch["text"].to_pylist()]
-        return pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "simhash": pa.array(np.array(vals, dtype=np.uint64).astype(np.int64)),
-            }
-        )
-
-    return ds.map_batches(sh, batch_format="pyarrow")
-
-
-def q_fingerprint(sf_dir: str):
-    """doc_id → rolling-hash content fingerprint + duplicate groups
-    (exact dedup by fingerprint; rows-only — hash function is
-    engine-internal)."""
     from gdal_ray.stages.text import fingerprint64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
-    fp = ds.map_batches(fingerprint64, batch_format="pyarrow")
-    return fp.select_columns(["doc_id", "fingerprint"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        out = fingerprint64(batch)
+        vals = [simhash64(t or "") for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": out["fingerprint"],
+                "simhash": pa.array(
+                    np.array(vals, dtype=np.uint64).astype(np.int64)
+                ),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow")
 
 
 def q_lang_quality(sf_dir: str):
@@ -168,11 +165,26 @@ WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
 """
 
 
+def q_embed_neardup_lsh(sf_dir: str):
+    """Embedding near-dup pairs via the PRODUCTION scale path: band
+    sign-LSH buckets → within-bucket candidate pairs → embeddings
+    joined back by distributed hash joins → exact cosine verify.
+    Nothing is materialized on the driver and no all-pairs scan runs;
+    the oracle is the same exact-pair SQL as ``embed_neardup`` —
+    green requires band recall 1.0 at the fixture threshold (pinned
+    in tests/test_dedup_embed.py)."""
+    from gdal_ray.stages.embed import embedding_near_dups
+
+    ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                         columns=["vec_id", "embedding"])
+    return embedding_near_dups(ds, threshold=NEARDUP_THRESHOLD)
+
+
 ML_QUERIES = {
     "embed_topk": (q_embed_topk, sql_embed_topk()),
     "embed_neardup": (q_embed_neardup, sql_embed_neardup()),
+    "embed_neardup_lsh": (q_embed_neardup_lsh, sql_embed_neardup()),
     "near_dups": (q_near_dups, None),
-    "simhash": (q_simhash, None),
-    "fingerprint": (q_fingerprint, None),
+    "text_fingerprints": (q_text_fingerprints, None),
     "lang_quality": (q_lang_quality, None),
 }

@@ -115,51 +115,6 @@ GROUP BY l_returnflag, l_linestatus
 """
 
 
-# --- global (ungrouped) aggregates — exact OGR SQL semantics ----------
-
-
-def q_global_agg(sf_dir: str):
-    """Global aggregates with order-independent exactness: sum/avg over
-    2-dp money go through int64 cents (float sums drift with reduce
-    order); min/max are exact in any order."""
-    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-
-    def to_cents(t: pa.Table) -> pa.Table:
-        cents = pc.round(pc.multiply(t["o_totalprice"], 100.0)).cast(pa.int64())
-        return t.append_column("cents", cents)
-
-    row = ds.map_batches(to_cents, batch_format="pyarrow").aggregate(
-        Sum("cents", alias_name="cents_sum"),
-        Min("o_totalprice", alias_name="min_price"),
-        Max("o_totalprice", alias_name="max_price"),
-        Count(alias_name="n_orders"),
-    )
-    n = row["n_orders"]
-    vals = {
-        "sum_price": float(row["cents_sum"]) / 100.0,
-        "min_price": row["min_price"],
-        "max_price": row["max_price"],
-        "avg_price": float(row["cents_sum"]) / 100.0 / float(n),
-        "n_orders": n,
-    }
-    return pa.table({k: [v] for k, v in sorted(vals.items())})
-
-
-SQL_GLOBAL_AGG = """
-SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         AS sum_price,
-       MIN(o_totalprice) AS min_price,
-       MAX(o_totalprice) AS max_price,
-       CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / 100.0
-         / CAST(COUNT(*) AS DOUBLE) AS avg_price,
-       COUNT(*) AS n_orders
-FROM orders
-"""
-
-
-# --- broadcast hash join (small side in every task) -------------------
-
-
 def q_join_customer_nation(sf_dir: str):
     """customer ⋈ nation (tiny side broadcast as a dict — the
     reference's secondary-layer lookup, ogr_gensql.cpp:1325, without
@@ -490,18 +445,20 @@ FROM w GROUP BY window_start
 
 def q_semi_anti(sf_dir: str):
     """Customers WITH orders (semi) tagged, customers WITHOUT (anti)
-    — broadcast key-set filters (§2.4 mapping)."""
-    from gdal_ray.stages.join import anti_join, semi_join
+    — DISTRIBUTED hash semi/anti joins (§2.4 mapping). No driver key
+    set: at 100 TB the distinct-customer side is billions of keys, so
+    both sides stay on the workers (Dataset.join left_semi/left_anti);
+    the broadcast key-set path in stages/join.py remains the
+    small-side fast path."""
+    from gdal_ray.stages.join import anti_join_ds, semi_join_ds
 
-    custkeys = set(
-        _read(sf_dir, "orders", columns=["o_custkey"]).unique("o_custkey")
-    )
+    orders = _read(sf_dir, "orders", columns=["o_custkey"])
     cust = _read(sf_dir, "customer", columns=["c_custkey"])
-    semi = semi_join(cust, custkeys, "c_custkey").map_batches(
+    semi = semi_join_ds(cust, orders, "c_custkey", "o_custkey").map_batches(
         lambda t: t.append_column("has_orders", pa.array([True] * t.num_rows)),
         batch_format="pyarrow",
     )
-    anti = anti_join(cust, custkeys, "c_custkey").map_batches(
+    anti = anti_join_ds(cust, orders, "c_custkey", "o_custkey").map_batches(
         lambda t: t.append_column("has_orders", pa.array([False] * t.num_rows)),
         batch_format="pyarrow",
     )
@@ -964,69 +921,8 @@ JOIN (VALUES {rows}) AS b(band_id, lo, hi)
 """
 
 
-# --- COUNT(DISTINCT) / OFFSET / IN+BETWEEN predicates ------------------
-
-
-def q_count_distinct(sf_dir: str):
-    """COUNT(DISTINCT ...) (swq_parser.y:1007): distinct via groupby,
-    then a count of the (tiny) distinct set."""
-    ds = _read(sf_dir, "customer", columns=["c_mktsegment", "c_nationkey"])
-    n_seg = len(ds.unique("c_mktsegment"))
-    n_nat = len(ds.unique("c_nationkey"))
-    return pa.table(
-        {"n_segments": pa.array([n_seg], pa.int64()),
-         "n_nations": pa.array([n_nat], pa.int64())}
-    )
-
-
-SQL_COUNT_DISTINCT = """
-SELECT COUNT(DISTINCT c_mktsegment) AS n_segments,
-       COUNT(DISTINCT c_nationkey) AS n_nations
-FROM customer
-"""
-
-
-def q_limit_offset(sf_dir: str):
-    """ORDER BY + LIMIT/OFFSET (swq_parser.y:1129-1137). The offset is
-    applied after a distributed sort+limit; the skipped head is tiny by
-    construction (offset rows only)."""
-    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
-    head = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(30)
-    t = head.to_pandas().iloc[20:30].reset_index(drop=True)
-    return pa.Table.from_pandas(t, preserve_index=False)
-
-
-SQL_LIMIT_OFFSET = """
-SELECT o_orderkey, o_totalprice FROM orders
-ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10 OFFSET 20
-"""
-
-
-def q_predicates(sf_dir: str):
-    """IN / BETWEEN / IS-style predicates (swq registry)."""
-    ds = _read(sf_dir, "part", columns=["p_partkey", "p_size", "p_brand"])
-
-    def f(t: pa.Table) -> pa.Table:
-        between = pc.and_(
-            pc.greater_equal(t["p_size"], 5), pc.less_equal(t["p_size"], 30)
-        )
-        inset = pc.is_in(
-            t["p_brand"], value_set=pa.array(["Brand#1", "Brand#13"])
-        )
-        return t.filter(pc.and_(between, inset))
-
-    return ds.map_batches(f, batch_format="pyarrow")
-
-
-SQL_PREDICATES = """
-SELECT p_partkey, p_size, p_brand FROM part
-WHERE p_size BETWEEN 5 AND 30 AND p_brand IN ('Brand#1', 'Brand#13')
-"""
-
-
 RELATIONAL_QUERIES = {
     "lineitem_agg": (q_lineitem_agg, SQL_LINEITEM_AGG),
-    "global_agg": (q_global_agg, SQL_GLOBAL_AGG),
     "join_customer_nation": (q_join_customer_nation, SQL_JOIN_CUSTOMER_NATION),
     "join_orders_customer": (q_join_orders_customer, SQL_JOIN_ORDERS_CUSTOMER),
     "top10_orders": (q_top10_orders, SQL_TOP10_ORDERS),
@@ -1050,7 +946,4 @@ RELATIONAL_QUERIES = {
     "quantiles": (q_quantiles, SQL_QUANTILES),
     "approx_count_distinct": (q_approx_count_distinct, None),
     "reservoir_sample": (q_reservoir_sample, None),
-    "count_distinct": (q_count_distinct, SQL_COUNT_DISTINCT),
-    "limit_offset": (q_limit_offset, SQL_LIMIT_OFFSET),
-    "predicates": (q_predicates, SQL_PREDICATES),
 }

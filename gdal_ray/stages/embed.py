@@ -128,3 +128,184 @@ def bucketed_cosine_topk(ds, queries: np.ndarray, k: int = 10,
         batch_format="pyarrow",
     )
     return cosine_topk(filtered, queries, k, vec_col, id_col)
+
+
+class BandSigner:
+    """map_batches stage: explode each vector into ``n_bands`` rows
+    (id, bucket_key) where bucket_key packs (band, r-bit sign
+    signature).  Hyperplanes are seeded constants built once per
+    worker in ``__init__`` — the MinHash-banding construction applied
+    to random-hyperplane LSH (SURVEY.md §2.6 dedup design)."""
+
+    def __init__(self, dim: int, n_bands: int = 32, band_bits: int = 3,
+                 seed: int = 7, vec_col: str = "embedding",
+                 id_col: str = "vec_id"):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bands * band_bits))
+        self.n_bands = n_bands
+        self.band_bits = band_bits
+        self.vec_col = vec_col
+        self.id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = _stack_embeddings(batch, self.vec_col)
+        n = emb.shape[0]
+        bits = (emb @ self.planes) > 0          # (n, B*r)
+        bits = bits.reshape(n, self.n_bands, self.band_bits)
+        sig = (bits.astype(np.int64)
+               << np.arange(self.band_bits)).sum(axis=2)   # (n, B)
+        band = np.arange(self.n_bands, dtype=np.int64)[None, :]
+        key = (band << self.band_bits) | sig
+        ids = batch[self.id_col].to_numpy(zero_copy_only=False)
+        # every exploded row carries the FULL packed signature vector:
+        # downstream pair emission keeps a pair only in its first
+        # colliding band, so no global dedup shuffle is needed
+        packed = np.ascontiguousarray(
+            np.repeat(sig.astype(np.uint8), self.n_bands, axis=0)
+        )
+        sig_col = pa.Array.from_buffers(
+            pa.binary(self.n_bands), n * self.n_bands,
+            [None, pa.py_buffer(packed.tobytes())],
+        )
+        return pa.table(
+            {
+                "id": pa.array(np.repeat(ids, self.n_bands)),
+                "bucket_key": pa.array(key.ravel()),
+                "sigs": sig_col,
+            }
+        )
+
+
+def embedding_near_dups(
+    ds,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_bands: int = 32,
+    band_bits: int = 3,
+    seed: int = 7,
+    max_bucket_pairs: int = 4096,
+    num_partitions: int = 4,
+):
+    """Embedding-cosine near-dup pairs (a < b, cosine >= threshold)
+    via the scale path: band sign-LSH buckets → within-bucket
+    candidate pairs (deduped across bands) → embeddings joined back
+    by DISTRIBUTED hash joins → exact cosine verify.  Nothing lands
+    on the driver and no all-pairs scan runs; shuffle is O(candidate
+    pairs).
+
+    Recall: a true pair is surfaced iff its signatures agree in at
+    least one band.  With ``p = 1 - acos(t)/pi`` per hyperplane, the
+    miss probability is ``(1 - p**band_bits) ** n_bands`` — at
+    t = 0.44 the defaults give < 5e-5, and exactness on the test
+    fixture (recall 1.0) is pinned in tests/test_dedup_embed.py.
+    Precision is exact (the verify step recomputes true cosine).
+
+    Exactly-once pair emission: every exploded row carries the full
+    packed signature vector, and a bucket emits a pair only when this
+    band is the pair's FIRST colliding band — removing the pair-level
+    dedup shuffle (a groupby over O(candidate-pairs) keys, measured
+    ~50x slower than the whole rest of the pipeline at small scale).
+
+    Degenerate buckets (near-constant embedding floods) are capped
+    like the MinHash path: buckets beyond ``max_bucket_pairs`` ids
+    emit all-pairs against the minimum id only (star), bounding the
+    pair blowup at O(n) per bucket.  Under a capped bucket the
+    first-collision rule can additionally drop a pair whose first
+    colliding band was capped — acceptable inside the cap's already
+    lossy regime (caps exist to feed connected components, where star
+    connectivity suffices)."""
+    # infer dim from the schema (fixed-size list) or one sample row
+    vtype = ds.schema().base_schema.field(vec_col).type
+    dim = getattr(vtype, "list_size", -1) or -1
+    if dim <= 0:
+        dim = len(ds.take(1)[0][vec_col])
+    signer = BandSigner(dim, n_bands, band_bits, seed, vec_col, id_col)
+    sig = ds.map_batches(signer, batch_format="pyarrow")
+
+    def _unpack_sigs(col) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        w = col.type.byte_width
+        return np.frombuffer(
+            col.buffers()[-1], dtype=np.uint8, count=len(col) * w,
+            offset=col.offset * w,
+        ).reshape(len(col), w)
+
+    empty = pa.table({"a": pa.array([], pa.int64()),
+                      "b": pa.array([], pa.int64())})
+
+    def pairs(group: pa.Table) -> pa.Table:
+        ids = group["id"].to_numpy(zero_copy_only=False)
+        if len(ids) < 2:
+            return empty
+        sigs = _unpack_sigs(group["sigs"])
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        band = int(group["bucket_key"][0].as_py()) >> band_bits
+        if len(ids) > max_bucket_pairs:
+            ai = np.zeros(len(ids) - 1, dtype=np.int64)
+            bi = np.arange(1, len(ids))
+        else:
+            ai, bi = np.triu_indices(len(ids), k=1)
+        # keep a pair only in its FIRST colliding band — exactly-once
+        # emission with no global dedup shuffle
+        eq = sigs[ai] == sigs[bi]                # (p, B)
+        keep = eq.argmax(axis=1) == band
+        return pa.table({"a": pa.array(ids[ai[keep]]),
+                         "b": pa.array(ids[bi[keep]])})
+
+    cand = sig.groupby("bucket_key", num_partitions=num_partitions).map_groups(
+        pairs, batch_format="pyarrow"
+    )
+
+    # Arrow's hash join rejects list-typed payload columns — ship the
+    # vectors through the join as fixed-size binary (zero-copy pack)
+    def pack(name_id, name_emb):
+        def f(batch: pa.Table) -> pa.Table:
+            v = _stack_embeddings(batch, vec_col).astype("<f8")
+            packed = pa.Array.from_buffers(
+                pa.binary(8 * v.shape[1]), v.shape[0],
+                [None, pa.py_buffer(np.ascontiguousarray(v).tobytes())],
+            )
+            return pa.table({name_id: batch[id_col], name_emb: packed})
+        return f
+
+    ea = ds.map_batches(pack("a", "emb_a"), batch_format="pyarrow")
+    eb = ds.map_batches(pack("b", "emb_b"), batch_format="pyarrow")
+    cand = cand.join(ea, join_type="inner", on=("a",),
+                     num_partitions=num_partitions)
+    cand = cand.join(eb, join_type="inner", on=("b",),
+                     num_partitions=num_partitions)
+
+    def unpack(col: pa.ChunkedArray) -> np.ndarray:
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        width = col.type.byte_width
+        buf = col.buffers()[-1]
+        off = col.offset * width
+        flat = np.frombuffer(buf, dtype="<f8",
+                             count=len(col) * width // 8,
+                             offset=off)
+        return flat.reshape(len(col), -1).copy()
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"a": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        va = unpack(batch["emb_a"])
+        vb = unpack(batch["emb_b"])
+        va /= np.linalg.norm(va, axis=1, keepdims=True)
+        vb /= np.linalg.norm(vb, axis=1, keepdims=True)
+        s = (va * vb).sum(axis=1)
+        keep = s >= threshold
+        return pa.table(
+            {
+                "a": pa.compute.filter(batch["a"], pa.array(keep)),
+                "b": pa.compute.filter(batch["b"], pa.array(keep)),
+                "score": pa.array(np.round(s[keep], 6)),
+            }
+        )
+
+    return cand.map_batches(verify, batch_format="pyarrow")

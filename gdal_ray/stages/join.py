@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 
 from gdal_ray.geom.index import GridPolygonIndex
@@ -264,6 +265,38 @@ def anti_join(points, keys, key_col: str):
         )
 
     return points.map_batches(f, batch_format="pyarrow")
+
+
+def semi_join_ds(left, right, key_col: str, right_key: str | None = None,
+                 num_partitions: int = 8):
+    """DISTRIBUTED semi join: keep left rows whose key appears in the
+    right Dataset — hash-partitioned ``Dataset.join(left_semi)``, no
+    driver-side key set (the broadcast ``semi_join`` above is the
+    small-side fast path; this is the 100-TB route: billions of keys
+    never leave the workers).  The right side is locally de-duplicated
+    per batch first to shrink the shuffle."""
+    right_key = right_key or key_col
+    keys = right.map_batches(
+        lambda t, c=right_key: pa.table({c: pc.unique(t[c])}),
+        batch_format="pyarrow",
+    )
+    return left.join(keys, join_type="left_semi",
+                     num_partitions=num_partitions,
+                     on=(key_col,), right_on=(right_key,))
+
+
+def anti_join_ds(left, right, key_col: str, right_key: str | None = None,
+                 num_partitions: int = 8):
+    """DISTRIBUTED anti join — ``Dataset.join(left_anti)``; see
+    ``semi_join_ds``."""
+    right_key = right_key or key_col
+    keys = right.map_batches(
+        lambda t, c=right_key: pa.table({c: pc.unique(t[c])}),
+        batch_format="pyarrow",
+    )
+    return left.join(keys, join_type="left_anti",
+                     num_partitions=num_partitions,
+                     on=(key_col,), right_on=(right_key,))
 
 
 def broadcast_table(table: pa.Table) -> ray.ObjectRef:

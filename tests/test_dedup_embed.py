@@ -117,6 +117,47 @@ class TestEmbed:
             got = out[out["query_id"] == qi]["vec_id"].tolist()
             assert got == order.tolist()
 
+    def test_embedding_near_dups_recall_one_vs_bruteforce(self, ray_session):
+        """The banded-LSH + exact-verify path returns EXACTLY the
+        brute-force pair set (recall 1.0, precision exact) on the
+        driver fixture threshold — the guarantee q_embed_neardup_lsh's
+        green oracle row depends on."""
+        import ray.data as rd
+
+        rng = np.random.default_rng(21)
+        n, d = 400, 64
+        vecs = rng.standard_normal((n, d))
+        # plant near-dup pairs straddling typical fixture scores
+        for i, eps in zip(range(0, 40, 4), (0.1, 0.3, 0.6, 0.9, 1.2,
+                                            1.5, 1.8, 2.1, 2.4, 2.7)):
+            vecs[i + 1] = vecs[i] + eps * rng.standard_normal(d)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(n), pa.int64()),
+                "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                      pa.list_(pa.float32())),
+            }
+        )
+        thr = 0.44
+        got = (
+            embed.embedding_near_dups(rd.from_arrow(t), threshold=thr)
+            .to_pandas().sort_values(["a", "b"]).reset_index(drop=True)
+        )
+        # brute force on the same float32-rounded vectors
+        v32 = np.vstack([np.asarray(r, np.float32) for r in
+                         t["embedding"].to_pylist()]).astype(np.float64)
+        v32 /= np.linalg.norm(v32, axis=1, keepdims=True)
+        s = v32 @ v32.T
+        ai, bi = np.triu_indices(n, k=1)
+        keep = s[ai, bi] >= thr
+        want = sorted(zip(ai[keep].tolist(), bi[keep].tolist()))
+        assert len(want) >= 5  # fixture actually exercises pairs
+        assert list(zip(got["a"], got["b"])) == want
+        for (_, row), (wa, wb) in zip(got.iterrows(), want):
+            assert row["score"] == pytest.approx(
+                round(float(s[wa, wb]), 6), abs=1e-9
+            )
+
     def test_bucketed_ann_finds_exact_match(self, ray_session):
         import ray.data as rd
 

@@ -123,3 +123,30 @@ class TestPIPJoinStage(object):
         ).to_pandas()
         assert len(out) == 1
         assert out["admin_id"].isna().all()
+
+
+class TestSemiAntiJoin:
+    def test_distributed_semi_anti_matches_broadcast(self, ray_session):
+        """semi_join_ds / anti_join_ds (hash-partitioned Dataset.join,
+        no driver key set) agree with the broadcast key-set path on a
+        key space large enough to span many blocks."""
+        import ray.data as rd
+
+        from gdal_ray.stages.join import (
+            anti_join, anti_join_ds, semi_join, semi_join_ds,
+        )
+
+        n = 20_000
+        left = rd.from_arrow(pa.table({"k": pa.array(range(n), pa.int64())}))
+        # right keys: every third key, with duplicates
+        rk = [i for i in range(0, n, 3) for _ in range(2)]
+        right = rd.from_arrow(pa.table({"rk": pa.array(rk, pa.int64())}))
+
+        semi_d = sorted(semi_join_ds(left, right, "k", "rk").to_pandas()["k"])
+        anti_d = sorted(anti_join_ds(left, right, "k", "rk").to_pandas()["k"])
+        keyset = set(rk)
+        semi_b = sorted(semi_join(left, keyset, "k").to_pandas()["k"])
+        anti_b = sorted(anti_join(left, keyset, "k").to_pandas()["k"])
+        assert semi_d == semi_b
+        assert anti_d == anti_b
+        assert len(semi_d) + len(anti_d) == n
