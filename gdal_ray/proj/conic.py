@@ -140,7 +140,12 @@ class AlbersEqualArea:
         a, e, n, C, rho0 = self._params()
         yp = rho0 - (y - self.y0)
         rho = np.hypot(x, yp)
-        theta = np.arctan2(x, yp)
+        # Snyder p. 102: for n < 0 (southern standard parallels) rho
+        # is negative and theta comes from the reflected quadrant
+        if n < 0:
+            theta = np.arctan2(-x, -yp)
+        else:
+            theta = np.arctan2(x, yp)
         q = (C - (rho * n / a) ** 2) / n
         # iterate Snyder 3-16 for phi
         e2 = e * e

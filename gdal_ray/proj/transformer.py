@@ -95,6 +95,20 @@ def _projection(crs: str):
             return ("tmerc", utm(code - 26700, north=True, ellipsoid=CLARKE1866))
         if 26901 <= code <= 26923:  # NAD83 UTM
             return ("tmerc", utm(code - 26900, north=True, ellipsoid=GRS80))
+        # general parameter-table registry (proj/epsg_db.py): named
+        # national grids, LCC/Albers/LAEA/Mercator CRSs, more UTM
+        # datum families — the importFromEPSG role for the method
+        # families this engine implements
+        from gdal_ray.proj import epsg_db
+
+        try:
+            kind, obj = epsg_db.resolve(code)
+        except KeyError:
+            pass
+        else:
+            if kind == "raw":
+                return ("conic", _ConicAdapter(obj))
+            return (kind, obj)
     raise ValueError(f"unsupported CRS: {crs!r}")
 
 
