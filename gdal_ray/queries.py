@@ -378,11 +378,14 @@ FROM pages
 
 def q_polygonize_counts(sf_dir: str):
     """Polygonize the burned admin raster (4-connected components)
-    → pixels per admin value, via the DISTRIBUTED tile path: the
-    512² raster becomes a 16-tile table, per-tile labeling + border
-    extraction runs as map_batches on Ray workers, and only the
-    O(perimeter) component/border rows come back for the cross-tile
-    union-find merge. Oracle: DuckDB re-derives each pixel center's
+    → pixels per admin value, via the FULLY distributed tile path:
+    the 512² raster becomes a 16-tile table, per-tile labeling +
+    border extraction runs as map_batches on Ray workers, and the
+    cross-tile merge is a shared-face groupby feeding the engine's
+    min-label-propagation connected components — nothing O(raster)
+    or O(perimeter) ever lands on the driver
+    (polygonize.distributed_component_counts). Oracle: DuckDB
+    re-derives each pixel center's
     max-covering box and counts — independent of the CCL
     implementation entirely."""
     import ray.data as rd
@@ -390,26 +393,32 @@ def q_polygonize_counts(sf_dir: str):
     from gdal_ray.pipelines import rasterpipe
     from gdal_ray.raster import model, polygonize
 
+    from ray.data.aggregate import Sum
+
     arr, gt = rasterpipe.admin_raster()
     tiles = model.from_array(
         arr.astype(np.int32), "EPSG:4326", gt, tile_size=128
     )
-    parts = (
-        rd.from_arrow(tiles)
-        .map_batches(polygonize.tile_labels_and_borders, batch_format="pyarrow")
-        .to_pandas()
+    comps = polygonize.distributed_component_counts(
+        rd.from_arrow(tiles), connectivity=4
     )
-    merged = polygonize.merge_tile_components(parts)
-    merged = merged[merged["value"] >= 0]
-    out = (
-        merged.groupby("value")["pixel_count"].sum().reset_index()
-        .rename(columns={"value": "admin_id", "pixel_count": "n_pixels"})
-    )
-    out["admin_id"] = out["admin_id"].astype("int64")
-    out["n_pixels"] = out["n_pixels"].astype("int64")
-    import pyarrow as _pa
 
-    return _pa.Table.from_pandas(out, preserve_index=False)
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = t.filter(pc.greater_equal(t["value"], 0.0))
+        return pa.table(
+            {
+                "admin_id": pc.cast(t["value"], pa.int64()),
+                "n_pixels": t["pixel_count"],
+            }
+        )
+
+    return (
+        comps.map_batches(finish, batch_format="pyarrow")
+        .groupby("admin_id")
+        .aggregate(Sum("n_pixels", alias_name="n_pixels"))
+    )
 
 
 def _sql_polygonize_counts() -> str:

@@ -426,6 +426,163 @@ def merge_tile_components(parts_df) -> "object":
     return out
 
 
+_TILE_BITS = 21  # block_x/block_y/local-label each < 2^21 (134M-px axis at 64-px tiles)
+
+
+def tile_parts(batch: pa.Table, connectivity: int = 4) -> pa.Table:
+    """Vectorized per-tile stage for the DISTRIBUTED polygonize: one
+    row per tile component (kind=0: numeric ``label_id``, value,
+    pixel_count) plus one row per border pixel (kind=1: side 0=top /
+    1=bottom / 2=left / 3=right, offset along the side).  label_id
+    packs (block_x, block_y, local label) into an int64 so the
+    cross-tile merge runs on integer keys (no string keys, no Python
+    loops over pixels — the border arrays are emitted whole)."""
+    ks, ids, vals, cnts, bxs, bys, sides, offs = [], [], [], [], [], [], [], []
+
+    def emit(kind, lab, val, cnt, bx, by, side, off):
+        m = len(lab)
+        ks.append(np.full(m, kind, np.int8))
+        ids.append(lab)
+        vals.append(np.asarray(val, np.float64))
+        cnts.append(np.asarray(cnt, np.int64))
+        bxs.append(np.full(m, bx, np.int32))
+        bys.append(np.full(m, by, np.int32))
+        sides.append(np.full(m, side, np.int8) if np.isscalar(side) else side)
+        offs.append(np.asarray(off, np.int32))
+
+    for row in batch.to_pylist():
+        arr = model.tile_array(row)
+        labels = label_array(arr, connectivity)
+        n = int(labels.max()) + 1
+        bx, by = int(row["block_x"]), int(row["block_y"])
+        base = ((bx << _TILE_BITS) | by) << _TILE_BITS
+        flat = labels.ravel()
+        counts = np.bincount(flat, minlength=n).astype(np.int64)
+        v = np.empty(n, np.float64)
+        v[flat] = arr.ravel()  # components are single-valued
+        emit(0, base + np.arange(n, dtype=np.int64), v, counts, bx, by,
+             np.int8(-1), np.full(n, -1, np.int32))
+        h, w = arr.shape
+        for side, sv, sl, ln in (
+            (0, arr[0, :], labels[0, :], w),
+            (1, arr[-1, :], labels[-1, :], w),
+            (2, arr[:, 0], labels[:, 0], h),
+            (3, arr[:, -1], labels[:, -1], h),
+        ):
+            emit(1, base + sl.astype(np.int64), sv, np.zeros(ln, np.int64),
+                 bx, by, side, np.arange(ln, dtype=np.int32))
+    cat = lambda parts: np.concatenate(parts) if parts else np.array([])  # noqa: E731
+    return pa.table(
+        {
+            "kind": pa.array(cat(ks), pa.int8()),
+            "label_id": pa.array(cat(ids), pa.int64()),
+            "value": pa.array(cat(vals), pa.float64()),
+            "pixel_count": pa.array(cat(cnts), pa.int64()),
+            "block_x": pa.array(cat(bxs), pa.int32()),
+            "block_y": pa.array(cat(bys), pa.int32()),
+            "side": pa.array(cat(sides), pa.int8()),
+            "offset": pa.array(cat(offs), pa.int32()),
+        }
+    )
+
+
+def distributed_component_counts(tiles_ds, connectivity: int = 4,
+                                 num_partitions: int | None = None):
+    """Fully distributed cross-tile component merge — NO driver-side
+    union-find (the r2 verdict's polygonize scale fix): per-tile
+    labels + borders (``tile_parts``) → shared-face groupby (each
+    physical tile face at one offset maps to ONE key, so the two
+    coincident border pixels meet in a group; Min/Max label_id in a
+    group with equal values is a label equivalence) → the engine's
+    min-label-propagation connected components (stages.dedup — the
+    same distributed CC the dedup suite uses) → per-component
+    (global_label, value, pixel_count) Dataset.
+
+    Only 4-connectivity stitching across tile faces (matches the
+    reference polygonize enumerator's rook adjacency,
+    alg/gdalrasterpolygonenumerator.cpp)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Max, Min, Sum
+
+    from gdal_ray.stages.dedup import connected_components
+
+    parts = tiles_ds.map_batches(
+        lambda t: tile_parts(t, connectivity), batch_format="pyarrow"
+    ).materialize()  # O(perimeter + components), not O(pixels)
+
+    def only(kind):
+        return parts.map_batches(
+            lambda t, k=kind: t.filter(pc.equal(t["kind"], k)),
+            batch_format="pyarrow",
+        )
+
+    # face key: the horizontal face right-of (bx,by) and the vertical
+    # face below (bx,by); a border pixel maps to the face it touches.
+    def face_key(t: pa.Table) -> pa.Table:
+        side = t["side"].to_numpy(zero_copy_only=False)
+        bx = t["block_x"].to_numpy(zero_copy_only=False).astype(np.int64)
+        by = t["block_y"].to_numpy(zero_copy_only=False).astype(np.int64)
+        off = t["offset"].to_numpy(zero_copy_only=False).astype(np.int64)
+        # top border of (bx,by) touches the face below (bx,by-1)
+        fy = np.where(side == 0, by - 1, by)
+        fx = np.where(side == 2, bx - 1, bx)
+        axis = np.where(side <= 1, 0, 1).astype(np.int64)  # 0=vert 1=horz
+        k1 = (fx << _TILE_BITS) | (fy & ((1 << _TILE_BITS) - 1))
+        k2 = (axis << 32) | off
+        return pa.table(
+            {
+                "k1": pa.array(k1),
+                "k2": pa.array(k2),
+                "value": t["value"],
+                "label_id": t["label_id"],
+            }
+        )
+
+    faces = only(1).map_batches(face_key, batch_format="pyarrow")
+    pairs = (
+        faces.groupby(["k1", "k2", "value"])
+        .aggregate(Min("label_id", alias_name="a"),
+                   Max("label_id", alias_name="b"))
+        .map_batches(
+            lambda t: t.filter(pc.not_equal(t["a"], t["b"]))
+            .select(["a", "b"]),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+    comp = only(0).select_columns(["label_id", "value", "pixel_count"])
+    if pairs.count() == 0:  # isolated tiles — tiny scalar check
+        merged = comp.map_batches(
+            lambda t: t.append_column("global_label", t["label_id"]),
+            batch_format="pyarrow",
+        )
+    else:
+        labels = connected_components(
+            pairs, num_partitions=num_partitions
+        ).rename_columns({"node": "node_r"})
+        np_ = num_partitions or max(2, min(16, parts.num_blocks()))
+        joined = comp.join(labels, join_type="left_outer",
+                           num_partitions=np_,
+                           on=("label_id",), right_on=("node_r",))
+
+        def coalesce(t: pa.Table) -> pa.Table:
+            g = pc.coalesce(t["label"], t["label_id"])
+            return pa.table(
+                {
+                    "label_id": t["label_id"],
+                    "value": t["value"],
+                    "pixel_count": t["pixel_count"],
+                    "global_label": g,
+                }
+            )
+
+        merged = joined.map_batches(coalesce, batch_format="pyarrow")
+    return merged.groupby("global_label").aggregate(
+        Max("value", alias_name="value"),
+        Sum("pixel_count", alias_name="pixel_count"),
+    )
+
+
 def footprint(
     arr: np.ndarray,
     nodata=None,

@@ -131,6 +131,39 @@ class TestDistributed:
         assert got == exp
 
 
+class TestFullyDistributed:
+    def test_distributed_component_counts_match_single_array(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(33)
+        # random multi-valued raster: many components crossing borders
+        arr = (rng.random((96, 96)) * 3).astype(np.int32)
+        # plus deterministic blobs spanning several tiles
+        arr[10:70, 20:80] = 7
+        arr[50:90, 5:15] = 8
+        tiles_t = model.from_array(arr, "EPSG:3857",
+                                   (0, 1, 0, 96, 0, -1), tile_size=32)
+        comps = polygonize.distributed_component_counts(
+            rd.from_arrow(tiles_t), connectivity=4
+        ).to_pandas()
+        glob = polygonize.polygonize_array(arr).to_pandas()
+        got = sorted(zip(comps["value"], comps["pixel_count"]))
+        exp = sorted(zip(glob["value"], glob["pixel_count"]))
+        assert got == exp
+
+    def test_single_tile_no_pairs(self, ray_session):
+        import ray.data as rd
+
+        arr = np.array([[1, 1], [2, 2]], np.int32)
+        tiles_t = model.from_array(arr, "EPSG:3857",
+                                   (0, 1, 0, 2, 0, -1), tile_size=16)
+        comps = polygonize.distributed_component_counts(
+            rd.from_arrow(tiles_t)
+        ).to_pandas()
+        assert sorted(zip(comps["value"], comps["pixel_count"])) == [
+            (1.0, 2), (2.0, 2)]
+
+
 class TestDistributedGeometry:
     def test_dissolve_matches_single_array_polygons(self, ray_session):
         import ray.data as rd
