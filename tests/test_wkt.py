@@ -62,3 +62,52 @@ def test_errors():
                 "LINESTRING (a b)"):
         with pytest.raises(ValueError):
             W.from_wkt(bad)
+
+
+def test_vectorized_points_wkt_matches_scalar():
+    """points_to_wkt/points_from_wkt (Arrow kernels) round-trip the
+    exact doubles and agree with the scalar to_wkt path semantically
+    (both shortest-round-trip formats; parsed values identical)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.geom import wkt as gwkt
+
+    rng = np.random.default_rng(11)
+    lon = np.concatenate([rng.uniform(-180, 180, 2000),
+                          [1.5e-10, 2.5e20, -0.0, 42.0]])
+    lat = np.concatenate([rng.uniform(-90, 90, 2000),
+                          [-1.5e-10, 1e-300, 0.1, -7.0]])
+    s = gwkt.points_to_wkt(lon, lat)
+    lon2, lat2 = gwkt.points_from_wkt(s)
+    assert np.array_equal(lon2.to_numpy(), lon)
+    assert np.array_equal(lat2.to_numpy(), lat)
+    # scalar path parses the vectorized strings to the same doubles
+    for i in (0, 1, 2000, 2001, 2002, 2003):
+        g = gwkb.parse(gwkt.from_wkt(s[i].as_py()))
+        x, y = g["coords"][0]
+        assert x == lon[i] and y == lat[i]
+
+
+def test_vectorized_points_wkt_speedup():
+    import time
+
+    import numpy as np
+
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.geom import wkt as gwkt
+
+    n = 100_000
+    rng = np.random.default_rng(12)
+    lon = rng.uniform(-180, 180, n)
+    lat = rng.uniform(-90, 90, n)
+    t0 = time.perf_counter()
+    s = gwkt.points_to_wkt(lon, lat)
+    gwkt.points_from_wkt(s)
+    batched = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for i in range(n // 100):
+        gwkb.parse(gwkt.from_wkt(gwkt.to_wkt(gwkb.point_wkb(lon[i], lat[i]))))
+    per_row = (time.perf_counter() - t0) * 100.0
+    assert per_row > 5.0 * batched, (per_row, batched)
