@@ -25,6 +25,36 @@ MULTIPOINT = 4
 MULTILINESTRING = 5
 MULTIPOLYGON = 6
 GEOMETRYCOLLECTION = 7
+# ISO SQL/MM curve types (ogr/ogr_core.h:422-512)
+CIRCULARSTRING = 8
+COMPOUNDCURVE = 9
+CURVEPOLYGON = 10
+MULTICURVE = 11
+MULTISURFACE = 12
+
+_EWKB_Z = 0x80000000
+_EWKB_M = 0x40000000
+
+
+def _decode_type(gtype: int) -> tuple[int, bool, bool]:
+    """WKB type code → (base, has_z, has_m).  Handles ISO offsets
+    (1000=Z, 2000=M, 3000=ZM — ogr/ogr_core.h wkbPointZM etc.) and
+    PostGIS EWKB flag bits."""
+    has_z = bool(gtype & _EWKB_Z)
+    has_m = bool(gtype & _EWKB_M)
+    base = gtype & ~(_EWKB_Z | _EWKB_M)
+    k, base = divmod(base, 1000)
+    if k == 1:
+        has_z = True
+    elif k == 2:
+        has_m = True
+    elif k == 3:
+        has_z = has_m = True
+    return base, has_z, has_m
+
+
+def _iso_code(base: int, dims: str) -> int:
+    return base + 1000 * int("z" in dims) + 2000 * int("m" in dims)
 
 _POINT_SIZE = 21  # 1 + 4 + 16
 
@@ -162,6 +192,73 @@ def geometrycollection_wkb(parts: list[bytes]) -> bytes:
     return struct.pack("<BII", 1, GEOMETRYCOLLECTION, len(parts)) + b"".join(parts)
 
 
+# --- dims-aware builders (Z / M / ZM and ISO curve types) --------------
+
+
+def _full_coords(coords, dims: str) -> np.ndarray:
+    c = np.asarray(coords, dtype=np.float64)
+    if c.ndim == 1:
+        c = c.reshape(1, -1)
+    if c.shape[1] != len(dims):
+        raise ValueError(f"coords width {c.shape[1]} != dims {dims!r}")
+    return c
+
+
+def point_wkb_d(coords, dims: str = "xy") -> bytes:
+    c = _full_coords(coords, dims)
+    return struct.pack("<BI", 1, _iso_code(POINT, dims)) + c.tobytes()
+
+
+def linestring_wkb_d(coords, dims: str = "xy") -> bytes:
+    c = _full_coords(coords, dims)
+    return (struct.pack("<BII", 1, _iso_code(LINESTRING, dims), len(c))
+            + c.tobytes())
+
+
+def circularstring_wkb(coords, dims: str = "xy") -> bytes:
+    """ISO CircularString: odd point count >= 3; consecutive point
+    triplets define arcs (ogr/ogr_geometry.h OGRCircularString)."""
+    c = _full_coords(coords, dims)
+    if len(c) < 3 or len(c) % 2 == 0:
+        raise ValueError("CircularString needs an odd point count >= 3")
+    return (struct.pack("<BII", 1, _iso_code(CIRCULARSTRING, dims), len(c))
+            + c.tobytes())
+
+
+def polygon_wkb_d(rings: list, dims: str = "xy") -> bytes:
+    out = struct.pack("<BII", 1, _iso_code(POLYGON, dims), len(rings))
+    for r in rings:
+        c = _full_coords(r, dims)
+        out += struct.pack("<I", len(c)) + c.tobytes()
+    return out
+
+
+def compoundcurve_wkb(segments: list[bytes], dims: str = "xy") -> bytes:
+    """Segments are full WKB LineString/CircularString geometries;
+    consecutive segments must share endpoints (checked by the
+    linearizer, not here — matches OGRCompoundCurve lazily-validated
+    construction)."""
+    return (struct.pack("<BII", 1, _iso_code(COMPOUNDCURVE, dims),
+                        len(segments)) + b"".join(segments))
+
+
+def curvepolygon_wkb(rings: list[bytes], dims: str = "xy") -> bytes:
+    """Rings are full WKB curve geometries (LineString /
+    CircularString / CompoundCurve), each closed."""
+    return (struct.pack("<BII", 1, _iso_code(CURVEPOLYGON, dims),
+                        len(rings)) + b"".join(rings))
+
+
+def multicurve_wkb(parts: list[bytes], dims: str = "xy") -> bytes:
+    return (struct.pack("<BII", 1, _iso_code(MULTICURVE, dims), len(parts))
+            + b"".join(parts))
+
+
+def multisurface_wkb(parts: list[bytes], dims: str = "xy") -> bytes:
+    return (struct.pack("<BII", 1, _iso_code(MULTISURFACE, dims), len(parts))
+            + b"".join(parts))
+
+
 # ---------------------------------------------------------------------------
 # generic parser (python; small sides only)
 
@@ -169,42 +266,67 @@ def geometrycollection_wkb(parts: list[bytes]) -> bytes:
 def parse(buf: bytes, offset: int = 0) -> dict:
     """Parse one WKB geometry → dict with keys:
 
-    - ``type``: geometry type code (2-D base type)
-    - ``coords``: (n,2) array (point/linestring)
-    - ``rings``: list of (n,2) arrays (polygon)
-    - ``parts``: list of parsed children (multi*/collection)
+    - ``type``: geometry type code (2-D base type; curve types 8-12
+      parse natively — linearize with geom.curves.linearize)
+    - ``dims``: "xy" / "xyz" / "xym" / "xyzm"
+    - ``coords``: (n,2) array (point/linestring/circularstring)
+    - ``z`` / ``m``: (n,) arrays when the dims carry them
+    - ``rings``: list of (n,2) arrays (polygon); ``rings_z`` /
+      ``rings_m`` parallel lists when present
+    - ``parts``: list of parsed children (multi*/collection/compound
+      curve/curve polygon)
     - ``end``: offset just past this geometry
     """
     bo = "<" if buf[offset] == 1 else ">"
     (gtype,) = struct.unpack_from(bo + "I", buf, offset + 1)
-    base = gtype % 1000  # tolerate ISO Z/M codes (1001 etc.) as 2-D
-    has_z = gtype >= 1000 or bool(gtype & 0x80000000)
-    dim = 3 if has_z else 2
+    base, has_z, has_m = _decode_type(gtype)
+    dim = 2 + has_z + has_m
+    dims = "xy" + ("z" if has_z else "") + ("m" if has_m else "")
     pos = offset + 5
 
     def read_coords(count):
         nonlocal pos
         a = np.frombuffer(buf, dtype=bo + "f8", count=count * dim, offset=pos)
         pos += count * dim * 8
-        return a.reshape(count, dim)[:, :2].astype(np.float64)
+        return a.reshape(count, dim).astype(np.float64)
+
+    def split(full):
+        out = {"coords": full[:, :2]}
+        if has_z:
+            out["z"] = full[:, 2]
+        if has_m:
+            out["m"] = full[:, 2 + has_z]
+        return out
 
     if base == POINT:
-        c = read_coords(1)
-        return {"type": POINT, "coords": c, "end": pos}
-    if base == LINESTRING:
+        return {"type": POINT, "dims": dims, **split(read_coords(1)), "end": pos}
+    if base in (LINESTRING, CIRCULARSTRING):
         (npts,) = struct.unpack_from(bo + "I", buf, pos)
         pos += 4
-        return {"type": LINESTRING, "coords": read_coords(npts), "end": pos}
+        return {"type": base, "dims": dims, **split(read_coords(npts)),
+                "end": pos}
     if base == POLYGON:
         (nrings,) = struct.unpack_from(bo + "I", buf, pos)
         pos += 4
-        rings = []
+        rings, rings_z, rings_m = [], [], []
         for _ in range(nrings):
             (npts,) = struct.unpack_from(bo + "I", buf, pos)
             pos += 4
-            rings.append(read_coords(npts))
-        return {"type": POLYGON, "rings": rings, "end": pos}
-    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+            s = split(read_coords(npts))
+            rings.append(s["coords"])
+            if has_z:
+                rings_z.append(s["z"])
+            if has_m:
+                rings_m.append(s["m"])
+        out = {"type": POLYGON, "dims": dims, "rings": rings, "end": pos}
+        if has_z:
+            out["rings_z"] = rings_z
+        if has_m:
+            out["rings_m"] = rings_m
+        return out
+    if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
+                GEOMETRYCOLLECTION, COMPOUNDCURVE, CURVEPOLYGON,
+                MULTICURVE, MULTISURFACE):
         (nparts,) = struct.unpack_from(bo + "I", buf, pos)
         pos += 4
         parts = []
@@ -212,14 +334,14 @@ def parse(buf: bytes, offset: int = 0) -> dict:
             g = parse(buf, pos)
             pos = g["end"]
             parts.append(g)
-        return {"type": base, "parts": parts, "end": pos}
+        return {"type": base, "dims": dims, "parts": parts, "end": pos}
     raise ValueError(f"unsupported WKB geometry type {gtype}")
 
 
 def geometry_type(buf: bytes) -> int:
     bo = "<" if buf[0] == 1 else ">"
     (gtype,) = struct.unpack_from(bo + "I", buf, 1)
-    return gtype % 1000
+    return _decode_type(gtype)[0]
 
 
 def polygon_rings(buf: bytes) -> list[np.ndarray]:

@@ -1,7 +1,10 @@
 """WKT read/write for the engine's geometry model — the OGR
 ImportFromWkt/ExportToWkt surface (reference: ogr/ogrgeometryfactory
-createFromWkt; 2-D subset matching the WKB model: Point, LineString,
-Polygon, Multi*, GeometryCollection)."""
+createFromWkt; ogr/ogr_core.h:422-512 type set): Point, LineString,
+Polygon, Multi*, GeometryCollection plus the ISO curve types
+(CircularString, CompoundCurve, CurvePolygon, MultiCurve,
+MultiSurface), each with Z / M / ZM variants.  Curves linearize via
+geom.curves.linearize (ogr2ogr linearize-on-read semantics)."""
 
 from __future__ import annotations
 
@@ -26,50 +29,91 @@ def _fmt(v: float) -> str:
 
 
 def _coords_to_wkt(c: np.ndarray) -> str:
-    return ", ".join(f"{_fmt(x)} {_fmt(y)}" for x, y in c)
+    return ", ".join(" ".join(_fmt(v) for v in row) for row in c)
+
+
+_DIM_OUT = {"xy": "", "xyz": "Z ", "xym": "M ", "xyzm": "ZM "}
+
+
+def _node_full(g: dict) -> np.ndarray:
+    cols = [g["coords"]]
+    if "z" in g:
+        cols.append(g["z"][:, None])
+    if "m" in g:
+        cols.append(g["m"][:, None])
+    return np.hstack(cols)
+
+
+def _ring_full(g: dict, i: int) -> np.ndarray:
+    cols = [g["rings"][i]]
+    if "rings_z" in g:
+        cols.append(g["rings_z"][i][:, None])
+    if "rings_m" in g:
+        cols.append(g["rings_m"][i][:, None])
+    return np.hstack(cols)
 
 
 def to_wkt(buf: bytes) -> str:
-    """WKB → WKT."""
-    g = gwkb.parse(buf)
+    """WKB → WKT (Z/M/ZM tokens and ISO curve types included)."""
+    return _node_to_wkt(gwkb.parse(buf))
+
+
+def _node_to_wkt(g: dict) -> str:
     t = g["type"]
+    tok = _DIM_OUT[g.get("dims", "xy")]
     if t == gwkb.POINT:
-        x, y = g["coords"][0]
-        return f"POINT ({_fmt(x)} {_fmt(y)})"
+        return f"POINT {tok}({_coords_to_wkt(_node_full(g))})"
     if t == gwkb.LINESTRING:
-        return f"LINESTRING ({_coords_to_wkt(g['coords'])})"
+        return f"LINESTRING {tok}({_coords_to_wkt(_node_full(g))})"
+    if t == gwkb.CIRCULARSTRING:
+        return f"CIRCULARSTRING {tok}({_coords_to_wkt(_node_full(g))})"
     if t == gwkb.POLYGON:
-        rings = ", ".join(f"({_coords_to_wkt(r)})" for r in g["rings"])
-        return f"POLYGON ({rings})"
-    if t == gwkb.MULTIPOINT:
-        pts = ", ".join(
-            f"({_fmt(p['coords'][0][0])} {_fmt(p['coords'][0][1])})"
-            for p in g["parts"]
+        rings = ", ".join(
+            f"({_coords_to_wkt(_ring_full(g, i))})"
+            for i in range(len(g["rings"]))
         )
-        return f"MULTIPOINT ({pts})"
+        return f"POLYGON {tok}({rings})"
+    if t == gwkb.MULTIPOINT:
+        pts = ", ".join(f"({_coords_to_wkt(_node_full(p))})"
+                        for p in g["parts"])
+        return f"MULTIPOINT {tok}({pts})"
     if t == gwkb.MULTILINESTRING:
-        ls = ", ".join(f"({_coords_to_wkt(p['coords'])})" for p in g["parts"])
-        return f"MULTILINESTRING ({ls})"
+        ls = ", ".join(f"({_coords_to_wkt(_node_full(p))})"
+                       for p in g["parts"])
+        return f"MULTILINESTRING {tok}({ls})"
     if t == gwkb.MULTIPOLYGON:
         polys = ", ".join(
-            "(" + ", ".join(f"({_coords_to_wkt(r)})" for r in p["rings"]) + ")"
+            "(" + ", ".join(
+                f"({_coords_to_wkt(_ring_full(p, i))})"
+                for i in range(len(p["rings"]))
+            ) + ")"
             for p in g["parts"]
         )
-        return f"MULTIPOLYGON ({polys})"
+        return f"MULTIPOLYGON {tok}({polys})"
+    if t in (gwkb.COMPOUNDCURVE, gwkb.CURVEPOLYGON, gwkb.MULTICURVE,
+             gwkb.MULTISURFACE):
+        name = {gwkb.COMPOUNDCURVE: "COMPOUNDCURVE",
+                gwkb.CURVEPOLYGON: "CURVEPOLYGON",
+                gwkb.MULTICURVE: "MULTICURVE",
+                gwkb.MULTISURFACE: "MULTISURFACE"}[t]
+
+        def child(p: dict) -> str:
+            # OGR prints plain LineString segments bare inside curve
+            # containers, keyworded otherwise
+            if p["type"] == gwkb.LINESTRING:
+                return f"({_coords_to_wkt(_node_full(p))})"
+            if p["type"] == gwkb.POLYGON and t == gwkb.MULTISURFACE:
+                return "(" + ", ".join(
+                    f"({_coords_to_wkt(_ring_full(p, i))})"
+                    for i in range(len(p["rings"]))
+                ) + ")"
+            return _node_to_wkt(p)
+
+        return f"{name} {tok}(" + ", ".join(child(p) for p in g["parts"]) + ")"
     if t == gwkb.GEOMETRYCOLLECTION:
-        parts = ", ".join(to_wkt(_part_to_wkb(p)) for p in g["parts"])
-        return f"GEOMETRYCOLLECTION ({parts})"
+        parts = ", ".join(_node_to_wkt(p) for p in g["parts"])
+        return f"GEOMETRYCOLLECTION {tok}({parts})"
     raise ValueError(f"unsupported geometry type {t}")
-
-
-def _part_to_wkb(parsed: dict) -> bytes:
-    if parsed["type"] == gwkb.POINT:
-        return gwkb.point_wkb(*parsed["coords"][0])
-    if parsed["type"] == gwkb.LINESTRING:
-        return gwkb.linestring_wkb(parsed["coords"])
-    if parsed["type"] == gwkb.POLYGON:
-        return gwkb.polygon_wkb(parsed["rings"][0], parsed["rings"][1:])
-    raise ValueError("unsupported collection part")
 
 
 class _P:
@@ -110,17 +154,43 @@ class _P:
         self.i += m.end()
         return float(m.group())
 
-    def coords(self) -> np.ndarray:
+    def coord_row(self) -> list[float]:
+        vals = [self.number()]
+        while True:
+            self.ws()
+            if self.i < len(self.s) and self.s[self.i] not in ",)":
+                vals.append(self.number())
+            else:
+                break
+        return vals
+
+    def coords(self, width: int | None = None) -> np.ndarray:
+        """Coordinate list; ``width`` constrains per-point ordinate
+        count (from a Z/M token), else it's inferred per WKT
+        convention (3 ordinates without a token = XYZ)."""
         self.expect("(")
         out = []
         while True:
-            x = self.number()
-            y = self.number()
-            out.append((x, y))
+            row = self.coord_row()
+            if width is not None and len(row) != width:
+                raise ValueError(
+                    f"WKT: expected {width} ordinates, got {len(row)}")
+            out.append(row)
             if not self.accept(","):
                 break
         self.expect(")")
         return np.array(out, dtype=np.float64)
+
+    def dim_token(self) -> str | None:
+        """Consume an optional Z / M / ZM dimension token."""
+        save = self.i
+        self.ws()
+        m = re.match(r"(ZM|Z|M)\b", self.s[self.i:], re.IGNORECASE)
+        if m:
+            self.i += m.end()
+            return m.group().upper()
+        self.i = save
+        return None
 
 
 def from_wkt(wkt: str) -> bytes:
@@ -129,71 +199,153 @@ def from_wkt(wkt: str) -> bytes:
     return _parse_geom(p)
 
 
+_TOKEN_DIMS = {None: None, "Z": "xyz", "M": "xym", "ZM": "xyzm"}
+_WIDTH_DIMS = {2: "xy", 3: "xyz", 4: "xyzm"}
+
+
+def _infer(dims: str | None, c: np.ndarray) -> str:
+    if dims is not None:
+        return dims
+    return _WIDTH_DIMS[c.shape[1]]
+
+
 def _parse_geom(p: _P) -> bytes:
+    import struct
+
     kind = p.word()
+    dims = _TOKEN_DIMS[p.dim_token()]
+    width = len(dims) if dims else None
+
+    def container(code: int, parts: list[bytes], d: str) -> bytes:
+        return (struct.pack("<BII", 1, gwkb._iso_code(code, d), len(parts))
+                + b"".join(parts))
+
     if kind == "POINT":
-        c = p.coords()
-        return gwkb.point_wkb(c[0][0], c[0][1])
+        c = p.coords(width)
+        return gwkb.point_wkb_d(c[0], _infer(dims, c))
     if kind == "LINESTRING":
-        return gwkb.linestring_wkb(p.coords())
+        c = p.coords(width)
+        return gwkb.linestring_wkb_d(c, _infer(dims, c))
+    if kind == "CIRCULARSTRING":
+        c = p.coords(width)
+        return gwkb.circularstring_wkb(c, _infer(dims, c))
     if kind == "POLYGON":
         p.expect("(")
-        rings = [p.coords()]
+        rings = [p.coords(width)]
         while p.accept(","):
-            rings.append(p.coords())
+            rings.append(p.coords(width))
         p.expect(")")
-        return gwkb.polygon_wkb(rings[0], rings[1:])
+        return gwkb.polygon_wkb_d(rings, _infer(dims, rings[0]))
     if kind == "MULTIPOINT":
         p.expect("(")
         pts = []
         while True:
             if p.accept("("):
-                x = p.number()
-                y = p.number()
+                row = p.coord_row()
                 p.expect(")")
             else:
-                x = p.number()
-                y = p.number()
-            pts.append((x, y))
+                row = p.coord_row()
+            pts.append(row)
             if not p.accept(","):
                 break
         p.expect(")")
-        from gdal_ray.geom.wkb import geometrycollection_wkb  # noqa: F401
-
-        import struct
-
-        body = b"".join(gwkb.point_wkb(x, y) for x, y in pts)
-        return (
-            b"\x01" + struct.pack("<I", gwkb.MULTIPOINT)
-            + struct.pack("<I", len(pts)) + body
-        )
+        c = np.array(pts, dtype=np.float64)
+        d = _infer(dims, c)
+        return container(gwkb.MULTIPOINT,
+                         [gwkb.point_wkb_d(r, d) for r in c], d)
     if kind == "MULTILINESTRING":
         p.expect("(")
-        parts = [p.coords()]
+        parts = [p.coords(width)]
         while p.accept(","):
-            parts.append(p.coords())
+            parts.append(p.coords(width))
         p.expect(")")
-        import struct
-
-        body = b"".join(gwkb.linestring_wkb(c) for c in parts)
-        return (
-            b"\x01" + struct.pack("<I", gwkb.MULTILINESTRING)
-            + struct.pack("<I", len(parts)) + body
-        )
+        d = _infer(dims, parts[0])
+        return container(gwkb.MULTILINESTRING,
+                         [gwkb.linestring_wkb_d(c, d) for c in parts], d)
     if kind == "MULTIPOLYGON":
         p.expect("(")
         polys = []
         while True:
             p.expect("(")
-            rings = [p.coords()]
+            rings = [p.coords(width)]
             while p.accept(","):
-                rings.append(p.coords())
+                rings.append(p.coords(width))
             p.expect(")")
-            polys.append((rings[0], rings[1:]))
+            polys.append(rings)
             if not p.accept(","):
                 break
         p.expect(")")
-        return gwkb.multipolygon_wkb(polys)
+        d = _infer(dims, polys[0][0])
+        return container(gwkb.MULTIPOLYGON,
+                         [gwkb.polygon_wkb_d(rings, d) for rings in polys], d)
+    if kind == "COMPOUNDCURVE":
+        p.expect("(")
+        segs, d = [], dims
+        while True:
+            p.ws()
+            if p.s[p.i] == "(":  # bare parens = implicit LineString
+                c = p.coords(width)
+                d = d or _infer(dims, c)
+                segs.append(gwkb.linestring_wkb_d(c, d))
+            else:
+                segs.append(_parse_geom(p))
+                d = d or gwkb.parse(segs[-1])["dims"]
+            if not p.accept(","):
+                break
+        p.expect(")")
+        return gwkb.compoundcurve_wkb(segs, d or "xy")
+    if kind == "CURVEPOLYGON":
+        p.expect("(")
+        rings, d = [], dims
+        while True:
+            p.ws()
+            if p.s[p.i] == "(":
+                c = p.coords(width)
+                d = d or _infer(dims, c)
+                rings.append(gwkb.linestring_wkb_d(c, d))
+            else:
+                rings.append(_parse_geom(p))
+                d = d or gwkb.parse(rings[-1])["dims"]
+            if not p.accept(","):
+                break
+        p.expect(")")
+        return gwkb.curvepolygon_wkb(rings, d or "xy")
+    if kind == "MULTICURVE":
+        p.expect("(")
+        parts, d = [], dims
+        while True:
+            p.ws()
+            if p.s[p.i] == "(":
+                c = p.coords(width)
+                d = d or _infer(dims, c)
+                parts.append(gwkb.linestring_wkb_d(c, d))
+            else:
+                parts.append(_parse_geom(p))
+                d = d or gwkb.parse(parts[-1])["dims"]
+            if not p.accept(","):
+                break
+        p.expect(")")
+        return gwkb.multicurve_wkb(parts, d or "xy")
+    if kind == "MULTISURFACE":
+        p.expect("(")
+        parts, d = [], dims
+        while True:
+            p.ws()
+            if p.s[p.i] == "(":  # bare = polygon ring list
+                p.expect("(")
+                rings = [p.coords(width)]
+                while p.accept(","):
+                    rings.append(p.coords(width))
+                p.expect(")")
+                d = d or _infer(dims, rings[0])
+                parts.append(gwkb.polygon_wkb_d(rings, d))
+            else:
+                parts.append(_parse_geom(p))
+                d = d or gwkb.parse(parts[-1])["dims"]
+            if not p.accept(","):
+                break
+        p.expect(")")
+        return gwkb.multisurface_wkb(parts, d or "xy")
     if kind == "GEOMETRYCOLLECTION":
         p.expect("(")
         parts = [_parse_geom(p)]
@@ -207,33 +359,47 @@ def _parse_geom(p: _P) -> bytes:
 # --- vectorized point-column WKT (Arrow kernels, no per-row Python) ----
 
 
-def points_to_wkt(lon, lat):
-    """lon/lat columns → ``POINT (x y)`` StringArray in one Arrow pass.
-    Arrow's double→string cast is a shortest-round-trip formatter (Ryu,
-    same contract as ``_fmt``'s repr()), so ``points_from_wkt`` returns
-    the exact input doubles.  The scalar ``to_wkt`` stays the general
-    path; this is the columnar fast path for point layers (the r2
-    verdict's WKT-kernel perf item)."""
+def points_to_wkt(lon, lat, z=None, m=None):
+    """lon/lat (+ optional z / m) columns → ``POINT [Z|M|ZM] (…)``
+    StringArray in one Arrow pass.  Arrow's double→string cast is a
+    shortest-round-trip formatter (Ryu, same contract as ``_fmt``'s
+    repr()), so ``points_from_wkt`` returns the exact input doubles.
+    The scalar ``to_wkt`` stays the general path; this is the columnar
+    fast path for point layers (the r2 verdict's WKT-kernel perf
+    item)."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    lon = lon if isinstance(lon, (pa.Array, pa.ChunkedArray)) else pa.array(
-        np.asarray(lon, np.float64))
-    lat = lat if isinstance(lat, (pa.Array, pa.ChunkedArray)) else pa.array(
-        np.asarray(lat, np.float64))
-    return pc.binary_join_element_wise(
-        "POINT (", pc.cast(lon, pa.string()), " ",
-        pc.cast(lat, pa.string()), ")", "",
-    )
+    def col(v):
+        if v is None or isinstance(v, (pa.Array, pa.ChunkedArray)):
+            return v
+        return pa.array(np.asarray(v, np.float64))
+
+    lon, lat, z, m = col(lon), col(lat), col(z), col(m)
+    tok = "POINT " + ("Z" if z is not None else "") + (
+        "M" if m is not None else "")
+    parts = [tok.rstrip() + " (", pc.cast(lon, pa.string()), " ",
+             pc.cast(lat, pa.string())]
+    if z is not None:
+        parts += [" ", pc.cast(z, pa.string())]
+    if m is not None:
+        parts += [" ", pc.cast(m, pa.string())]
+    parts += [")", ""]
+    return pc.binary_join_element_wise(*parts)
 
 
 def points_from_wkt(arr):
-    """``POINT (x y)`` StringArray → (lon, lat) float64 arrays, one
-    Arrow pass (split + trim + correctly-rounded string→double cast)."""
+    """``POINT [Z|M|ZM] (…)`` StringArray → tuple of float64 arrays
+    (lon, lat[, z][, m]), one Arrow pass (split + trim +
+    correctly-rounded string→double cast).  Ordinate count comes from
+    the first row; mixed-dimension columns need the scalar path."""
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    sp = pc.split_pattern(arr, " ")
-    lon = pc.cast(pc.utf8_trim(pc.list_element(sp, 1), "("), pa.float64())
-    lat = pc.cast(pc.utf8_trim(pc.list_element(sp, 2), ")"), pa.float64())
-    return lon, lat
+    sp = pc.split_pattern(arr, "(")
+    body = pc.utf8_trim(pc.list_element(sp, 1), ")")
+    nums = pc.split_pattern(body, " ")
+    width = len(nums[0]) if len(arr) else 2
+    return tuple(
+        pc.cast(pc.list_element(nums, i), pa.float64()) for i in range(width)
+    )

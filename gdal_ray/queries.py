@@ -731,10 +731,12 @@ FROM pages
 
 
 def q_wkt_roundtrip(sf_dir: str):
-    """WKT interchange round trip: page points → WKT strings →
-    re-parsed coordinates. Bit-exact iff the 17-significant-digit
-    formatter preserves doubles; oracle = the raw coordinates."""
+    """WKT interchange round trip, ZM variant: page points lifted to
+    POINT ZM (z = lon+lat, m = lon·lat) → WKT strings → re-parsed
+    ordinates. Bit-exact iff the shortest-round-trip formatter
+    preserves doubles; oracle = the raw/derived coordinates."""
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     from gdal_ray.geom import wkt as gwkt
     from gdal_ray.pipelines import flagship
@@ -742,12 +744,15 @@ def q_wkt_roundtrip(sf_dir: str):
     pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
 
     def roundtrip(t: pa.Table) -> pa.Table:
-        # columnar WKT write + parse (Arrow Ryu formatter / correctly-
-        # rounded parse — exact round trip, pinned equal to the scalar
-        # to_wkt/from_wkt path in tests/test_wkt.py)
-        s = gwkt.points_to_wkt(t["lon"], t["lat"])
-        lon, lat = gwkt.points_from_wkt(s)
-        return pa.table({"url": t["url"], "lon": lon, "lat": lat})
+        # columnar ZM WKT write + parse (Arrow Ryu formatter /
+        # correctly-rounded parse — exact round trip, pinned equal to
+        # the scalar to_wkt/from_wkt path in tests/test_wkt.py)
+        z = pc.add(t["lon"], t["lat"])
+        m = pc.multiply(t["lon"], t["lat"])
+        s = gwkt.points_to_wkt(t["lon"], t["lat"], z=z, m=m)
+        lon, lat, z2, m2 = gwkt.points_from_wkt(s)
+        return pa.table({"url": t["url"], "lon": lon, "lat": lat,
+                         "z": z2, "m": m2})
 
     return pages.map_batches(roundtrip, batch_format="pyarrow")
 
@@ -956,7 +961,8 @@ ORACLE: dict[str, str] = {
     "contour_bands": _sql_contour_bands(),
     "distance_line": _sql_distance_line(),
     "buffer_erode": _sql_buffer_erode(),
-    "wkt_roundtrip": _PAGES_SQL + "SELECT url, lon, lat FROM pages",
+    "wkt_roundtrip": _PAGES_SQL
+    + "SELECT url, lon, lat, lon + lat AS z, lon * lat AS m FROM pages",
     "scrub_canon": _sql_scrub_canon(),
 }
 
