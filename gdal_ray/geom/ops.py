@@ -500,19 +500,133 @@ def make_valid_ring(coords: np.ndarray) -> list[np.ndarray]:
     return [rg for rg in rings if abs(ring_area(rg)) > 1e-12]
 
 
-def make_valid_wkb(buf: bytes) -> bytes:
-    """Full repair: basic fixes + self-intersection node splitting.
-    Simple input → POLYGON out; split input → MULTIPOLYGON of the
-    simple parts (exterior rings only; holes pass through the basic
-    path)."""
+def _rings_properly_cross(ra: np.ndarray, rb: np.ndarray) -> bool:
+    """True when any edge of closed ring ``ra`` properly crosses an
+    edge of closed ring ``rb`` (interior crossing, not touching)."""
+    p1 = ra[:-1]
+    d1 = ra[1:] - p1
+    for k in range(len(rb) - 1):
+        q1 = rb[k]
+        d2 = rb[k + 1] - q1
+        denom = d1[:, 0] * d2[1] - d1[:, 1] * d2[0]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            t = ((q1[0] - p1[:, 0]) * d2[1] - (q1[1] - p1[:, 1]) * d2[0]) / denom
+            u = ((q1[0] - p1[:, 0]) * d1[:, 1] - (q1[1] - p1[:, 1]) * d1[:, 0]) / denom
+        hit = (np.abs(denom) > 1e-15) & (t > 1e-12) & (t < 1 - 1e-12) \
+            & (u > 1e-12) & (u < 1 - 1e-12)
+        if hit.any():
+            return True
+    return False
+
+
+def _fix_raw_ring(r: np.ndarray) -> np.ndarray | None:
+    d = np.vstack([r[np.r_[True, (np.diff(r, axis=0) != 0).any(axis=1)]]])
+    if (d[0] != d[-1]).any():
+        d = np.vstack([d, d[:1]])
+    return d if len(d) >= 4 else None
+
+
+def _ccw_closed(r: np.ndarray) -> np.ndarray:
+    if (r[0] != r[-1]).any():
+        r = np.vstack([r, r[:1]])
+    return r if ring_area(r) > 0 else r[::-1]
+
+
+def make_valid_wkb(buf: bytes, max_pair_iters: int = 200) -> bytes:
+    """GEOS-MakeValid-style repair with EVEN-ODD linework semantics
+    (ogrgeometry.cpp:3894 → GEOS MakeValid linework method): the
+    output region is the set of points covered by an odd number of
+    input rings.
+
+    Pipeline: per-ring basic fixes + self-intersection node-splitting
+    (bowties, zero-width spikes drop as zero-area loops) → pairwise
+    proper crossings resolved by Greiner-Hormann symdifference
+    substitution (XOR is associative, so replacing two crossing loops
+    by their XOR region's boundary rings preserves the fold — this is
+    the overlapping-holes / hole-crosses-shell family) → duplicate
+    loops cancel in pairs (hole == shell ⇒ empty) → containment-depth
+    parity orients the final non-crossing loop set (even depth =
+    shell, odd = hole; the nested-shells family).  Property-tested
+    against an independent slab-sweep even-odd area oracle
+    (tests/test_geom_ops.py)."""
     g = gwkb.parse(buf)
-    if g["type"] != gwkb.POLYGON:
+    if g["type"] == gwkb.POLYGON:
+        raw = list(g["rings"])
+    elif g["type"] == gwkb.MULTIPOLYGON:
+        raw = [r for p in g["parts"] for r in p["rings"]]
+    else:
         return buf
-    basic = gwkb.parse(make_valid_basic_wkb(buf))
-    parts = make_valid_ring(basic["rings"][0])
-    if len(parts) == 1:
-        return gwkb.polygon_wkb(parts[0], basic["rings"][1:])
-    return gwkb.multipolygon_wkb([(p, []) for p in parts])
+    # 1. basic fixes + self-noding
+    loops: list[np.ndarray] = []
+    for r in raw:
+        fixed = _fix_raw_ring(np.asarray(r, np.float64))
+        if fixed is None:
+            continue
+        for lp in make_valid_ring(fixed):
+            if abs(ring_area(lp)) > 1e-12:
+                loops.append(_ccw_closed(lp))
+    # 2. resolve cross-ring proper crossings by XOR substitution
+    from gdal_ray.geom import clip as gclip
+
+    for _ in range(max_pair_iters):
+        pair = None
+        for i in range(len(loops)):
+            for j in range(i + 1, len(loops)):
+                if _rings_properly_cross(loops[i], loops[j]):
+                    pair = (i, j)
+                    break
+            if pair:
+                break
+        if pair is None:
+            break
+        i, j = pair
+        parts = gclip.polygon_symdifference(loops[i], loops[j])
+        keep = [loops[k] for k in range(len(loops)) if k not in (i, j)]
+        new = [_ccw_closed(np.asarray(p, np.float64)) for p in parts]
+        loops = keep + [p for p in new if abs(ring_area(p)) > 1e-12]
+    # 3. duplicate loops cancel pairwise (even-odd: A xor A = empty)
+    keyed: dict = {}
+    for lp in loops:
+        key = (len(lp), frozenset(map(tuple, np.round(lp[:-1], 9))))
+        keyed.setdefault(key, []).append(lp)
+    loops = [grp[0] for grp in keyed.values() for _ in range(len(grp) % 2)]
+    if not loops:
+        raise ValueError("polygon degenerated to nothing")
+    # 4. containment-depth parity orientation + assembly
+    from gdal_ray.geom.clip import _interior_point
+    from gdal_ray.geom.predicates import PolygonEdges
+
+    loops.sort(key=lambda rg: -abs(ring_area(rg)))
+    all_ys = np.unique(np.concatenate([rg[:, 1] for rg in loops]))
+    pts = [_interior_point(rg, all_ys) for rg in loops]
+    edges = [PolygonEdges([rg]) for rg in loops]
+    depth = np.zeros(len(loops), dtype=np.int64)
+    parent = [-1] * len(loops)
+    for a in range(len(loops)):
+        for b in range(len(loops)):
+            if a == b:
+                continue
+            if edges[b].contains_points(
+                np.array([pts[a][0]]), np.array([pts[a][1]])
+            )[0]:
+                depth[a] += 1
+                # loops are sorted big→small: the LAST larger loop
+                # containing a is its immediate parent
+                parent[a] = b if (parent[a] < 0 or
+                                  abs(ring_area(loops[b]))
+                                  < abs(ring_area(loops[parent[a]]))) else parent[a]
+    polys: list[tuple[np.ndarray, list[np.ndarray]]] = []
+    slot = {}
+    for a in range(len(loops)):
+        if depth[a] % 2 == 0:
+            slot[a] = len(polys)
+            polys.append((loops[a], []))
+    for a in range(len(loops)):
+        if depth[a] % 2 == 1:
+            polys[slot[parent[a]]][1].append(loops[a][::-1])  # CW hole
+    if len(polys) == 1:
+        return gwkb.polygon_wkb(polys[0][0], polys[0][1])
+    return gwkb.multipolygon_wkb(polys)
 
 
 def wrap_lon(lon: np.ndarray) -> np.ndarray:

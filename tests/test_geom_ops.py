@@ -247,3 +247,152 @@ def test_vector_edit(ray_session):
     assert out["ident"].tolist() == [1, 2, 3]
     assert (out["source"] == "survey").all()
     assert out["b2"].tolist() == [21.0, 42.0, 63.0]
+
+
+class TestMakeValidEvenOdd:
+    """GEOS-MakeValid families (r3 verdict item 8): nested shells,
+    overlapping/crossing holes, zero-width spikes, bowties — property
+    tested against an independent slab-sweep even-odd area oracle."""
+
+    @staticmethod
+    def _even_odd_area(rings):
+        """Exact even-odd area of arbitrary linework: slab sweep.
+        Breakpoints = all vertex ys + all pairwise edge-intersection
+        ys; inside each slab edges are non-crossing lines, so sorting
+        the mid-slab crossings and pairing them even-odd gives exact
+        trapezoids.  Entirely independent of the repair code."""
+        import numpy as np
+
+        edges = []  # (x1, y1, x2, y2) with y1 < y2
+        for r in rings:
+            r = np.asarray(r, float)
+            if (r[0] != r[-1]).any():
+                r = np.vstack([r, r[:1]])
+            for k in range(len(r) - 1):
+                (x1, y1), (x2, y2) = r[k], r[k + 1]
+                if y1 == y2:
+                    continue  # horizontal edges carry no crossing
+                edges.append((x1, y1, x2, y2) if y1 < y2 else (x2, y2, x1, y1))
+        if not edges:
+            return 0.0
+        E = np.array(edges)
+        ys = set(E[:, 1]) | set(E[:, 3])
+        # pairwise intersection ys
+        for a in range(len(edges)):
+            x1, y1, x2, y2 = edges[a]
+            for b in range(a + 1, len(edges)):
+                x3, y3, x4, y4 = edges[b]
+                d = (x2 - x1) * (y4 - y3) - (y2 - y1) * (x4 - x3)
+                if abs(d) < 1e-300:
+                    continue
+                t = ((x3 - x1) * (y4 - y3) - (y3 - y1) * (x4 - x3)) / d
+                u = ((x3 - x1) * (y2 - y1) - (y3 - y1) * (x2 - x1)) / d
+                if -1e-12 < t < 1 + 1e-12 and -1e-12 < u < 1 + 1e-12:
+                    ys.add(y1 + t * (y2 - y1))
+        ys = np.array(sorted(ys))
+        area = 0.0
+        for s in range(len(ys) - 1):
+            ylo, yhi = ys[s], ys[s + 1]
+            if yhi - ylo < 1e-14:
+                continue
+            ymid = 0.5 * (ylo + yhi)
+            act = E[(E[:, 1] <= ymid) & (E[:, 3] >= ymid)]
+            if len(act) == 0:
+                continue
+            tm = (ymid - act[:, 1]) / (act[:, 3] - act[:, 1])
+            xm = act[:, 0] + tm * (act[:, 2] - act[:, 0])
+            order = np.argsort(xm)
+            act = act[order]
+            # x at slab bottom/top for each active edge
+            tlo = (ylo - act[:, 1]) / (act[:, 3] - act[:, 1])
+            thi = (yhi - act[:, 1]) / (act[:, 3] - act[:, 1])
+            xlo = act[:, 0] + tlo * (act[:, 2] - act[:, 0])
+            xhi = act[:, 0] + thi * (act[:, 2] - act[:, 0])
+            for k in range(0, len(act) - 1, 2):
+                area += 0.5 * ((xlo[k + 1] - xlo[k]) + (xhi[k + 1] - xhi[k])) \
+                    * (yhi - ylo)
+        return area
+
+    @staticmethod
+    def _result_area(buf):
+        """Signed-sum area of the repaired polygon (shells CCW + CW
+        holes)."""
+        g = gwkb.parse(buf)
+        if g["type"] == gwkb.POLYGON:
+            rings = g["rings"]
+        else:
+            rings = [r for p in g["parts"] for r in p["rings"]]
+        return sum(ops.ring_area(r) for r in rings)
+
+    def _check(self, rings, tol=1e-9):
+        buf = (gwkb.polygon_wkb(rings[0], rings[1:]) if len(rings) >= 1
+               else None)
+        out = ops.make_valid_wkb(buf)
+        got = self._result_area(out)
+        exp = self._even_odd_area(rings)
+        assert abs(got - exp) <= tol * max(1.0, abs(exp)), (got, exp)
+        return out
+
+    def test_nested_shells(self):
+        # "hole" ring oriented CCW and a second shell inside it:
+        # even-odd -> annulus + island
+        outer = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+        mid = np.array([(2, 2), (8, 2), (8, 8), (2, 8), (2, 2)], float)
+        inner = np.array([(4, 4), (6, 4), (6, 6), (4, 6), (4, 4)], float)
+        out = self._check([outer, mid, inner])
+        assert abs(self._result_area(out) - (100 - 36 + 4)) < 1e-9
+
+    def test_overlapping_holes(self):
+        # two holes overlapping each other: even-odd refills the lens
+        shell = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+        h1 = np.array([(1, 1), (5, 1), (5, 5), (1, 5), (1, 1)], float)
+        h2 = np.array([(3, 3), (7, 3), (7, 7), (3, 7), (3, 3)], float)
+        self._check([shell, h1, h2])
+
+    def test_hole_crossing_shell(self):
+        shell = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)], float)
+        h = np.array([(8, 4), (14, 4), (14, 6), (8, 6), (8, 4)], float)
+        self._check([shell, h])
+
+    def test_bowtie(self):
+        bow = np.array([(0, 0), (4, 4), (4, 0), (0, 4), (0, 0)], float)
+        self._check([bow])
+
+    def test_zero_width_spike(self):
+        sp = np.array([(0, 0), (4, 0), (4, 2), (6, 2), (4, 2),
+                       (4, 4), (0, 4), (0, 0)], float)
+        out = self._check([sp])
+        assert abs(self._result_area(out) - 16.0) < 1e-9
+
+    def test_shell_equal_hole_cancels(self):
+        sq = np.array([(0, 0), (4, 0), (4, 4), (0, 4), (0, 0)], float)
+        buf = gwkb.polygon_wkb(sq, [sq.copy()])
+        with pytest.raises(ValueError):
+            ops.make_valid_wkb(buf)
+
+    def test_property_random_families(self):
+        rng = np.random.default_rng(17)
+        for trial in range(40):
+            kind = trial % 4
+            shell = np.array([(0, 0), (10, 0), (10, 10), (0, 10), (0, 0)],
+                             float) + rng.normal(0, 0.01, (5, 2)) * 0
+            rings = [shell]
+            if kind == 0:  # random overlapping holes
+                for _ in range(rng.integers(1, 4)):
+                    x0, y0 = rng.uniform(1, 6, 2)
+                    w, hgt = rng.uniform(1, 4, 2)
+                    rings.append(np.array(
+                        [(x0, y0), (x0 + w, y0), (x0 + w, y0 + hgt),
+                         (x0, y0 + hgt), (x0, y0)]))
+            elif kind == 1:  # nested shells
+                m = rng.uniform(1.0, 2.0)
+                rings.append(shell * 0.6 + m)
+                rings.append(shell * 0.25 + m + 2.0)
+            elif kind == 2:  # hole sticking out of the shell
+                x0 = rng.uniform(6, 9)
+                rings.append(np.array(
+                    [(x0, 3), (x0 + 6, 3), (x0 + 6, 7), (x0, 7), (x0, 3)]))
+            else:  # random self-intersecting quad shell
+                pts = rng.uniform(0, 10, (4, 2))
+                rings = [np.vstack([pts, pts[:1]])]
+            self._check(rings, tol=1e-8)
