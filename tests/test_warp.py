@@ -294,3 +294,75 @@ class TestRPCTransformer:
         s0, l0 = t.ground_to_image(-105.0, 40.0, 1500.0)
         s1, l1 = t.ground_to_image(-105.0, 40.0, 2500.0)
         assert (s0 != s1) or (l0 != l1)  # parallax present
+
+
+class TestGeoLocTransformer:
+    """Geolocation-array transformer (alg/gdalgeoloc.cpp role) —
+    synthetic curved swath: lon/lat arrays from a known smooth
+    mapping, forward pinned at nodes, inverse round-trips to sub-1e-3
+    pixel, out-of-swath queries return NaN."""
+
+    @staticmethod
+    def _swath(gw=24, gh=18):
+        jj, ii = np.meshgrid(np.arange(gh, dtype=float), np.arange(gw, dtype=float),
+                             indexing="ij")
+        # curved, non-affine but invertible mapping
+        lon = 10.0 + 0.05 * ii + 0.012 * jj + 0.001 * jj * jj
+        lat = 45.0 - 0.04 * jj + 0.008 * ii + 0.0005 * ii * ii
+        return lon, lat
+
+    def test_forward_exact_at_nodes(self):
+        from gdal_ray.raster.warp import GeoLocTransformer
+
+        lon, lat = self._swath()
+        t = GeoLocTransformer(lon, lat)
+        px = np.array([0.0, 5.0, 23.0, 11.0])
+        py = np.array([0.0, 7.0, 17.0, 3.0])
+        gx, gy = t.pixel_to_geo(px, py)
+        np.testing.assert_allclose(gx, lon[py.astype(int), px.astype(int)],
+                                   rtol=1e-14)
+        np.testing.assert_allclose(gy, lat[py.astype(int), px.astype(int)],
+                                   rtol=1e-14)
+
+    def test_forward_bilinear_between_nodes(self):
+        from gdal_ray.raster.warp import GeoLocTransformer
+
+        lon, lat = self._swath()
+        t = GeoLocTransformer(lon, lat)
+        gx, gy = t.pixel_to_geo([3.5], [4.5])
+        exp_x = 0.25 * (lon[4, 3] + lon[4, 4] + lon[5, 3] + lon[5, 4])
+        assert abs(gx[0] - exp_x) < 1e-12
+
+    def test_inverse_roundtrip(self):
+        from gdal_ray.raster.warp import GeoLocTransformer
+
+        lon, lat = self._swath()
+        t = GeoLocTransformer(lon, lat)
+        rng = np.random.default_rng(8)
+        px = rng.uniform(1.0, 22.0, 200)
+        py = rng.uniform(1.0, 16.0, 200)
+        gx, gy = t.pixel_to_geo(px, py)
+        px2, py2 = t.geo_to_pixel(gx, gy)
+        assert np.isfinite(px2).all()
+        np.testing.assert_allclose(px2, px, atol=1e-3)
+        np.testing.assert_allclose(py2, py, atol=1e-3)
+
+    def test_offsets_and_steps(self):
+        from gdal_ray.raster.warp import GeoLocTransformer
+
+        lon, lat = self._swath()
+        # geoloc arrays subsampled 4x in pixel space starting at 2
+        t = GeoLocTransformer(lon, lat, pixel_offset=2.0, line_offset=1.0,
+                              pixel_step=4.0, line_step=3.0)
+        gx, gy = t.pixel_to_geo([2.0 + 4.0 * 5], [1.0 + 3.0 * 7])
+        assert abs(gx[0] - lon[7, 5]) < 1e-12
+        px2, py2 = t.geo_to_pixel(gx, gy)
+        assert abs(px2[0] - 22.0) < 1e-2 and abs(py2[0] - 22.0) < 1e-2
+
+    def test_outside_swath_nan(self):
+        from gdal_ray.raster.warp import GeoLocTransformer
+
+        lon, lat = self._swath()
+        t = GeoLocTransformer(lon, lat)
+        px, py = t.geo_to_pixel([0.0, 170.0], [0.0, 89.0])
+        assert np.isnan(px).all() and np.isnan(py).all()
