@@ -131,36 +131,125 @@ def roughness(arr: np.ndarray) -> np.ndarray:
     return mx - mn
 
 
-def fillnodata(arr: np.ndarray, nodata: float, max_iterations: int = 100,
-               smoothing_iterations: int = 0) -> np.ndarray:
-    """Fill nodata from nearby valid values (iterative ring fill +
-    optional smoothing — rasterfill.cpp contract, documented
-    approximation of its directional search)."""
+def fillnodata(arr: np.ndarray, nodata: float,
+               max_search_dist: float | None = None,
+               smoothing_iterations: int = 0,
+               interpolation: str = "inv_dist") -> np.ndarray:
+    """GDALFillNodata parity (alg/rasterfill.cpp:394 — the r2
+    verdict's directional-search item): the four-quadrant conic
+    search, not a ring fill.
+
+    Pass 1/2 (the reference's top-down + bottom-up scans): per column,
+    the nearest valid row at-or-above each pixel and the nearest valid
+    row STRICTLY below (the reference interpolates before its
+    bottom-up state includes the current line).  Then for each nodata
+    pixel, step columns left/right collecting the closest hit per
+    quadrant (top-left includes the center column; right quadrants
+    start at step 1; ties keep the earliest step — QUAD_CHECK's
+    strict <), and combine with 1/distance weights (``inv_dist``) or
+    take the closest (``nearest``).  The reference's every-4-steps
+    search shrink is a result-neutral optimization (a candidate at
+    step > floor(max quad dist) can never win a strict comparison)
+    and is omitted.  Default ``max_search_dist`` = max(W, H) + 1.
+
+    Smoothing: GDALMultiFilter semantics — ``smoothing_iterations``
+    3×3 averages applied to FILLED pixels only, contributors = valid
+    + filled pixels (divergence note: the reference computes in
+    float32; this runs in float64)."""
+    if interpolation not in ("inv_dist", "nearest"):
+        raise ValueError("interpolation must be inv_dist|nearest")
     out = arr.astype(np.float64).copy()
-    invalid = out == nodata
-    for _ in range(max_iterations):
-        if not invalid.any():
-            break
-        p = np.pad(out, 1, mode="constant", constant_values=nodata)
-        pi = np.pad(invalid, 1, mode="constant", constant_values=True)
-        ssum = np.zeros_like(out)
-        cnt = np.zeros_like(out)
-        for dy in range(3):
-            for dx in range(3):
-                if dy == 1 and dx == 1:
-                    continue
-                win = p[dy : dy + out.shape[0], dx : dx + out.shape[1]]
-                wv = ~pi[dy : dy + out.shape[0], dx : dx + out.shape[1]]
-                ssum += np.where(wv, win, 0.0)
-                cnt += wv
-        ring = invalid & (cnt > 0)
-        out[ring] = ssum[ring] / cnt[ring]
-        invalid &= ~ring
-    for _ in range(smoothing_iterations):
-        k = np.ones((3, 3)) / 9.0
-        sm = convolve(out, k)
-        filled_any = arr == nodata
-        out[filled_any] = sm[filled_any]
+    h, w = out.shape
+    if max_search_dist is None:
+        max_search_dist = float(max(h, w) + 1)
+    nmax = int(np.floor(max_search_dist))
+    valid = ~(np.isnan(out) if np.isnan(nodata) else out == nodata)
+    rows = np.arange(h, dtype=np.int64)[:, None]
+    NO = -(10 ** 9)
+    # nearest valid row <= y per column (top-down pass incl. current line)
+    top_y = np.maximum.accumulate(np.where(valid, rows, NO), axis=0)
+    top_y = np.where(rows - top_y <= max_search_dist, top_y, NO)
+    # nearest valid row > y (bottom-up state BEFORE the current line)
+    bu = np.minimum.accumulate(np.where(valid, rows, -NO)[::-1], axis=0)[::-1]
+    bot_y = np.vstack([bu[1:], np.full((1, w), -NO, np.int64)])
+    bot_y = np.where(bot_y - rows <= max_search_dist, bot_y, -NO)
+    cols = np.arange(w, dtype=np.int64)
+    val_at = np.where(valid, out, 0.0)
+    steps_l = np.arange(0, nmax + 1, dtype=np.int64)
+    steps_r = np.arange(1, nmax + 1, dtype=np.int64)
+    filled = np.zeros_like(valid)
+    for y in range(h):
+        xs = cols[~valid[y]]
+        if len(xs) == 0:
+            continue
+        tdY, buY = top_y[y], bot_y[y]
+
+        def quad(xcand, yrow, sentinel):
+            # (n, S) candidate distances; invalid hits → inf
+            yy = yrow[xcand]
+            dy = yy.astype(np.float64) - y
+            dx = xcand.astype(np.float64) - xs[:, None]
+            d2 = dx * dx + dy * dy
+            d2 = np.where(yy == sentinel, np.inf, d2)
+            # QUAD_CHECK stores fl(sqrt(d2)) and compares the next
+            # d2 < qd*qd: when fl(sqrt(m))² rounds ABOVE m, an exact
+            # tie at the minimum is replaced (last tie wins); when it
+            # rounds at-or-below, strict < keeps the first. Reproduce
+            # that fp tie rule bit-for-bit.
+            m = np.min(d2, axis=1)
+            sq = np.sqrt(m)
+            last_wins = sq * sq > m
+            first = np.argmin(d2, axis=1)
+            last = d2.shape[1] - 1 - np.argmin(d2[:, ::-1], axis=1)
+            best = np.where(last_wins, last, first)
+            bx = np.take_along_axis(xcand, best[:, None], 1)[:, 0]
+            by = yrow[bx]
+            v = val_at[np.where(by == sentinel, 0, by), bx]
+            return sq, v
+
+        xl = np.maximum(0, xs[:, None] - steps_l[None, :])
+        xr = np.minimum(w - 1, xs[:, None] + steps_r[None, :])
+        dists = np.empty((4, len(xs)))
+        vals = np.empty((4, len(xs)))
+        dists[0], vals[0] = quad(xl, tdY, NO)   # top-left (incl. center)
+        dists[1], vals[1] = quad(xl, buY, -NO)  # bottom-left
+        dists[2], vals[2] = quad(xr, tdY, NO)   # top-right
+        dists[3], vals[3] = quad(xr, buY, -NO)  # bottom-right
+        ok = dists <= max_search_dist
+        if interpolation == "nearest":
+            # quad order tie-break with strict < = first-quad wins
+            dmask = np.where(ok, dists, np.inf)
+            q = np.argmin(dmask, axis=0)
+            has = ok.any(axis=0)
+            vfill = vals[q, np.arange(len(xs))]
+        else:
+            with np.errstate(divide="ignore", invalid="ignore"):
+                wgt = np.where(ok, 1.0 / dists, 0.0)
+            wsum = wgt.sum(axis=0)
+            vsum = (np.where(ok, vals, 0.0) * wgt).sum(axis=0)
+            has = wsum > 0
+            with np.errstate(invalid="ignore"):
+                vfill = vsum / np.where(wsum > 0, wsum, 1.0)
+        sel = xs[has]
+        out[y, sel] = vfill[has]
+        filled[y, sel] = True
+    # GDALMultiFilter smoothing: filled pixels re-averaged over 3x3
+    # valid-or-filled neighborhoods, iterated
+    if smoothing_iterations > 0 and filled.any():
+        tmask = valid | filled
+        for _ in range(smoothing_iterations):
+            p = np.pad(out, 1)
+            pm = np.pad(tmask, 1)
+            ssum = np.zeros_like(out)
+            cnt = np.zeros_like(out)
+            for dy in range(3):
+                for dx in range(3):
+                    win = p[dy: dy + h, dx: dx + w]
+                    wv = pm[dy: dy + h, dx: dx + w]
+                    ssum += np.where(wv, win, 0.0)
+                    cnt += wv
+            upd = filled & (cnt > 0)
+            out[upd] = ssum[upd] / cnt[upd]
     return out
 
 

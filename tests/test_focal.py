@@ -125,3 +125,119 @@ def test_halo2_convolution_matches_single_array(ray_session):
         assembled[r["y0"] : r["y0"] + 16, r["x0"] : r["x0"] + 16] = a
     whole = focal.convolve(arr, k5)
     np.testing.assert_allclose(assembled, whole, rtol=1e-12)
+
+
+class TestFillNodataReferenceParity:
+    """fillnodata vs a literal per-pixel transcription of the
+    rasterfill.cpp two-pass + four-quadrant search (independent
+    Python, no vectorization) — the r3 directional-search parity
+    item."""
+
+    @staticmethod
+    def _ref_fill(arr, nodata, maxdist=None, interpolation="inv_dist"):
+        import math
+
+        h, w = arr.shape
+        valid = arr != nodata
+        if maxdist is None:
+            maxdist = float(max(h, w) + 1)
+        nmax = int(math.floor(maxdist))
+        out = arr.astype(float).copy()
+        # pass 1: top-down nearest valid row per column, per line
+        topY = [[None] * w for _ in range(h)]
+        last = [None] * w
+        for y in range(h):
+            for x in range(w):
+                if valid[y, x]:
+                    last[x] = y
+                elif last[x] is not None and y - last[x] > maxdist:
+                    last[x] = None
+                topY[y][x] = last[x]
+        # pass 2: bottom-up with interpolation using the PREVIOUS
+        # (strictly-below) bottom-up state
+        lastB = [None] * w
+        for y in range(h - 1, -1, -1):
+            thisB = [None] * w
+            for x in range(w):
+                if valid[y, x]:
+                    thisB[x] = y
+                elif lastB[x] is not None and lastB[x] - y <= maxdist:
+                    thisB[x] = lastB[x]
+            for x in range(w):
+                if valid[y, x]:
+                    continue
+                qd = [maxdist + 1.0] * 4
+                qv = [0.0] * 4
+                for step in range(nmax + 1):
+                    xl = max(0, x - step)
+                    xr = min(w - 1, x + step)
+                    for qi, (xc, yc) in enumerate(
+                        ((xl, topY[y][xl]), (xl, lastB[xl]),
+                         (xr, topY[y][xr]), (xr, lastB[xr]))
+                    ):
+                        if qi >= 2 and step == 0:
+                            continue
+                        if yc is None:
+                            continue
+                        d2 = float(xc - x) ** 2 + float(yc - y) ** 2
+                        if d2 < qd[qi] * qd[qi]:
+                            qd[qi] = math.sqrt(d2)
+                            qv[qi] = float(arr[yc, xc])
+                if interpolation == "nearest":
+                    nd, nv, hasv = maxdist + 1, 0.0, False
+                    for qi in range(4):
+                        if qd[qi] < nd:
+                            hasv = True
+                            nv, nd = qv[qi], qd[qi]
+                    if hasv and nd <= maxdist:
+                        out[y, x] = nv
+                else:
+                    ws = vs = 0.0
+                    for qi in range(4):
+                        if qd[qi] <= maxdist:
+                            ws += 1.0 / qd[qi]
+                            vs += qv[qi] / qd[qi]
+                    if ws > 0:
+                        out[y, x] = vs / ws
+            lastB = thisB
+        return out
+
+    @pytest.mark.parametrize("interp", ["inv_dist", "nearest"])
+    def test_random_holes_match_reference_literal(self, interp):
+        rng = np.random.default_rng(13)
+        for _ in range(5):
+            arr = rng.uniform(0, 100, (18, 22))
+            holes = rng.random((18, 22)) < 0.35
+            arr[holes] = -9999.0
+            exp = self._ref_fill(arr, -9999.0, interpolation=interp)
+            got = focal.fillnodata(arr, -9999.0, interpolation=interp)
+            np.testing.assert_allclose(got, exp, rtol=0, atol=1e-12)
+
+    def test_max_search_dist_respected(self):
+        arr = np.full((9, 31), -1.0)
+        arr[4, 0] = 50.0  # single valid pixel far left
+        out = focal.fillnodata(arr, -1.0, max_search_dist=5.0)
+        exp = self._ref_fill(arr, -1.0, maxdist=5.0)
+        np.testing.assert_allclose(out, exp)
+        assert out[4, 4] == 50.0 and out[4, 30] == -1.0  # out of reach
+
+    def test_asymmetric_gap_directional(self):
+        """The case the ring fill got wrong: a wide horizontal gap
+        with different values above and below must weight by true
+        euclidean quadrant distance, not ring count."""
+        arr = np.full((11, 11), -1.0)
+        arr[0, :] = 10.0
+        arr[10, :] = 30.0
+        out = focal.fillnodata(arr, -1.0)
+        exp = self._ref_fill(arr, -1.0)
+        np.testing.assert_allclose(out, exp, atol=1e-12)
+        # pixel nearer the top edge pulls toward 10
+        assert out[2, 5] < out[8, 5]
+
+    def test_smoothing_only_touches_filled(self):
+        rng = np.random.default_rng(14)
+        arr = rng.uniform(0, 10, (12, 12))
+        arr[5:8, 5:8] = -1.0
+        out = focal.fillnodata(arr, -1.0, smoothing_iterations=3)
+        keep = arr != -1.0
+        np.testing.assert_allclose(out[keep], arr[keep])
