@@ -701,19 +701,38 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 
 def q_topk_per_user(sf_dir: str):
     """Top-3 events per user by value (the ROW_NUMBER() OVER
-    (PARTITION BY …) surface as groupby().map_groups)."""
+    (PARTITION BY …) surface).  Scale shape (r2 verdict item): a
+    vectorized PER-BATCH partial top-k prunes each block to ≤3 rows
+    per user BEFORE the shuffle (combiner pattern — the exchange
+    carries O(3·users), not O(events)), then the same numpy kernel
+    finishes per group; no pandas, no per-row Python."""
     import numpy as np
-    import pandas as pd
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
 
-    def topk(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["value", "event_id"], ascending=[False, True]).head(3)
-        g = g.assign(rank=np.arange(1, len(g) + 1))
-        return g[["user_id", "rank", "event_id", "value"]]
+    def topk_kernel(t: pa.Table, with_rank: bool) -> pa.Table:
+        uid = t["user_id"].to_numpy(zero_copy_only=False)
+        val = t["value"].to_numpy(zero_copy_only=False)
+        eid = t["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -val, uid))
+        uid_s = uid[order]
+        idx = np.arange(len(uid_s), dtype=np.int64)
+        new = np.r_[True, uid_s[1:] != uid_s[:-1]] if len(uid_s) else \
+            np.zeros(0, bool)
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rank = idx - start + 1
+        keep = rank <= 3
+        cols = {"user_id": uid_s[keep]}
+        if with_rank:
+            cols["rank"] = rank[keep]
+        cols["event_id"] = eid[order][keep]
+        cols["value"] = val[order][keep]
+        return pa.table(cols)
 
-    return ds.groupby("user_id", num_partitions=4).map_groups(
-        topk, batch_format="pandas"
+    pruned = ds.map_batches(lambda t: topk_kernel(t, False),
+                            batch_format="pyarrow")
+    return pruned.groupby("user_id", num_partitions=4).map_groups(
+        lambda t: topk_kernel(t, True), batch_format="pyarrow"
     )
 
 
