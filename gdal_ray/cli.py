@@ -164,6 +164,15 @@ def build_pipeline(spec: str):
             transforms.append(
                 lambda ds: pip_join(ds, fixtures.gen_boundaries())
             )
+        elif name == "linearize":
+            from gdal_ray.stages.vector import linearize
+
+            transforms.append(
+                lambda ds, a=args: linearize(
+                    ds, a.get("geom", "geometry"),
+                    float(a.get("max-angle", 4.0)),
+                )
+            )
         elif name == "sql":
             # full OGR SQL dialect statement over the piped dataset
             # (`gdal vector sql` surface; table name: input)

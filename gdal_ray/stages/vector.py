@@ -137,6 +137,20 @@ def swap_xy(ds, geom_col="geometry"):
     return map_wkb(ds, gops.swap_xy_wkb, geom_col)
 
 
+def linearize(ds, geom_col="geometry", max_angle_deg: float = 4.0):
+    """Curve→linear conversion on read (ogr2ogr semantics when the
+    output driver can't store curves; OGRGeometryFactory
+    curveToLineString, OGR_ARC_STEPSIZE default 4°): CircularString/
+    CompoundCurve → LineString, CurvePolygon → Polygon, MultiCurve/
+    MultiSurface → their linear multis; linear geometry passes
+    through untouched."""
+    from gdal_ray.geom import curves as gcurves
+
+    return map_wkb(
+        ds, lambda b: gcurves.linearize(b, max_angle_deg), geom_col
+    )
+
+
 def make_valid(ds, geom_col="geometry"):
     return map_wkb(ds, gops.make_valid_basic_wkb, geom_col)
 

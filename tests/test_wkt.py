@@ -290,3 +290,31 @@ class TestLinearize:
 
         buf = gwkt.from_wkt("POLYGON ((0 0, 1 0, 1 1, 0 0))")
         assert curves.linearize(buf) == buf
+
+
+def test_linearize_vector_stage(ray_session):
+    """Dataset-level curve linearization (ogr2ogr linearize-on-read)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.geom import wkb as gwkb
+    from gdal_ray.geom import wkt as gwkt
+    from gdal_ray.stages.vector import linearize
+
+    geoms = [
+        gwkt.from_wkt("CIRCULARSTRING (0 0, 1 1, 2 0)"),
+        gwkt.from_wkt("CURVEPOLYGON (CIRCULARSTRING (0 0, 4 0, 0 0))"),
+        gwkt.from_wkt("POINT (3 4)"),
+        None,
+    ]
+    ds = rd.from_arrow(pa.table({
+        "id": pa.array(range(4), pa.int64()),
+        "geometry": pa.array(geoms, pa.binary()),
+    }))
+    out = linearize(ds).to_pandas().sort_values("id")
+    types = [None if b is None else gwkb.geometry_type(b)
+             for b in out["geometry"]]
+    assert types[0] == gwkb.LINESTRING
+    assert types[1] == gwkb.POLYGON
+    assert types[2] == gwkb.POINT
+    assert types[3] is None
