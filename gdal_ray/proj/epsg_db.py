@@ -203,6 +203,39 @@ def _japan_prcs(zone: int, ell) -> TransverseMercator:
     return _tm_with_lat0(ell, lat0, lon0, 0.9999, 0.0, 0.0)
 
 
+# --- datum assignment (name keys into gdal_ray.proj.datum.DATUMS) ------
+# Codes not listed (and zero-shift modern frames) resolve to "WGS84",
+# i.e. the classic towgs84=0 null transform.
+
+_DATUM_NAME = {
+    # geographic CRSs
+    4267: "NAD27", 4269: "NAD83", 4258: "ETRS89", 4277: "OSGB36",
+    4230: "ED50", 4301: "TOKYO", 4322: "WGS72", 4299: "TM65",
+    4202: "AGD66",
+    # projected rows
+    27700: "OSGB36", 29902: "TM65", 29903: "TM65", 2100: "GGRS87",
+    31466: "DHDN", 31467: "DHDN", 31468: "DHDN", 31469: "DHDN",
+    31370: "BD72",
+}
+
+
+def datum_name(code: int) -> str:
+    """EPSG code → datum key (the towgs84 lookup role).  Range-based
+    codes (UTM families) resolve by zone family; everything else not
+    explicitly listed is a WGS84-equivalent modern frame."""
+    if code in _DATUM_NAME:
+        return _DATUM_NAME[code]
+    if 23028 <= code <= 23038:
+        return "ED50"
+    if 32201 <= code <= 32260 or 32301 <= code <= 32360:
+        return "WGS72"
+    if 26701 <= code <= 26722:
+        return "NAD27"
+    if 26901 <= code <= 26923:
+        return "NAD83"
+    return "WGS84"
+
+
 def known_codes() -> list[int]:
     """All explicitly-registered codes (ranges enumerated)."""
     codes = sorted(

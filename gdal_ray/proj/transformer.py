@@ -19,9 +19,12 @@ database is deliberately out of scope — SURVEY.md Appendix B):
 - ``EPSG:267xx`` — NAD27 (Clarke 1866) UTM north
 - ``EPSG:269xx`` — NAD83 (GRS80) UTM north
 
-Datum shifts are identity (no grid-shift files in this environment);
-transforms across datums use each side's own ellipsoid. Documented
-limitation, mirrored in the test oracles.
+Datum shifts (round 3): cross-datum transforms apply the nominal
+national towgs84 Helmert via ``proj/datum.py`` (geographic →
+geocentric → position-vector 7-parameter → geographic, the grid-less
+OGRProjCT/PROJ path). Grid-based transformations (OSTN15, NADCON,
+NTv2) need grid files absent from this environment — same behavior as
+a grid-less PROJ install.
 """
 
 from __future__ import annotations
@@ -112,6 +115,22 @@ def _projection(crs: str):
     raise ValueError(f"unsupported CRS: {crs!r}")
 
 
+def _datum_for(crs: str):
+    """CRS id → Datum (ellipsoid + nominal towgs84).  Non-EPSG ids and
+    unlisted codes are WGS84-equivalent (null shift)."""
+    from gdal_ray.proj import datum as _dt
+    from gdal_ray.proj import epsg_db
+
+    c = _norm(crs)
+    if not c.startswith("EPSG:"):
+        return _dt.WGS84_DATUM
+    try:
+        code = int(c.split(":")[1])
+    except ValueError:
+        return _dt.WGS84_DATUM
+    return _dt.DATUMS.get(epsg_db.datum_name(code), _dt.WGS84_DATUM)
+
+
 class Transformer:
     """pyproj.Transformer-shaped API over the pure-numpy projections.
 
@@ -125,6 +144,13 @@ class Transformer:
         self.dst = _norm(dst)
         self._src = _projection(self.src)
         self._dst = _projection(self.dst)
+        # datum pipeline (None = same datum / both WGS84-equivalent)
+        sd, dd = _datum_for(self.src), _datum_for(self.dst)
+        self._datums = None
+        if sd.name != dd.name and not (
+            sd.is_wgs84_equivalent and dd.is_wgs84_equivalent
+        ):
+            self._datums = (sd, dd)
 
     @classmethod
     @functools.lru_cache(maxsize=256)
@@ -154,6 +180,11 @@ class Transformer:
             lon, lat, ok1 = webmercator.inverse(x, y)
         else:
             lon, lat, ok1 = obj.inverse(x, y)
+        # cross-datum: geocentric Helmert pipeline (h=0, 2-D path)
+        if self._datums is not None:
+            from gdal_ray.proj import datum as _dt
+
+            lon, lat = _dt.shift_geographic(*self._datums, lon, lat)
         # geographic → dst
         kind, obj = self._dst
         if kind == "geographic":

@@ -79,20 +79,30 @@ class TestRegistryRoundtrip:
             inv = Transformer.from_crs(crs, "EPSG:4326")
             lon, lat, ok2 = inv.transform_with_errors(x, y)
             assert ok2.all(), crs
-            assert abs(lon[0] - (clon + 1.0)) < 1e-8
-            assert abs(lat[0] - (clat + 1.0)) < 1e-8
+            # cross-datum CRSs pay the 2-D datum pipeline's cm-level
+            # height-drop residual; same-datum stays 1e-8
+            tol = 1e-8 if t._datums is None else 1e-6
+            assert abs(lon[0] - (clon + 1.0)) < tol
+            assert abs(lat[0] - (clat + 1.0)) < tol
 
 
 class TestPinnedValues:
     def test_osgb_worked_example(self):
-        # OS Guide Annex C: 52°39'27.2531"N 1°43'4.5177"E
+        # OS Guide Annex C: 52°39'27.2531"N 1°43'4.5177"E (OSGB36
+        # latitude/longitude, EPSG:4277)
         #   -> E 651409.903  N 313177.270  (TM on Airy 1830)
         lat = 52.0 + 39.0 / 60.0 + 27.2531 / 3600.0
         lon = 1.0 + 43.0 / 60.0 + 4.5177 / 3600.0
-        x, y, ok = transform_points("EPSG:4326", "EPSG:27700", [lon], [lat])
+        x, y, ok = transform_points("EPSG:4277", "EPSG:27700", [lon], [lat])
         assert ok.all()
         assert x[0] == pytest.approx(651409.903, abs=0.002)
         assert y[0] == pytest.approx(313177.270, abs=0.002)
+        # from WGS84 the same numeric lon/lat lands ~120 m away — the
+        # OSGB36 Helmert datum shift is applied (round-3 datum path)
+        xw, yw, okw = transform_points("EPSG:4326", "EPSG:27700", [lon], [lat])
+        assert okw.all()
+        d = ((xw[0] - x[0]) ** 2 + (yw[0] - y[0]) ** 2) ** 0.5
+        assert 80.0 < d < 180.0
 
     def test_laea_europe_epsg_guidance_example(self):
         # IOGP GN 7-2 (LAEA oblique): 50°N 5°E -> N 2999718.85, E 3962799.45
