@@ -11,6 +11,8 @@ Usage:
 Steps (the §2.12 Step protocol: each builder returns a
 Dataset→Dataset transform):
   read PATH [--cols a,b]          write PATH
+    (format by extension: .geojson / .geojsonl|.ndjson / .csv with a
+     WKT column / default parquet — gdal_ray.formats drivers)
   filter --where 'col OP value'   select --cols a,b
   limit --n N                     sort --by col [--desc]
   reproject --src CRS --dst CRS [--x lon --y lat]
@@ -90,9 +92,29 @@ def build_pipeline(spec: str):
     src_args = _parse_args(steps[0][1:])
     src_path = src_args["_args"][0]
     cols = src_args.get("cols")
-    source = lambda: rd.read_parquet(  # noqa: E731
-        src_path, columns=cols.split(",") if cols else None
-    )
+    col_list = cols.split(",") if cols else None
+    # format by extension (the GDALDriverManager Identify role):
+    # .geojson/.json → GeoJSON, .geojsonl/.ndjson → GeoJSONSeq,
+    # .csv → CSV with WKT column, default parquet
+    low = src_path.lower()
+    if low.endswith((".geojson", ".json")):
+        from gdal_ray import formats
+
+        source = lambda: formats.read_geojson(  # noqa: E731
+            src_path, columns=col_list)
+    elif low.endswith((".geojsonl", ".ndjson", ".geojsons")):
+        from gdal_ray import formats
+
+        source = lambda: formats.read_geojson_seq(  # noqa: E731
+            src_path, columns=col_list)
+    elif low.endswith(".csv"):
+        from gdal_ray import formats
+
+        source = lambda: formats.read_csv_geom(src_path)  # noqa: E731
+    else:
+        source = lambda: rd.read_parquet(  # noqa: E731
+            src_path, columns=col_list
+        )
     for step in steps[1:]:
         name = step[0]
         args = _parse_args(step[1:])
@@ -195,7 +217,21 @@ def run_pipeline(spec: str):
         ds = t(ds)
     kind, arg = terminal
     if kind == "write":
-        ds.write_parquet(arg)
+        low = arg.lower()
+        if low.endswith((".geojsonl", ".ndjson")):
+            from gdal_ray import formats
+
+            formats.write_geojson_seq(ds, arg)
+        elif low.endswith(".geojson"):
+            from gdal_ray import formats
+
+            formats.write_geojson(ds, arg)
+        elif low.endswith(".csv") or low.endswith("_csv"):
+            from gdal_ray import formats
+
+            formats.write_csv_geom(ds, arg)
+        else:
+            ds.write_parquet(arg)
         return arg, kind
     if kind == "count":
         return ds.count(), kind
