@@ -954,29 +954,11 @@ def _build_unfolds():
     _UNFOLD = out
 
 
-def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
-    """H3 cellToLatLng: cell center in degrees (vectorized).
-
-    Digits rebuild the res-r lattice position on the base cell's home
-    face (deleted-subsequence rotation applied for pentagon leading-5
-    cells); centers whose closest face differs are re-expressed in the
-    owning face through the exact res-scaled unfold transform before
-    inverse projection, matching the C library's overage adjustment."""
-    _build_unfolds()
-    cells = np.atleast_1d(np.asarray(cells, np.uint64))
+def _axial_on_home(cells: np.ndarray, res: int):
+    """Rebuild each cell's res-scale axial lattice position (a, b) on
+    its base cell's home face (shared by cellToLatLng and gridDisk).
+    Returns (home_face, a, b, is_pentagon)."""
     n = len(cells)
-    res_arr = get_resolution(cells).astype(np.int64)
-    if len(np.unique(res_arr)) > 1:
-        # process per resolution group
-        lat = np.empty(n)
-        lng = np.empty(n)
-        for r in np.unique(res_arr):
-            m = res_arr == r
-            la, lo = cell_to_latlng(cells[m])
-            lat[m] = la
-            lng[m] = lo
-        return lat, lng
-    res = int(res_arr[0]) if n else 0
     bc = get_base_cell(cells).astype(np.int64)
     digits = np.zeros((n, res), dtype=np.int64)
     for rr in range(1, res + 1):
@@ -1007,26 +989,35 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
         off = _DIGIT_AXIAL[digits[:, rr - 1]]
         a = a + off[:, 0]
         b_ax = b_ax + off[:, 1]
+    return home, a, b_ax, is_pent
 
-    def project(face_arr, aa, bb):
-        scale = M_SQRT7 ** res
-        x = (aa - 0.5 * bb) / scale
-        y = (bb * M_SIN60) / scale
-        rp = np.hypot(x, y)
-        theta_used = np.arctan2(y, x)
-        if res % 2 == 1:
-            theta_used = theta_used + M_AP7_ROT_RADS
-        az = FACE_AX_AZ[face_arr] - theta_used
-        dist = np.arctan(rp * RES0_U_GNOMONIC)
-        clat = FACE_CENTER_GEO[face_arr, 0]
-        clng = FACE_CENTER_GEO[face_arr, 1]
-        lat, lng = _az_destination(clat, clng, az, dist)
-        zero = rp < 1e-15
-        lat = np.where(zero, clat, lat)
-        lng = np.where(zero, clng, lng)
+
+def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
+    """H3 cellToLatLng: cell center in degrees (vectorized).
+
+    Digits rebuild the res-r lattice position on the base cell's home
+    face (deleted-subsequence rotation applied for pentagon leading-5
+    cells); centers whose closest face differs are re-expressed in the
+    owning face through the exact res-scaled unfold transform before
+    inverse projection, matching the C library's overage adjustment."""
+    _build_unfolds()
+    cells = np.atleast_1d(np.asarray(cells, np.uint64))
+    n = len(cells)
+    res_arr = get_resolution(cells).astype(np.int64)
+    if len(np.unique(res_arr)) > 1:
+        # process per resolution group
+        lat = np.empty(n)
+        lng = np.empty(n)
+        for r in np.unique(res_arr):
+            m = res_arr == r
+            la, lo = cell_to_latlng(cells[m])
+            lat[m] = la
+            lng[m] = lo
         return lat, lng
+    res = int(res_arr[0]) if n else 0
+    home, a, b_ax, is_pent = _axial_on_home(cells, res)
 
-    lat, lng = project(home, a, b_ax)
+    lat, lng = _project_axial(home, a, b_ax, res)
     # pentagon base cells: the home-frame digit rebuild does not model
     # the deleted-K-axis wedges across the 5 surrounding faces — use
     # the per-view reversal validated by re-encode
@@ -1035,14 +1026,44 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
             got = _pentagon_center(int(cells[i]))
             if got is not None:
                 lat[i], lng[i] = got
-    # overage: the true center is the lattice point of the face whose
-    # projection of it is self-consistent (that face is the closest
-    # face to the projected point — the C library reaches the same
-    # fixed point through coordinate-range adjustment). Try the home
-    # face, then 1- and 2-step unfold candidates.
+    lat, lng = _resolve_overage(home, a, b_ax, res, lat, lng, skip=is_pent)
+    return np.degrees(lat), np.degrees(lng)
+
+
+def _project_axial(face_arr, aa, bb, res: int):
+    """Inverse projection: res-scale axial lattice coords on a face →
+    geo radians (the face-local half of cellToLatLng)."""
+    scale = M_SQRT7 ** res
+    x = (aa - 0.5 * bb) / scale
+    y = (bb * M_SIN60) / scale
+    rp = np.hypot(x, y)
+    theta_used = np.arctan2(y, x)
+    if res % 2 == 1:
+        theta_used = theta_used + M_AP7_ROT_RADS
+    az = FACE_AX_AZ[face_arr] - theta_used
+    dist = np.arctan(rp * RES0_U_GNOMONIC)
+    clat = FACE_CENTER_GEO[face_arr, 0]
+    clng = FACE_CENTER_GEO[face_arr, 1]
+    lat, lng = _az_destination(clat, clng, az, dist)
+    zero = rp < 1e-15
+    lat = np.where(zero, clat, lat)
+    lng = np.where(zero, clng, lng)
+    return lat, lng
+
+
+def _resolve_overage(home, a, b_ax, res, lat, lng, skip=None):
+    """Overage resolution: the true position of a lattice point is the
+    one whose projection is self-consistent (its closest face is the
+    face it was projected on — the C library reaches the same fixed
+    point through coordinate-range adjustment). Rows whose home-face
+    projection is not self-consistent are re-expressed through the
+    exact res-scaled 1- and 2-step unfold transforms.  ``skip`` masks
+    rows already resolved (pentagon centers)."""
     p = _geo_to_xyz(lat, lng)
     owner = np.argmax(p @ _FACE_XYZ.T, axis=1)
-    move = (owner != home) & ~is_pent  # pentagon rows already resolved
+    move = owner != home
+    if skip is not None:
+        move &= ~skip
     if move.any():
         adj = {}
         for (f, g), tr in _UNFOLD.items():
@@ -1094,8 +1115,9 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
                 ca, cb = float(a[i]), float(b_ax[i])
                 for _ in range(k60):
                     ca, cb = ca - cb, ca  # axial ccw 60-degree rotation
-                la, lo = project(
-                    np.array([g]), np.array([ca + ta]), np.array([cb + tb])
+                la, lo = _project_axial(
+                    np.array([g]), np.array([ca + ta]), np.array([cb + tb]),
+                    res,
                 )
                 v = _geo_to_xyz(la, lo)[0]
                 own = int(np.argmax(_FACE_XYZ @ v))
@@ -1105,7 +1127,7 @@ def cell_to_latlng(cells) -> tuple[np.ndarray, np.ndarray]:
             if best is not None:
                 lat[i] = best[0]
                 lng[i] = best[1]
-    return np.degrees(lat), np.degrees(lng)
+    return lat, lng
 
 
 def _rotate_digits_pent60cw_row(d: np.ndarray, res: int) -> np.ndarray:
@@ -1189,3 +1211,178 @@ def _pentagon_center(cell: int) -> tuple[float, float] | None:
             if int(enc) == int(cell_u):
                 return lat, lng
     return None
+
+
+def _disk_offsets(k: int) -> list[tuple[int, int]]:
+    """Axial offsets within hex grid distance k, sorted by distance
+    (axial basis (a, b) = (i−k, j−k): dist = (|da|+|db|+|da−db|)/2)."""
+    offs = [
+        (da, db)
+        for da in range(-k, k + 1)
+        for db in range(-k, k + 1)
+        if (abs(da) + abs(db) + abs(da - db)) // 2 <= k
+    ]
+    offs.sort(key=lambda t: (abs(t[0]) + abs(t[1]) + abs(t[0] - t[1])) // 2)
+    return offs
+
+
+def grid_disk(cells, k: int = 1) -> tuple[np.ndarray, np.ndarray]:
+    """H3 gridDisk (kRing): every cell within grid distance ≤ k of
+    each origin (h3lib gridDisk role; the neighbor-join primitive for
+    cell-partitioned spatial smoothing).
+
+    Exact lattice stepping on each origin's home face: rebuild the
+    res-scale axial position (`_axial_on_home`), add each disk offset,
+    refold cross-face positions through the exact unfold transforms
+    (`_resolve_overage`), re-encode with the validated encoder.
+    Around pentagon base cells the deleted-wedge steps collapse onto
+    real neighbors on re-encode and are deduplicated (a pentagon
+    origin yields its 5 true neighbors + itself at k=1).
+
+    Returns ``(origin_idx, neighbor_cell)`` flat arrays — one row per
+    (origin, member) pair, origin included at distance 0, deduplicated
+    per origin.
+    """
+    _build_unfolds()
+    cells = np.atleast_1d(np.asarray(cells, np.uint64))
+    n = len(cells)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.uint64)
+    res_arr = get_resolution(cells).astype(np.int64)
+    if len(np.unique(res_arr)) > 1:
+        oi, nb = [], []
+        for r in np.unique(res_arr):
+            m = np.flatnonzero(res_arr == r)
+            ai, bi = grid_disk(cells[m], k)
+            oi.append(m[ai])
+            nb.append(bi)
+        return np.concatenate(oi), np.concatenate(nb)
+    res = int(res_arr[0])
+    home, a, b_ax, is_pent = _axial_on_home(cells, res)
+    rows = []
+    ids = []
+    for da, db in _disk_offsets(k):
+        aa = a + float(da)
+        bb = b_ax + float(db)
+        lat, lng = _project_axial(home, aa, bb, res)
+        lat, lng = _resolve_overage(home, aa, bb, res, lat, lng)
+        ids.append(latlng_to_cell(np.degrees(lat), np.degrees(lng), res))
+        rows.append(np.arange(n, dtype=np.int64))
+    rows_c = np.concatenate(rows)
+    ids_c = np.concatenate(ids)
+    # pentagon contamination: the home-frame lattice does not model the
+    # deleted wedge — any origin in a pentagon base cell, or whose
+    # stepped members land in one, is recomputed through the sampled
+    # safe path (gridDiskDistancesSafe role)
+    bad = is_pent.copy()
+    member_pent = _BC_IS_PENT[get_base_cell(ids_c).astype(np.int64)]
+    np.logical_or.at(bad, rows_c, member_pent)
+    if bad.any():
+        keep = ~bad[rows_c]
+        rows_l = [rows_c[keep]]
+        ids_l = [ids_c[keep]]
+        for i in np.flatnonzero(bad):
+            m = _disk_safe(int(cells[i]), k)
+            rows_l.append(np.full(len(m), i, np.int64))
+            ids_l.append(m)
+        rows_c = np.concatenate(rows_l)
+        ids_c = np.concatenate(ids_l)
+    pairs = np.stack([rows_c, ids_c.view(np.int64)], axis=1)
+    uniq = np.unique(pairs, axis=0)  # H3 ids have bit 63 = 0: int64-safe
+    return uniq[:, 0], uniq[:, 1].astype(np.uint64)
+
+
+def _xyz_to_latlng(p: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Unit xyz (n,3) → (lat, lng) radians."""
+    lat = np.arcsin(np.clip(p[:, 2], -1.0, 1.0))
+    lng = np.arctan2(p[:, 1], p[:, 0])
+    return lat, lng
+
+
+def _disc_points(p: np.ndarray, radius: float, n: int) -> np.ndarray:
+    """n points on the circle of angular ``radius`` around unit vector
+    p (3,) — tangent-plane great-circle rotation."""
+    ref = np.array([0.0, 0.0, 1.0]) if abs(p[2]) < 0.9 else np.array([1.0, 0.0, 0.0])
+    u = np.cross(p, ref)
+    u /= np.linalg.norm(u)
+    v = np.cross(p, u)
+    th = np.linspace(0.0, 2.0 * np.pi, n, endpoint=False)
+    return (
+        np.cos(radius) * p[None, :]
+        + np.sin(radius) * (np.cos(th)[:, None] * u + np.sin(th)[:, None] * v)
+    )
+
+
+def _edge_adjacent(c: int, m: int, spacing: float, res: int) -> bool:
+    """Adjacency test by geodesic traversal: sample the segment
+    between the two centers.  In a hex grid (and around pentagons)
+    two cells share an edge iff the center-to-center geodesic crosses
+    directly from one to the other; any distance-2 pair has a third
+    cell owning a contiguous middle stretch of the path.  Tolerates
+    ≤2 stray samples for paths grazing a 3-cell vertex."""
+    la, lo = cell_to_latlng(np.array([c, m], np.uint64))
+    p = _geo_to_xyz(np.radians(la), np.radians(lo))
+    dot = float(np.clip(p[0] @ p[1], -1.0, 1.0))
+    omega = np.arccos(dot)
+    if omega < 1e-12 or omega > np.pi - 1e-6:
+        return False
+    t = np.linspace(0.04, 0.96, 33)
+    so = np.sin(omega)
+    pts = (
+        np.sin((1.0 - t) * omega)[:, None] * p[0][None, :]
+        + np.sin(t * omega)[:, None] * p[1][None, :]
+    ) / so
+    lat, lng = _xyz_to_latlng(pts)
+    ids = latlng_to_cell(np.degrees(lat), np.degrees(lng), res)
+    in_pair = (ids == np.uint64(c)) | (ids == np.uint64(m))
+    return (
+        bool((ids == np.uint64(c)).any())
+        and bool((ids == np.uint64(m)).any())
+        and int((~in_pair).sum()) <= 2
+    )
+
+
+def _local_spacing(cell: int, res: int) -> float:
+    """Angular center spacing near a cell (home-frame lattice step —
+    magnitude is accurate even where the direction distorts)."""
+    cells = np.array([cell], np.uint64)
+    home, a, b_ax, _ = _axial_on_home(cells, res)
+    la0, lo0 = _project_axial(home, a, b_ax, res)
+    la1, lo1 = _project_axial(home, a + 1.0, b_ax, res)
+    p0 = _geo_to_xyz(la0, lo0)[0]
+    p1 = _geo_to_xyz(la1, lo1)[0]
+    return float(np.arccos(np.clip(p0 @ p1, -1.0, 1.0)))
+
+
+def _disk1_safe(cell: int) -> np.ndarray:
+    """k=1 disk of one cell, robust to pentagon wedge distortion:
+    discover candidates by encoding rings of sample points around the
+    center, then keep only midpoint-verified edge neighbors
+    (gridDiskDistancesSafe role)."""
+    res = int(get_resolution(np.array([cell], np.uint64))[0])
+    s = _local_spacing(cell, res)
+    la, lo = cell_to_latlng(np.array([cell], np.uint64))
+    p = _geo_to_xyz(np.radians(la), np.radians(lo))[0]
+    pts = np.concatenate(
+        [_disc_points(p, r * s, 64) for r in (0.55, 0.8, 1.0, 1.25)]
+    )
+    lat, lng = _xyz_to_latlng(pts)
+    cand = np.unique(latlng_to_cell(np.degrees(lat), np.degrees(lng), res))
+    out = [np.uint64(cell)]
+    for m in cand:
+        if m != np.uint64(cell) and _edge_adjacent(cell, int(m), s, res):
+            out.append(m)
+    return np.array(sorted(int(x) for x in out), np.uint64)
+
+
+def _disk_safe(cell: int, k: int) -> np.ndarray:
+    """BFS k-disk built from per-cell safe 1-disks."""
+    members = {int(cell)}
+    frontier = {int(cell)}
+    for _ in range(k):
+        new: set[int] = set()
+        for f in frontier:
+            new.update(int(x) for x in _disk1_safe(f))
+        frontier = new - members
+        members |= new
+    return np.array(sorted(members), np.uint64)

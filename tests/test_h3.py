@@ -258,3 +258,93 @@ class TestCellToLatLng:
         clat, clng = H.cell_to_latlng(cells)
         back = H.latlng_to_cell(clat, clng, 0)
         assert (back == cells).all()
+
+
+class TestGridDisk:
+    def test_golden_k1(self):
+        # uber/h3 docs example: kRing of 8928308280fffff
+        c = H.string_to_cell(np.array(["8928308280fffff"]))
+        oi, nb = H.grid_disk(c, 1)
+        got = sorted(H.cell_to_string(nb))
+        assert got == sorted([
+            "8928308280fffff", "8928308280bffff", "89283082807ffff",
+            "89283082877ffff", "89283082803ffff", "89283082873ffff",
+            "8928308283bffff",
+        ])
+
+    def test_counts_random(self):
+        rng = np.random.default_rng(11)
+        lat = rng.uniform(-75, 75, 300)
+        lng = rng.uniform(-180, 180, 300)
+        for res in (5, 8):
+            cells = H.latlng_to_cell(lat, lng, res)
+            for k in (1, 2):
+                oi, nb = H.grid_disk(cells, k)
+                counts = np.bincount(oi, minlength=len(cells))
+                # hexagon disks are exactly 3k^2+3k+1; pentagon-
+                # adjacent disks may drop a few on the deleted wedge
+                expect = 3 * k * k + 3 * k + 1
+                assert (counts <= expect).all()
+                assert (counts >= expect - k).all()
+                # overwhelming majority exact
+                assert (counts == expect).mean() > 0.98
+
+    def test_symmetry_k1(self):
+        """n in disk(c) ⟺ c in disk(n) — grid adjacency is symmetric."""
+        rng = np.random.default_rng(3)
+        lat = rng.uniform(-70, 70, 60)
+        lng = rng.uniform(-180, 180, 60)
+        cells = H.latlng_to_cell(lat, lng, 7)
+        oi, nb = H.grid_disk(cells, 1)
+        for i, c in enumerate(cells):
+            members = nb[oi == i]
+            for m in members:
+                if m == c:
+                    continue
+                oj, nj = H.grid_disk(np.array([m], np.uint64), 1)
+                assert c in nj, (hex(int(c)), hex(int(m)))
+
+    def test_members_are_adjacent_by_distance(self):
+        """k=1 members' centers lie within ~1.5 center spacings."""
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(-70, 70, 100)
+        lng = rng.uniform(-180, 180, 100)
+        cells = H.latlng_to_cell(lat, lng, 8)
+        oi, nb = H.grid_disk(cells, 1)
+        clat, clng = H.cell_to_latlng(cells[oi])
+        nlat, nlng = H.cell_to_latlng(nb)
+        # angular distance on the unit sphere
+        p = H._geo_to_xyz(np.radians(clat), np.radians(clng))
+        q = H._geo_to_xyz(np.radians(nlat), np.radians(nlng))
+        ang = np.arccos(np.clip((p * q).sum(axis=1), -1, 1))
+        # self-pairs read ~sqrt(eps) from arccos at dot≈1 — drop them
+        spacing = ang[ang > 1e-7]
+        assert len(spacing)
+        # neighbor center distances vary < 2.5x across the globe
+        # (hex scale variation + class-III skew); a wrong member from
+        # wedge distortion would sit orders of magnitude off
+        assert spacing.max() < 2.5 * spacing.min()
+
+    def test_pentagon_center_disk(self):
+        # a pentagon cell at res 3: 5 neighbors + itself
+        pents = np.flatnonzero(H._BC_IS_PENT)
+        bc = int(pents[3])
+        lat, lng = H._res0_center_geo(*H.BASE_CELL_DATA[bc][:4])
+        c = H.latlng_to_cell(
+            np.degrees(np.float64(lat)), np.degrees(np.float64(lng)), 3
+        )
+        assert bool(H.is_pentagon(np.array([c], np.uint64))[0])
+        oi, nb = H.grid_disk(np.array([c], np.uint64), 1)
+        assert len(nb) == 6  # 5 true neighbors + origin
+        assert np.uint64(c) in nb
+
+    def test_res_groups_and_empty(self):
+        oi, nb = H.grid_disk(np.array([], np.uint64), 1)
+        assert len(oi) == 0 and len(nb) == 0
+        a = H.latlng_to_cell(np.array([10.0]), np.array([20.0]), 7)
+        b = H.latlng_to_cell(np.array([10.0]), np.array([20.0]), 9)
+        cells = np.array([a[0], b[0]], np.uint64)
+        oi, nb = H.grid_disk(cells, 1)
+        assert set(oi) == {0, 1}
+        assert (H.get_resolution(nb[oi == 0]) == 7).all()
+        assert (H.get_resolution(nb[oi == 1]) == 9).all()
