@@ -1,0 +1,530 @@
+"""GeoTIFF read/write from scratch — the reference's flagship raster
+driver (reference roles: frmts/gtiff/geotiff.cpp driver,
+libgeotiff geo_normalize.c for the GeoKey → CRS mapping; formats
+re-derived from the public TIFF 6.0 + GeoTIFF 1.1 (OGC 19-008r4)
+specifications, no code ported).
+
+Scope (classic TIFF, the overwhelmingly common profile):
+- read: striped + tiled, chunky (PlanarConfig=1) + separate (=2),
+  uint8/int8/uint16/int16/uint32/int32/float32/float64, compression
+  none (1) / LZW (5) / DEFLATE (8, 32946) / PackBits (32773),
+  horizontal-differencing predictor (2), both byte orders,
+  ModelPixelScale+ModelTiepoint or ModelTransformation
+  geotransforms, EPSG codes from GeoKeyDirectory, GDAL_NODATA.
+- write: striped, chunky, none/DEFLATE, GeoKeys for EPSG codes,
+  ModelPixelScale+Tiepoint, GDAL_NODATA.
+- out of scope (documented): BigTIFF, bit depths < 8, floating-point
+  predictor 3, JPEG-in-TIFF, overviews/subIFDs.
+
+Dataset-level wrappers mirror the PNG codec's layout: one file = one
+read task (`read_geotiff` → the engine's tile-table model), atomic
+single-file writes.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# TIFF tag ids
+_T_WIDTH, _T_HEIGHT = 256, 257
+_T_BITS, _T_COMP, _T_PHOTO = 258, 259, 262
+_T_STRIP_OFF, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_CNT = 273, 277, 278, 279
+_T_PLANAR, _T_PREDICTOR = 284, 317
+_T_TILE_W, _T_TILE_H, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
+_T_SAMPLE_FMT = 339
+_T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
+_T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
+_T_GDAL_NODATA = 42113
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
+              10: 8, 11: 4, 12: 8}
+_TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
+             11: "f", 12: "d"}
+
+
+def _dtype_of(bits: int, fmt: int) -> np.dtype:
+    key = (bits, fmt)
+    table = {
+        (8, 1): np.uint8, (8, 2): np.int8,
+        (16, 1): np.uint16, (16, 2): np.int16,
+        (32, 1): np.uint32, (32, 2): np.int32, (32, 3): np.float32,
+        (64, 3): np.float64,
+    }
+    if key not in table:
+        raise ValueError(f"unsupported TIFF sample: {bits} bits fmt {fmt}")
+    return np.dtype(table[key])
+
+
+# ---------------------------------------------------------------------------
+# LZW (TIFF 6.0 §13, MSB-first codes, early change)
+# ---------------------------------------------------------------------------
+
+
+def _lzw_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        table.clear()
+        table.extend(bytes([i]) for i in range(256))
+        table.append(b"")  # 256 clear
+        table.append(b"")  # 257 eoi
+
+    reset()
+    width = 9
+    acc = 0
+    nbits = 0
+    pos = 0
+    old: bytes | None = None
+    n = len(data)
+    while len(out) < expected:
+        while nbits < width:
+            if pos >= n:
+                return bytes(out)
+            acc = (acc << 8) | data[pos]
+            pos += 1
+            nbits += 8
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == 257:  # EOI
+            break
+        if code == 256:  # Clear
+            reset()
+            width = 9
+            old = None
+            continue
+        if old is None:
+            entry = table[code]
+            out += entry
+            old = entry
+            continue
+        if code < len(table):
+            entry = table[code]
+            out += entry
+            table.append(old + entry[:1])
+        else:
+            entry = old + old[:1]
+            out += entry
+            table.append(entry)
+        old = entry
+        # early change, lag-corrected: the decoder runs one table
+        # entry behind the encoder, so it must widen one entry before
+        # the encoder's 511/1023/2047 switch points (libtiff parity,
+        # validated by encoder round-trip through all widths)
+        if len(table) == 510:
+            width = 10
+        elif len(table) == 1022:
+            width = 11
+        elif len(table) == 2046:
+            width = 12
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    """TIFF LZW encoder (early change) — symmetric with the decoder;
+    used for round-trip validation and optional LZW writes."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    nxt = 258
+    width = 9
+    emit(256, width)
+    w = b""
+    for b in data:
+        c = bytes([b])
+        if w + c in table:
+            w += c
+            continue
+        emit(table[w], width)
+        table[w + c] = nxt
+        nxt += 1
+        # early change: width grows when the NEXT code to assign
+        # would not fit with one slot spare
+        if nxt == 511:
+            width = 10
+        elif nxt == 1023:
+            width = 11
+        elif nxt == 2047:
+            width = 12
+        elif nxt == 4095:
+            emit(256, width)
+            table = {bytes([i]): i for i in range(256)}
+            nxt = 258
+            width = 9
+        w = c
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expected: int) -> bytes:
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n and len(out) < expected:
+        h = data[i]
+        i += 1
+        if h < 128:
+            out += data[i : i + h + 1]
+            i += h + 1
+        elif h > 128:
+            out += bytes([data[i]]) * (257 - h)
+            i += 1
+        # 128: no-op
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# read
+# ---------------------------------------------------------------------------
+
+
+def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, tuple]:
+    (count,) = struct.unpack_from(bo + "H", data, off)
+    tags: dict[int, tuple] = {}
+    for i in range(count):
+        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + 12 * i)
+        size = _TYPE_SIZE.get(typ, 1) * cnt
+        vpos = off + 2 + 12 * i + 8
+        if size > 4:
+            (vpos,) = struct.unpack_from(bo + "I", data, vpos)
+        if typ == 2:  # ascii
+            val = data[vpos : vpos + cnt].split(b"\0")[0].decode(
+                "latin-1", "replace")
+        elif typ == 5:  # rational
+            nums = struct.unpack_from(bo + "%dI" % (2 * cnt), data, vpos)
+            val = tuple(nums[2 * i] / max(nums[2 * i + 1], 1)
+                        for i in range(cnt))
+        elif typ in _TYPE_FMT:
+            val = struct.unpack_from(bo + "%d%s" % (cnt, _TYPE_FMT[typ]),
+                                     data, vpos)
+        else:
+            val = data[vpos : vpos + size]
+        tags[tag] = val
+    return tags
+
+
+def _geo_from_keys(tags: dict) -> str:
+    keys = tags.get(_T_GEO_KEYS)
+    if not keys or len(keys) < 4:
+        return ""
+    nkeys = keys[3]
+    kv = {}
+    for i in range(nkeys):
+        kid, loc, cnt, val = keys[4 + 4 * i : 8 + 4 * i]
+        if loc == 0:
+            kv[kid] = val
+    if kv.get(3072) and kv[3072] != 32767:       # ProjectedCSType
+        return f"EPSG:{kv[3072]}"
+    if kv.get(2048) and kv[2048] != 32767:       # GeographicType
+        return f"EPSG:{kv[2048]}"
+    return ""
+
+
+def _geotransform(tags: dict) -> tuple[float, ...]:
+    if _T_TRANSFORM in tags:
+        m = tags[_T_TRANSFORM]
+        return (m[3], m[0], m[1], m[7], m[4], m[5])
+    scale = tags.get(_T_PIXEL_SCALE)
+    tie = tags.get(_T_TIEPOINT)
+    if scale and tie and len(tie) >= 6:
+        i, j, _k, x, y = tie[0], tie[1], tie[2], tie[3], tie[4]
+        sx, sy = scale[0], scale[1]
+        return (x - i * sx, sx, 0.0, y + j * sy, 0.0, -sy)
+    return (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+def decode_geotiff(data: bytes) -> dict:
+    """GeoTIFF bytes → {"bands": [2-D arrays], "crs", "geotransform",
+    "nodata", "photometric"}."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte order mark)")
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic == 43:
+        raise ValueError("BigTIFF not supported (classic TIFF only)")
+    if magic != 42:
+        raise ValueError("not a TIFF (bad magic)")
+    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    tags = _read_ifd(data, bo, ifd_off)
+
+    w = tags[_T_WIDTH][0]
+    h = tags[_T_HEIGHT][0]
+    spp = tags.get(_T_SPP, (1,))[0]
+    bits = tags.get(_T_BITS, (8,) * spp)
+    fmt = tags.get(_T_SAMPLE_FMT, (1,) * spp)
+    if len(set(bits)) != 1 or len(set(fmt[:len(bits)])) != 1:
+        raise ValueError("mixed per-band sample types not supported")
+    dt = _dtype_of(bits[0], fmt[0]).newbyteorder(bo)
+    comp = tags.get(_T_COMP, (1,))[0]
+    planar = tags.get(_T_PLANAR, (1,))[0]
+    predictor = tags.get(_T_PREDICTOR, (1,))[0]
+    if predictor == 3:
+        raise ValueError("floating-point predictor not supported")
+    itemsize = dt.itemsize
+
+    def blocks():
+        """Yield (band_or_None, y0, x0, bh, bw, raw_bytes)."""
+        if _T_TILE_OFF in tags:
+            tw = tags[_T_TILE_W][0]
+            th = tags[_T_TILE_H][0]
+            offs = tags[_T_TILE_OFF]
+            cnts = tags[_T_TILE_CNT]
+            tiles_x = (w + tw - 1) // tw
+            tiles_y = (h + th - 1) // th
+            per_plane = tiles_x * tiles_y
+            for idx, (o, c) in enumerate(zip(offs, cnts)):
+                plane = idx // per_plane if planar == 2 else None
+                t = idx % per_plane if planar == 2 else idx
+                ty, tx = divmod(t, tiles_x)
+                yield plane, ty * th, tx * tw, th, tw, data[o : o + c]
+        else:
+            rps = tags.get(_T_ROWS_PER_STRIP, (h,))[0]
+            offs = tags[_T_STRIP_OFF]
+            cnts = tags.get(_T_STRIP_CNT)
+            if cnts is None:
+                cnts = (len(data) - offs[0],)
+            strips = (h + rps - 1) // rps
+            for idx, (o, c) in enumerate(zip(offs, cnts)):
+                plane = idx // strips if planar == 2 else None
+                s = idx % strips if planar == 2 else idx
+                y0 = s * rps
+                yield plane, y0, 0, min(rps, h - y0), w, data[o : o + c]
+
+    bands = [np.zeros((h, w), dt.newbyteorder("=")) for _ in range(spp)]
+    for plane, y0, x0, bh, bw, raw in blocks():
+        ns = 1 if planar == 2 else spp
+        # tiles are padded to full size; strips may be short
+        full_h = bh if _T_TILE_OFF not in tags else bh
+        expect = full_h * bw * ns * itemsize
+        if comp in (8, 32946):
+            raw = zlib.decompress(raw)
+        elif comp == 5:
+            raw = _lzw_decode(raw, expect)
+        elif comp == 32773:
+            raw = _packbits_decode(raw, expect)
+        elif comp != 1:
+            raise ValueError(f"unsupported TIFF compression {comp}")
+        raw = raw[:expect].ljust(expect, b"\0")
+        arr = np.frombuffer(raw, dtype=dt).reshape(full_h, bw, ns)
+        arr = arr.astype(dt.newbyteorder("="))
+        if predictor == 2:
+            # horizontal differencing: modular cumsum along the row
+            # (wide accumulate then cast back wraps exactly)
+            wide = {1: np.uint64, 2: np.int64}.get(fmt[0], np.float64)
+            arr = np.cumsum(arr.astype(wide), axis=1).astype(arr.dtype)
+        vh = min(bh, h - y0)
+        vw = min(bw, w - x0)
+        if planar == 2:
+            bands[plane][y0 : y0 + vh, x0 : x0 + vw] = arr[:vh, :vw, 0]
+        else:
+            for b in range(spp):
+                bands[b][y0 : y0 + vh, x0 : x0 + vw] = arr[:vh, :vw, b]
+
+    nodata = None
+    if _T_GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[_T_GDAL_NODATA]).strip())
+        except ValueError:
+            nodata = None
+    return {
+        "bands": bands,
+        "crs": _geo_from_keys(tags),
+        "geotransform": _geotransform(tags),
+        "nodata": nodata,
+        "photometric": tags.get(_T_PHOTO, (1,))[0],
+    }
+
+
+# ---------------------------------------------------------------------------
+# write
+# ---------------------------------------------------------------------------
+
+_NP_TO_TIFF = {
+    "uint8": (8, 1), "int8": (8, 2), "uint16": (16, 1), "int16": (16, 2),
+    "uint32": (32, 1), "int32": (32, 2), "float32": (32, 3),
+    "float64": (64, 3),
+}
+
+
+def encode_geotiff(
+    bands: list[np.ndarray] | np.ndarray,
+    crs: str = "",
+    geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    nodata: float | None = None,
+    compression: str = "deflate",
+) -> bytes:
+    """Bands (equal-shape 2-D arrays) → classic GeoTIFF bytes
+    (little-endian, striped, chunky)."""
+    if isinstance(bands, np.ndarray) and bands.ndim == 2:
+        bands = [bands]
+    h, w = bands[0].shape
+    spp = len(bands)
+    dt = bands[0].dtype
+    if str(dt) not in _NP_TO_TIFF:
+        raise ValueError(f"unsupported dtype {dt}")
+    bits, fmt = _NP_TO_TIFF[str(dt)]
+    if any(b.shape != (h, w) or b.dtype != dt for b in bands):
+        raise ValueError("bands must share shape and dtype")
+    if geotransform[2] or geotransform[4]:
+        raise ValueError("rotated geotransforms need ModelTransformation "
+                         "(not implemented)")
+
+    # interleave chunky rows, strip of ~64 rows
+    rps = max(1, min(h, 65536 // max(1, w * spp * dt.itemsize // 8)))
+    rps = min(rps, h)
+    stack = np.stack(bands, axis=2)  # (h, w, spp)
+    strips = []
+    for y0 in range(0, h, rps):
+        raw = np.ascontiguousarray(
+            stack[y0 : y0 + rps].astype(dt.newbyteorder("<"))
+        ).tobytes()
+        if compression == "deflate":
+            raw = zlib.compress(raw, 6)
+        elif compression == "lzw":
+            raw = _lzw_encode(raw)
+        elif compression != "none":
+            raise ValueError(f"unsupported compression {compression!r}")
+        strips.append(raw)
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+
+    entries = []  # (tag, type, count, packed-or-bytes)
+
+    def entry(tag, typ, vals):
+        entries.append((tag, typ, vals))
+
+    entry(_T_WIDTH, 4, (w,))
+    entry(_T_HEIGHT, 4, (h,))
+    entry(_T_BITS, 3, (bits,) * spp)
+    entry(_T_COMP, 3, (comp_code,))
+    entry(_T_PHOTO, 3, (1,))
+    entry(_T_SPP, 3, (spp,))
+    entry(_T_ROWS_PER_STRIP, 4, (rps,))
+    entry(_T_PLANAR, 3, (1,))
+    entry(_T_SAMPLE_FMT, 3, (fmt,) * spp)
+    gt = geotransform
+    entry(_T_PIXEL_SCALE, 12, (gt[1], -gt[5], 0.0))
+    entry(_T_TIEPOINT, 12, (0.0, 0.0, 0.0, gt[0], gt[3], 0.0))
+    if crs.upper().startswith("EPSG:"):
+        code = int(crs.split(":")[1])
+        geographic = code in (4326, 4267, 4269, 4258, 4283, 4322) or (
+            4000 <= code < 5000)
+        keys = [1, 1, 0, 3,
+                1024, 0, 1, (2 if geographic else 1),
+                1025, 0, 1, 1]
+        keys += ([2048, 0, 1, code] if geographic
+                 else [3072, 0, 1, code])
+        keys[3] = (len(keys) - 4) // 4
+        entry(_T_GEO_KEYS, 3, tuple(keys))
+    if nodata is not None:
+        txt = (repr(float(nodata)) + "\0").encode()
+        entry(_T_GDAL_NODATA, 2, txt)
+
+    # layout: header | strip data | strip tables + overflow | IFD
+    pos = 8
+    strip_offsets = []
+    for s in strips:
+        strip_offsets.append(pos)
+        pos += len(s)
+    entry(_T_STRIP_OFF, 4, tuple(strip_offsets))
+    entry(_T_STRIP_CNT, 4, tuple(len(s) for s in strips))
+    entries.sort(key=lambda e: e[0])
+
+    overflow = bytearray()
+    packed = []
+    ifd_off0 = pos  # overflow grows before IFD; two-pass
+    # first pass: compute overflow sizes
+    sizes = []
+    for tag, typ, vals in entries:
+        if typ == 2:
+            size = len(vals)
+        else:
+            size = _TYPE_SIZE[typ] * len(vals)
+        sizes.append(size)
+    total_overflow = sum(s for s in sizes if s > 4)
+    ifd_off = ifd_off0 + total_overflow
+    ovpos = ifd_off0
+    for (tag, typ, vals), size in zip(entries, sizes):
+        if typ == 2:
+            blob = bytes(vals)
+            cnt = len(vals)
+        else:
+            blob = struct.pack("<%d%s" % (len(vals), _TYPE_FMT[typ]), *vals)
+            cnt = len(vals)
+        if size > 4:
+            packed.append(struct.pack("<HHII", tag, typ, cnt, ovpos))
+            overflow += blob
+            ovpos += size
+        else:
+            packed.append(struct.pack("<HHI", tag, typ, cnt)
+                          + blob.ljust(4, b"\0"))
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    for s in strips:
+        out += s
+    out += overflow
+    out += struct.pack("<H", len(packed))
+    for p in packed:
+        out += p
+    out += struct.pack("<I", 0)  # next IFD
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level wrappers (tile-table model)
+# ---------------------------------------------------------------------------
+
+
+def read_geotiff(paths, tile_size: int = 256):
+    """GeoTIFF file(s) → Dataset of tile-table rows (one file = one
+    read task; every band tiled `tile_size`²)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from gdal_ray.raster import model
+
+    ds = rd.read_binary_files(paths)
+
+    def parse(batch: pa.Table) -> pa.Table:
+        tables = []
+        for data in batch["bytes"]:
+            g = decode_geotiff(bytes(data.as_py()))
+            for bi, arr in enumerate(g["bands"], start=1):
+                tables.append(model.from_array(
+                    arr, g["crs"], g["geotransform"], band=bi,
+                    tile_size=tile_size))
+        return pa.concat_tables(tables)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
+
+
+def write_geotiff(path: str, bands, crs: str = "",
+                  geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+                  nodata=None, compression: str = "deflate") -> None:
+    """Atomic single-file write (tmp + rename)."""
+    import os
+
+    data = encode_geotiff(bands, crs, geotransform, nodata, compression)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)

@@ -1,0 +1,136 @@
+"""GeoTIFF codec tests — round-trips across dtypes/compressions,
+LZW encoder/decoder self-consistency, and reference-parity pins
+against the public GDAL autotest rasters (read-only inputs; the
+famous byte.tif band checksum is 4672)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from gdal_ray.raster import gtiff
+from gdal_ray.raster.checksum import checksum_array
+
+REF = "/root/reference/autotest/gcore/data"
+
+
+def _rand(dtype, shape=(37, 53), seed=1):
+    rng = np.random.default_rng(seed)
+    if np.issubdtype(np.dtype(dtype), np.floating):
+        return rng.normal(0, 100, shape).astype(dtype)
+    info = np.iinfo(dtype)
+    return rng.integers(info.min, info.max, shape, dtype=dtype,
+                        endpoint=True)
+
+
+class TestRoundTrip:
+    @pytest.mark.parametrize("dtype", [
+        "uint8", "int16", "uint16", "int32", "float32", "float64"])
+    @pytest.mark.parametrize("comp", ["none", "deflate", "lzw"])
+    def test_single_band(self, dtype, comp):
+        arr = _rand(dtype)
+        gt = (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0)
+        data = gtiff.encode_geotiff(arr, "EPSG:26711", gt, nodata=0,
+                                    compression=comp)
+        g = gtiff.decode_geotiff(data)
+        np.testing.assert_array_equal(g["bands"][0], arr)
+        assert g["crs"] == "EPSG:26711"
+        assert g["geotransform"] == gt
+        assert g["nodata"] == 0.0
+
+    def test_multiband_rgb(self):
+        bands = [_rand("uint8", seed=s) for s in (1, 2, 3)]
+        data = gtiff.encode_geotiff(bands, "EPSG:4326",
+                                    (-180, 0.1, 0, 90, 0, -0.1))
+        g = gtiff.decode_geotiff(data)
+        assert len(g["bands"]) == 3
+        for a, b in zip(g["bands"], bands):
+            np.testing.assert_array_equal(a, b)
+        assert g["crs"] == "EPSG:4326"
+
+    def test_geographic_vs_projected_keys(self):
+        a = _rand("uint8", (5, 5))
+        for crs in ("EPSG:4326", "EPSG:32611", "EPSG:3857"):
+            g = gtiff.decode_geotiff(gtiff.encode_geotiff(a, crs))
+            assert g["crs"] == crs
+
+
+class TestLZW:
+    def test_stream_roundtrip_wide_codes(self):
+        # enough entropy to push the code width through 10/11/12 bits
+        rng = np.random.default_rng(3)
+        data = rng.integers(0, 256, 300_000, dtype=np.uint8).tobytes()
+        enc = gtiff._lzw_encode(data)
+        assert gtiff._lzw_decode(enc, len(data)) == data
+
+    def test_stream_roundtrip_runs(self):
+        data = (b"A" * 10000 + b"B" * 3 + b"A" * 5000) * 3
+        enc = gtiff._lzw_encode(data)
+        assert len(enc) < len(data) // 10
+        assert gtiff._lzw_decode(enc, len(data)) == data
+
+
+@pytest.mark.skipif(not os.path.isdir(REF), reason="reference data absent")
+class TestReferenceParity:
+    def test_byte_tif(self):
+        """The canonical autotest raster: 20x20 uint8, EPSG:26711,
+        gt (440720,60,0,3751320,0,-60), band checksum 4672."""
+        g = gtiff.decode_geotiff(open(f"{REF}/byte.tif", "rb").read())
+        arr = g["bands"][0]
+        assert arr.shape == (20, 20) and arr.dtype == np.uint8
+        assert checksum_array(arr) == 4672
+        assert g["crs"] == "EPSG:26711"
+        np.testing.assert_allclose(
+            g["geotransform"], (440720.0, 60.0, 0.0, 3751320.0, 0.0, -60.0))
+
+    def test_dtype_variants_checksum_4672(self):
+        """autotest tiff_read.py init_list: these all pin band-1
+        checksum 4672 (same data as byte.tif in wider types)."""
+        for name in ("int16.tif", "uint16.tif", "int32.tif",
+                     "uint32.tif", "float32.tif", "float64.tif"):
+            g = gtiff.decode_geotiff(open(f"{REF}/{name}", "rb").read())
+            assert checksum_array(g["bands"][0]) == 4672, name
+
+    def test_rgbsmall(self):
+        """3-band RGB: every band reads; re-encode through this
+        writer round-trips bit-exactly."""
+        g = gtiff.decode_geotiff(open(f"{REF}/rgbsmall.tif", "rb").read())
+        assert len(g["bands"]) == 3
+        assert g["bands"][0].shape == (50, 50)
+        again = gtiff.decode_geotiff(
+            gtiff.encode_geotiff(g["bands"], g["crs"], g["geotransform"]))
+        for a, b in zip(again["bands"], g["bands"]):
+            np.testing.assert_array_equal(a, b)
+
+    def test_tiled_and_strip_layouts(self):
+        """Partial final strip/tile handling (autotest #1179 files):
+        band-2 checksum 15234 across chunky/planar × strip/tile, and
+        all four layouts decode to identical pixels."""
+        decoded = {}
+        for name in ("contig_tiled.tif", "separate_tiled.tif",
+                     "contig_strip.tif", "seperate_strip.tif"):
+            g = gtiff.decode_geotiff(open(f"{REF}/{name}", "rb").read())
+            assert checksum_array(g["bands"][1]) == 15234, name
+            decoded[name] = g["bands"]
+        base = decoded["contig_tiled.tif"]
+        for name, bands in decoded.items():
+            for a, b in zip(bands, base):
+                np.testing.assert_array_equal(a, b, err_msg=name)
+
+
+class TestDatasetIO:
+    def test_read_geotiff_dataset(self, ray_session, tmp_path):
+        arr = _rand("int16", (64, 80))
+        p = str(tmp_path / "t.tif")
+        gtiff.write_geotiff(p, arr, "EPSG:32633",
+                            (500000.0, 10.0, 0.0, 4649776.0, 0.0, -10.0))
+        ds = gtiff.read_geotiff(p, tile_size=32)
+        rows = ds.take_all()
+        assert sum(r["width"] * r["height"] for r in rows) == 64 * 80
+        assert all(r["crs"] == "EPSG:32633" for r in rows)
+        from gdal_ray.raster import model
+        import pyarrow as pa
+
+        back = model.to_array(pa.Table.from_pylist(
+            rows, schema=model.tile_schema()))
+        np.testing.assert_array_equal(back, arr)
