@@ -111,6 +111,10 @@ def build_pipeline(spec: str):
         from gdal_ray import formats
 
         source = lambda: formats.read_csv_geom(src_path)  # noqa: E731
+    elif low.endswith(".shp"):
+        from gdal_ray import shapefile
+
+        source = lambda: shapefile.read_shapefile(src_path)  # noqa: E731
     else:
         source = lambda: rd.read_parquet(  # noqa: E731
             src_path, columns=col_list
