@@ -115,6 +115,11 @@ def build_pipeline(spec: str):
         from gdal_ray import shapefile
 
         source = lambda: shapefile.read_shapefile(src_path)  # noqa: E731
+    elif low.endswith(".gpkg"):
+        from gdal_ray import gpkg
+
+        source = lambda: gpkg.read_gpkg(  # noqa: E731
+            src_path, layer=src_args.get("layer"))
     else:
         source = lambda: rd.read_parquet(  # noqa: E731
             src_path, columns=col_list
@@ -234,6 +239,10 @@ def run_pipeline(spec: str):
             from gdal_ray import formats
 
             formats.write_csv_geom(ds, arg)
+        elif low.endswith(".gpkg"):
+            from gdal_ray import gpkg
+
+            gpkg.write_gpkg(ds, arg)
         else:
             ds.write_parquet(arg)
         return arg, kind
