@@ -45,8 +45,8 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
-    "BETWEEN", "LIKE", "IS", "NULL", "CAST", "JOIN", "ON", "INNER",
-    "LEFT", "HAVING",
+    "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "CAST", "JOIN", "ON",
+    "INNER", "LEFT", "HAVING",
 }
 
 
@@ -127,6 +127,7 @@ class LikeExpr:
     operand: object
     pattern: str
     negated: bool = False
+    nocase: bool = False
 
 
 @dataclass
@@ -135,7 +136,8 @@ class IsNullExpr:
     negated: bool = False
 
 
-_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG"}
+_AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "STDDEV_POP",
+              "STDDEV_SAMP"}
 _SCALAR_FUNCS = {"UPPER", "LOWER", "SUBSTR", "CONCAT", "LENGTH", "ABS", "ROUND"}
 
 
@@ -195,7 +197,8 @@ class _Parser:
         negated = False
         if t == ("kw", "NOT"):
             nxt = self.toks[self.i + 1]
-            if nxt in (("kw", "IN"), ("kw", "BETWEEN"), ("kw", "LIKE")):
+            if nxt in (("kw", "IN"), ("kw", "BETWEEN"), ("kw", "LIKE"),
+                       ("kw", "ILIKE")):
                 self.next()
                 negated = True
                 t = self.peek()
@@ -214,6 +217,9 @@ class _Parser:
         if self.accept("kw", "LIKE"):
             pat = self._literal()
             return LikeExpr(left, pat.value, negated)
+        if self.accept("kw", "ILIKE"):
+            pat = self._literal()
+            return LikeExpr(left, pat.value, negated, nocase=True)
         if self.accept("kw", "IS"):
             neg = self.accept("kw", "NOT")
             self.expect("kw", "NULL")
@@ -443,7 +449,7 @@ def eval_expr(node, batch: pa.Table):
         return pc.invert(res) if node.negated else res
     if isinstance(node, LikeExpr):
         v = eval_expr(node.operand, batch)
-        res = pc.match_like(v, node.pattern)
+        res = pc.match_like(v, node.pattern, ignore_case=node.nocase)
         return pc.invert(res) if node.negated else res
     if isinstance(node, IsNullExpr):
         v = eval_expr(node.operand, batch)
@@ -475,6 +481,27 @@ def eval_expr(node, batch: pa.Table):
         if fn == "ROUND":
             nd = int(node.args[1].value) if len(node.args) > 1 else 0
             return pc.round(args[0], nd)
+        if fn == "HSTORE_GET_VALUE":
+            # reference swq HSTORE_GET_VALUE: 'k=>v, ...' lookup,
+            # NULL when the key is absent (ogr/swq_op_general.cpp)
+            key = node.args[1].value if hasattr(node.args[1], "value") \
+                else None
+            vals = args[0].to_pylist() if hasattr(args[0], "to_pylist") \
+                else [args[0]]
+            out = []
+            for s in vals:
+                if s is None or key is None:
+                    out.append(None)
+                    continue
+                found = None
+                for part in str(s).split(","):
+                    if "=>" in part:
+                        k, _, v2 = part.partition("=>")
+                        if k.strip().strip('"') == key:
+                            found = v2.strip().strip('"')
+                            break
+                out.append(found)
+            return pa.array(out, pa.string())
         raise ValueError(f"unknown function {fn}")
     raise ValueError(f"cannot evaluate {node}")
 
@@ -514,7 +541,7 @@ def execute(sql: str, tables: dict):
     ray.data.Dataset. Returns a Dataset. Single-equality INNER/LEFT
     JOINs are compiled onto Dataset.join (hash join); non-key column
     names must be distinct across the joined tables."""
-    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+    from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
     sel = parse_select(sql)
     if sel.table not in tables:
@@ -578,8 +605,13 @@ def execute(sql: str, tables: dict):
             else:
                 tmp = f"__agg_in_{k}"
                 prep_exprs.append((tmp, e.args[0]))
-                cls = {"SUM": Sum, "MIN": Min, "MAX": Max, "AVG": Mean}[e.name]
-                aggs.append(cls(tmp, alias_name=name))
+                if e.name in ("STDDEV_POP", "STDDEV_SAMP"):
+                    aggs.append(Std(tmp, ddof=0 if e.name.endswith("POP")
+                                    else 1, alias_name=name))
+                else:
+                    cls = {"SUM": Sum, "MIN": Min, "MAX": Max,
+                           "AVG": Mean}[e.name]
+                    aggs.append(cls(tmp, alias_name=name))
             proj.append(("agg", name, name))
             out_names.append(name)
 

@@ -71,6 +71,12 @@ QUERIES = [
     # dropped in the aggregate path)
     "SELECT DISTINCT COUNT(*) AS n FROM t GROUP BY grp",
     "SELECT DISTINCT grp, COUNT(*) AS n FROM t WHERE id < 1000 GROUP BY grp",
+    # round-3 operator-registry completion (swq_op_registrar.cpp)
+    "SELECT id FROM t WHERE name ILIKE 'ITEM-00%'",
+    "SELECT id FROM t WHERE name NOT ILIKE 'ITEM-01%' AND id < 100",
+    "SELECT grp, STDDEV_POP(val) AS sp, STDDEV_SAMP(val) AS ss "
+    "FROM t GROUP BY grp",
+    "SELECT id % 7 AS m, val FROM t WHERE id < 30",
 ]
 
 
@@ -131,3 +137,18 @@ def test_having(table, ray_session):
     want = want.sort_values("grp").reset_index(drop=True)
     assert got["grp"].tolist() == want["grp"].tolist()
     assert np.allclose(got["s"], want["s"])
+
+
+def test_hstore_get_value(ray_session):
+    """swq HSTORE_GET_VALUE semantics: 'k=>v' lookup, NULL on miss."""
+    import ray.data as rd
+
+    t = pa.table({
+        "id": pa.array([1, 2, 3, 4], pa.int64()),
+        "tags": pa.array(['a=>1, b=>2', 'b=>only', None, '"a" => "q"']),
+    })
+    out = ogrsql.execute(
+        "SELECT id, HSTORE_GET_VALUE(tags, 'a') AS a FROM t",
+        {"t": rd.from_arrow(t)},
+    ).to_pandas().sort_values("id")
+    assert out["a"].tolist() == ["1", None, None, "q"]
