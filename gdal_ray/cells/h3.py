@@ -719,10 +719,16 @@ def latlng_to_cell(
     lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
     n = len(lat)
     out = np.empty(n, dtype=np.uint64)
+    bad = ~(np.isfinite(lat) & np.isfinite(lng))
+    if bad.any():  # non-finite coords -> 0 (no-cell sentinel)
+        lat = np.where(bad, 0.0, lat)
+        lng = np.where(bad, 0.0, lng)
     for s in range(0, max(n, 1), _CHUNK):
         e = min(s + _CHUNK, n)
         face, r0, theta0 = _front_end(lat[s:e], lng[s:e])
         out[s:e] = _finish(face, r0, theta0, res)
+    if bad.any():
+        out[bad] = 0
     return out[0] if scalar else out
 
 
@@ -733,11 +739,18 @@ def latlng_to_cells_multi(lat_deg, lng_deg, resolutions=(7, 8, 9)):
     lng = np.atleast_1d(np.asarray(lng_deg, dtype=np.float64))
     n = len(lat)
     outs = {res: np.empty(n, dtype=np.uint64) for res in resolutions}
+    bad = ~(np.isfinite(lat) & np.isfinite(lng))
+    if bad.any():  # non-finite coords -> 0 (no-cell sentinel)
+        lat = np.where(bad, 0.0, lat)
+        lng = np.where(bad, 0.0, lng)
     for s in range(0, max(n, 1), _CHUNK):
         e = min(s + _CHUNK, n)
         face, r0, theta0 = _front_end(lat[s:e], lng[s:e])
         for res in resolutions:
             outs[res][s:e] = _finish(face, r0, theta0, res)
+    if bad.any():
+        for res in resolutions:
+            outs[res][bad] = 0
     return outs
 
 

@@ -157,11 +157,119 @@ def flagship(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
     return geotag_pages(pages_from_documents(sf_dir), zooms)
 
 
+def merge_admin_partials(batch: pa.Table) -> pa.Table:
+    """Combine per-admin partial counts (associative, Arrow-native)."""
+    g = batch.group_by(["admin_id"]).aggregate([("partial_count", "sum")])
+    return g.rename_columns(["admin_id", "partial_count"])
+
+
+def admin_rollup(partials: rd.Dataset) -> pa.Table:
+    """Fold the per-task admin partials into the final ``(admin_id,
+    n_pages)`` rollup.
+
+    The input is ONE row per admin per scan task (the task-level
+    combine already ran map-side), so the stream reaching the driver
+    is O(admins x tasks) — kilobytes per task. It is folded
+    incrementally with Arrow's C++ hash aggregate: memory stays
+    O(admins), nothing is materialized.
+
+    Why not ``groupby().aggregate()`` / ``repartition()`` here: any
+    all-to-all operator makes Ray Data's resource manager reserve
+    executor slots for the shuffle, which starves the scan operator at
+    small cluster sizes — measured on this pipeline at 8 CPUs:
+    repartition-rollup 31.1 s, sort-groupby 8.6 s, streamed fold 5.4 s
+    for identical output. The fold is the same final-combine a
+    ``ds.sum()`` performs; wide rollups (per-tile, per-cell — millions
+    of groups) still belong in ``groupby`` (see tile_counts).
+    """
+    buf: list[pa.Table] = []
+    acc: pa.Table | None = None
+    for b in partials.iter_batches(batch_format="pyarrow", batch_size=None):
+        buf.append(b)
+        if len(buf) >= 64:  # amortize the fold: one merge per 64 tasks
+            merged = pa.concat_tables(([acc] if acc is not None else []) + buf)
+            acc = merge_admin_partials(merged)
+            buf.clear()
+    if acc is None and not buf:
+        return pa.table(
+            {"admin_id": pa.array([], pa.int64()), "n_pages": pa.array([], pa.int64())}
+        )
+    if buf:
+        merged = pa.concat_tables(([acc] if acc is not None else []) + buf)
+        acc = merge_admin_partials(merged)
+    return acc.rename_columns(["admin_id", "n_pages"])
+
+
 # ---------------------------------------------------------------------------
 # fused production stage (the ogr2ogr pattern: one task runs the whole
 # per-record option chain, apps/ogr2ogr_lib.cpp:6529 LayerTranslator)
 
 _WORKER_STATE: dict = {}
+
+# dictionary-encode threshold: take the unique-coordinate fast path only
+# when distinct (lon, lat) pairs are at most 1/4 of the rows — geoparsed
+# corpora (coordinates minted from a finite gazetteer) sit far below
+# this; continuous-coordinate corpora skip straight to the direct path.
+_FACTORIZE_MAX_RATIO = 4
+
+
+def _factorize_coords(lon: np.ndarray, lat: np.ndarray):
+    """Group rows by exact (lon, lat) value.
+
+    Returns ``(ulon, ulat, codes, counts)`` — the unique coordinates,
+    the per-row group id, and per-group row counts — or ``None`` when
+    the cardinality is too high for dictionary encoding to pay off
+    (or a pathological half-NaN coordinate pair is present).
+
+    Rationale: every geometric stage downstream (tile encode, H3/S2
+    encode, kNN features, PIP join) is a pure function of (lon, lat).
+    Gazetteer-geoparsed text has coordinate cardinality bounded by the
+    gazetteer, so running those stages once per *distinct* coordinate
+    and expanding by gather does the same work per unique point and
+    O(1) per duplicate — the Arrow-dictionary-encoding idea applied to
+    a compute kernel. Value equality (not bit equality) is safe: all
+    downstream kernels are IEEE-insensitive to -0.0 vs +0.0, and NaN
+    rows are collapsed into one group that every stage treats as a
+    non-match (same as the direct path).
+    """
+    import pandas as pd
+
+    n = len(lon)
+    if n < 1024:
+        return None
+    lon_nan = np.isnan(lon)
+    lat_nan = np.isnan(lat)
+    if (lon_nan != lat_nan).any():
+        return None  # half-NaN pairs: keep exact direct-path semantics
+    codes, uniq = pd.factorize(lon + 1j * lat)  # NaN pairs -> code -1
+    nu = len(uniq)
+    has_nan = bool(lon_nan.any())
+    if (nu + has_nan) * _FACTORIZE_MAX_RATIO > n:
+        return None
+    if has_nan:
+        codes = np.where(codes < 0, nu, codes).astype(np.int64)
+        uniq = np.append(uniq, complex(float("nan"), float("nan")))
+        nu += 1
+    else:
+        codes = codes.astype(np.int64)
+    return (
+        np.ascontiguousarray(uniq.real),
+        np.ascontiguousarray(uniq.imag),
+        codes,
+        np.bincount(codes, minlength=nu),
+    )
+
+
+def _encode_unique(state, ulon: np.ndarray, ulat: np.ndarray) -> pa.Table:
+    """Run the per-point encoder chain on the unique coordinate set."""
+    ub = pa.table(
+        {"lon": pa.array(ulon, pa.float64()), "lat": pa.array(ulat, pa.float64())}
+    )
+    ub = encode_tiles(ub)
+    ub = encode_cells(ub)
+    if state["knn"] is not None:
+        ub = state["knn"](ub)
+    return ub
 
 
 def fused_geotag_pip(
@@ -200,16 +308,62 @@ def fused_geotag_pip(
         # through 4 more kernels and the join's take() (wide-row rule,
         # SURVEY.md §7.4)
         b = b.select(["lon", "lat"])
-    b = encode_tiles(b)
-    b = encode_cells(b)
-    if state["knn"] is not None:
-        b = state["knn"](b)
-    joined = state["pip"](b)
-    if emit == "rows":
-        return joined
-    g = (
-        joined.select(["admin_id"])
-        .group_by(["admin_id"])
-        .aggregate([([], "count_all")])
-    )
-    return g.rename_columns(["admin_id", "partial_count"])
+    lon = b["lon"].to_numpy(zero_copy_only=False)
+    lat = b["lat"].to_numpy(zero_copy_only=False)
+    fac = _factorize_coords(lon, lat)
+    if fac is None:
+        # direct path: continuous-coordinate corpora
+        b = encode_tiles(b)
+        b = encode_cells(b)
+        if state["knn"] is not None:
+            b = state["knn"](b)
+        joined = state["pip"](b)
+        if emit == "rows":
+            return joined
+        g = (
+            joined.select(["admin_id"])
+            .group_by(["admin_id"])
+            .aggregate([([], "count_all")])
+        )
+        return g.rename_columns(["admin_id", "partial_count"])
+
+    # dictionary fast path: encode once per distinct coordinate
+    ulon, ulat, codes, counts = fac
+    pip = state["pip"]
+    ub = _encode_unique(state, ulon, ulat)
+    upts, upolys = pip.index.query_points(ulon, ulat)
+
+    if emit != "rows":
+        # weighted partial rollup: each (unique pt, polygon) match
+        # contributes that coordinate's duplicate count
+        npoly = len(pip.attrs["admin_id"])
+        acc = np.zeros(npoly, dtype=np.int64)
+        np.add.at(acc, upolys, counts[upts])
+        nz = np.flatnonzero(acc)
+        return pa.table(
+            {
+                "admin_id": pip.attrs["admin_id"].take(pa.array(nz)),
+                "partial_count": pa.array(acc[nz], pa.int64()),
+            }
+        )
+
+    # rows mode: expand encoded columns by gather, PIP matches by CSR
+    inv_arr = pa.array(codes)
+    for name in ub.column_names:
+        if name not in ("lon", "lat"):
+            b = b.append_column(name, ub[name].take(inv_arr))
+    # CSR over unique points: matches sorted by unique-point id
+    order = np.argsort(upts, kind="stable")
+    upts_s, upolys_s = upts[order], upolys[order]
+    match_cnt = np.bincount(upts_s, minlength=len(ulon))
+    offs = np.concatenate([[0], np.cumsum(match_cnt)])
+    m_row = match_cnt[codes]
+    total = int(m_row.sum())
+    row_idx = np.repeat(np.arange(len(codes), dtype=np.int64), m_row)
+    first_out = np.cumsum(m_row) - m_row
+    within = np.arange(total, dtype=np.int64) - np.repeat(first_out, m_row)
+    poly_out = upolys_s[np.repeat(offs[codes], m_row) + within]
+    out = b.take(pa.array(row_idx))
+    for c in pip.id_cols:
+        out = out.append_column(c, pip.attrs[c].take(pa.array(poly_out)))
+    return out

@@ -1,0 +1,77 @@
+"""File-sharded parquet scan: the many-small-files fast path.
+
+``ray.data.read_parquet`` carries a fixed per-fragment cost (dataset
+discovery, fragment metadata, block splitting) of O(100 ms) per task —
+measured ~150 ms/file on this host vs ~5 ms for the raw
+``pyarrow.parquet.read_table`` decode of the same column. For corpora
+laid out as many bounded-size shards (exactly what the engine's own
+partitioned writer produces, state/lineage.py), a scan that maps a
+*file list* through ``map_batches`` and decodes with pyarrow directly
+is 2-3x faster end-to-end while remaining a fully streaming Ray Data
+pipeline (backpressure, spilling, per-task memory = one decoded file).
+
+Tradeoffs vs ``read_parquet`` (documented, by design):
+- granularity is whole files (no row-group splitting) — appropriate
+  when the writer bounds file size, as ours does;
+- no predicate pushdown (pass ``columns=`` for projection pruning; add
+  a filter kernel as the first fused stage when needed).
+
+Reference role: the scan path of ogr2ogr's Arrow-stream read
+(perftests/ogr2ogr_arrow.py, ogr/ogrsf_frmts/generic/ogrlayerarrow.cpp
+MAX_FEATURES_IN_BATCH) re-expressed as a Ray Data source.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+__all__ = ["scan_parquet_files"]
+
+
+def scan_parquet_files(
+    paths: list[str],
+    *,
+    columns: list[str] | None = None,
+    num_blocks: int | None = None,
+    fuse=None,
+    fuse_kwargs: dict | None = None,
+    combine=None,
+) -> rd.Dataset:
+    """Scan parquet ``paths`` (possibly with repeats) as a Dataset.
+
+    One task decodes ``len(paths)/num_blocks`` files sequentially with
+    ``pyarrow.parquet.read_table(use_threads=False)`` (Ray already
+    runs one task per core; intra-file threading would oversubscribe).
+
+    ``fuse``: optional per-file kernel ``fn(pa.Table, **fuse_kwargs) ->
+    pa.Table`` applied INSIDE the scan task — the decoded table never
+    hits the object store, only the kernel's (typically tiny) output
+    does. This is the ogr2ogr fused-translation pattern applied at the
+    scan: read -> transform -> emit partials in one task.
+
+    ``combine``: optional task-level combiner ``fn(pa.Table) ->
+    pa.Table`` applied to the concatenation of the per-file fuse
+    outputs — e.g. merge per-file partial aggregates so each task
+    emits one partial row per key, independent of files-per-task.
+    """
+    if not paths:
+        raise ValueError("scan_parquet_files: empty path list")
+    if num_blocks is None:
+        num_blocks = min(len(paths), 256)
+    fuse_kwargs = fuse_kwargs or {}
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        outs = []
+        for p in batch["path"].to_pylist():
+            t = pq.read_table(p, columns=columns, use_threads=False)
+            outs.append(fuse(t, **fuse_kwargs) if fuse is not None else t)
+        out = pa.concat_tables(outs, promote_options="default")
+        return combine(out) if combine is not None else out
+
+    items = rd.from_items(
+        [{"path": p} for p in paths],
+        override_num_blocks=min(num_blocks, len(paths)),
+    )
+    return items.map_batches(_scan, batch_format="pyarrow", batch_size=None)

@@ -142,3 +142,54 @@ class TestDatasetIO:
 
         txt = "".join(open(f).read() for f in glob.glob(out + "/*"))
         assert "POINT (1.5 2.5)" in txt
+
+
+class TestScanParquetFiles:
+    """sources.scan_parquet_files == read_parquet on the same shards."""
+
+    def test_matches_read_parquet(self, ray_session, tmp_path):
+        import os
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from gdal_ray.sources import scan_parquet_files
+
+        for s in range(3):
+            t = pa.table(
+                {"a": list(range(s * 10, s * 10 + 10)), "b": [f"x{i}" for i in range(10)]}
+            )
+            pq.write_table(t, tmp_path / f"p{s}.parquet")
+        paths = sorted(str(tmp_path / f) for f in os.listdir(tmp_path))
+        got = (
+            scan_parquet_files(paths, columns=["a"], num_blocks=2)
+            .to_pandas()
+            .sort_values("a")
+            .reset_index(drop=True)
+        )
+        want = (
+            rd.read_parquet(paths, columns=["a"])
+            .to_pandas()
+            .sort_values("a")
+            .reset_index(drop=True)
+        )
+        assert got.equals(want)
+
+    def test_fuse_runs_inside_scan(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gdal_ray.sources import scan_parquet_files
+
+        pq.write_table(pa.table({"a": [1, 2, 3]}), tmp_path / "one.parquet")
+
+        def fuse(t, mult=1):
+            import pyarrow.compute as pc
+
+            return t.set_column(0, "a", pc.multiply(t["a"], mult))
+
+        df = scan_parquet_files(
+            [str(tmp_path / "one.parquet")], fuse=fuse, fuse_kwargs={"mult": 10}
+        ).to_pandas()
+        assert sorted(df["a"]) == [10, 20, 30]

@@ -112,3 +112,115 @@ def test_flagship_smoke(ray_session, sf_small):
     counts = flagship.tile_counts(flagship.flagship(sf_small)).to_pandas()
     assert counts["n_pages"].sum() == 500  # sf0.001 documents rows
     assert (counts["n_pages"] >= 1).all()
+
+
+class TestFusedDictionaryPath:
+    """The fused kernel's unique-coordinate fast path must be
+    value-identical to the direct path (rows and partials)."""
+
+    def _mk_batch(self, n=9000, with_nan=False):
+        import pyarrow as pa
+
+        from gdal_ray import fixtures
+
+        t = fixtures.gen_pages(n).select(["url", "warc_ts", "text", "lang"])
+        if with_nan:
+            # poison some rows so extract_coords yields NaN coords
+            txt = t["text"].to_pylist()
+            for i in range(0, n, 97):
+                txt[i] = "no coordinates here"
+            t = t.set_column(
+                t.schema.get_field_index("text"), "text", pa.array(txt)
+            )
+        return t
+
+    def _run(self, batch, emit, monkeypatch_ratio=None):
+        import ray
+
+        from gdal_ray import fixtures
+        from gdal_ray.pipelines import flagship
+
+        flagship._WORKER_STATE.pop("flagship", None)
+        bnd = ray.put(fixtures.gen_boundaries())
+        knn = ray.put(fixtures.gen_ref_points(500))
+        old = flagship._FACTORIZE_MAX_RATIO
+        if monkeypatch_ratio is not None:
+            flagship._FACTORIZE_MAX_RATIO = monkeypatch_ratio
+        try:
+            return flagship.fused_geotag_pip(
+                batch, bnd_ref=bnd, knn_ref=knn, emit=emit
+            )
+        finally:
+            flagship._FACTORIZE_MAX_RATIO = old
+            flagship._WORKER_STATE.pop("flagship", None)
+
+    def test_partials_match_direct(self, ray_session):
+        for with_nan in (False, True):
+            batch = self._mk_batch(with_nan=with_nan)
+            fast = self._run(batch, "admin_partials").to_pandas()
+            # ratio 10**9 forces the cardinality guard -> direct path
+            slow = self._run(batch, "admin_partials", 10**9).to_pandas()
+            f = fast.sort_values("admin_id").reset_index(drop=True)
+            s = (
+                slow.groupby("admin_id", as_index=False)["partial_count"]
+                .sum()
+                .sort_values("admin_id")
+                .reset_index(drop=True)
+            )
+            assert f.equals(s)
+
+    def test_rows_match_direct(self, ray_session):
+        for with_nan in (False, True):
+            batch = self._mk_batch(n=8192, with_nan=with_nan)
+            fast = self._run(batch, "rows").to_pandas()
+            slow = self._run(batch, "rows", 10**9).to_pandas()
+            assert sorted(fast.columns) == sorted(slow.columns)
+            key = ["url", "admin_id"]
+            f = fast.sort_values(key).reset_index(drop=True)
+            s = slow[fast.columns].sort_values(key).reset_index(drop=True)
+            assert len(f) == len(s)
+            assert f.equals(s)
+
+    def test_small_batch_uses_direct_path(self, ray_session):
+        from gdal_ray.pipelines import flagship
+        import numpy as np
+
+        # < 1024 rows: factorize declines
+        assert flagship._factorize_coords(np.zeros(10), np.zeros(10)) is None
+
+
+def test_admin_rollup_matches_groupby(ray_session):
+    """The bench rollup (scan + task combine + driver fold) equals a
+    plain groupby-sum over the same partials."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from gdal_ray import fixtures
+    from gdal_ray.pipelines import flagship
+
+    bnd = ray.put(fixtures.gen_boundaries())
+    t = fixtures.gen_pages(5000).select(["text"])
+
+    def part(b):
+        return flagship.fused_geotag_pip(b, bnd_ref=bnd, knn_ref=None)
+
+    parts = rd.from_items(
+        [{"i": i} for i in range(6)], override_num_blocks=6
+    ).map_batches(lambda b: part(t), batch_format="pyarrow", batch_size=None)
+    got = (
+        flagship.admin_rollup(parts)
+        .to_pandas()
+        .sort_values("admin_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        parts.groupby("admin_id", num_partitions=2)
+        .aggregate(Sum("partial_count", alias_name="n_pages"))
+        .to_pandas()
+        .sort_values("admin_id")
+        .reset_index(drop=True)
+    )
+    assert got.equals(want)
+    flagship._WORKER_STATE.pop("flagship", None)
