@@ -170,15 +170,35 @@ def _features_to_table(feats: list[dict], geom_col: str,
     return pa.table(out)
 
 
+def _binary_ds(paths):
+    """paths → Dataset with a ``bytes`` column; VSI paths (/vsizip/,
+    /vsimem/, /vsigzip/, …) are resolved through gdal_ray.vsi inside
+    the read task (port/cpl_vsil.cpp dispatcher role)."""
+    import ray.data as rd
+
+    from gdal_ray.vsi import is_vsi, vsi_read_bytes
+
+    if isinstance(paths, str):
+        paths = [paths]
+    if not any(is_vsi(p) for p in paths):
+        return rd.read_binary_files(paths)
+    ds = rd.from_items([{"path": p} for p in paths])
+
+    def load(batch: pa.Table) -> pa.Table:
+        data = [vsi_read_bytes(p) for p in batch["path"].to_pylist()]
+        return pa.table({"bytes": pa.array(data, pa.binary())})
+
+    return ds.map_batches(load, batch_format="pyarrow")
+
+
 def read_geojson(paths, geom_col: str = "geometry",
                  columns: list[str] | None = None):
     """FeatureCollection file(s) → Dataset with a WKB geometry column.
 
     One file = one task (GeoJSON is unsplittable); shard inputs to
-    parallelize, exactly like the reference's per-file reads."""
-    import ray.data as rd
-
-    ds = rd.read_binary_files(paths)
+    parallelize, exactly like the reference's per-file reads. Paths
+    may be VSI (e.g. ``/vsizip/archive.zip/data.geojson``)."""
+    ds = _binary_ds(paths)
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []
@@ -200,14 +220,26 @@ def read_geojson(paths, geom_col: str = "geometry",
 def read_geojson_seq(paths, geom_col: str = "geometry",
                      columns: list[str] | None = None):
     """Newline-delimited GeoJSON features (GeoJSONSeq / RFC 8142,
-    optional ``\\x1e`` record separators) → Dataset."""
+    optional ``\\x1e`` record separators) → Dataset. VSI paths are
+    read whole-file (a gzip/zip member isn't line-splittable anyway)."""
     import ray.data as rd
 
-    ds = rd.read_text(paths)
+    from gdal_ray.vsi import is_vsi
+
+    if isinstance(paths, str):
+        paths = [paths]
+    use_vsi = any(is_vsi(p) for p in paths)
+    ds = _binary_ds(paths) if use_vsi else rd.read_text(paths)
 
     def parse(batch: pa.Table) -> pa.Table:
+        if use_vsi:
+            lines = []
+            for data in batch["bytes"].to_pylist():
+                lines.extend(bytes(data).decode("utf-8").splitlines())
+        else:
+            lines = batch["text"].to_pylist()
         feats = []
-        for line in batch["text"].to_pylist():
+        for line in lines:
             line = line.strip().lstrip("\x1e")
             if line:
                 feats.append(json.loads(line))

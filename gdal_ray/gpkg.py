@@ -63,7 +63,30 @@ def _crs_of(con: sqlite3.Connection, srs_id: int) -> str:
     return ""
 
 
+def _local_path(path: str) -> str:
+    """Resolve a VSI path to a real file sqlite3 can open (archive
+    members are extracted once to a content-keyed temp file)."""
+    from gdal_ray.vsi import is_vsi, vsi_read_bytes
+
+    if not is_vsi(path):
+        return path
+    import hashlib
+    import os
+    import tempfile
+
+    data = vsi_read_bytes(path)
+    key = hashlib.sha256(data).hexdigest()[:16]
+    out = os.path.join(tempfile.gettempdir(), f"gdal_ray_vsi_{key}.gpkg")
+    if not os.path.exists(out):
+        tmp = out + f".{os.getpid()}.tmp"
+        with open(tmp, "wb") as f:
+            f.write(data)
+        os.replace(tmp, out)
+    return out
+
+
 def feature_layers(path: str) -> list[str]:
+    path = _local_path(path)
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         return [r[0] for r in con.execute(
@@ -77,6 +100,7 @@ def read_gpkg_local(path: str, layer: str | None = None,
                     geom_col_out: str = "geometry",
                     rowid_range: tuple[int, int] | None = None) -> pa.Table:
     """One layer (optionally one rowid slice) → Arrow table."""
+    path = _local_path(path)
     con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
     try:
         if layer is None:
@@ -122,10 +146,14 @@ def read_gpkg_local(path: str, layer: str | None = None,
 def read_gpkg(path: str, layer: str | None = None, shards: int = 8,
               geom_col: str = "geometry"):
     """GeoPackage layer → Dataset, sharded by rowid range (sqlite
-    concurrent readers; each task scans one slice)."""
+    concurrent readers; each task scans one slice). VSI paths work
+    (the archive member is staged to a shared temp file once)."""
     import ray.data as rd
 
-    con = sqlite3.connect(f"file:{path}?mode=ro", uri=True)
+    # resolve VSI only for the driver-side metadata probe; tasks get
+    # the ORIGINAL path and stage per node (multi-node safe)
+    meta_path = _local_path(path)
+    con = sqlite3.connect(f"file:{meta_path}?mode=ro", uri=True)
     try:
         if layer is None:
             layer = feature_layers(path)[0]

@@ -496,13 +496,14 @@ def encode_geotiff(
 
 def read_geotiff(paths, tile_size: int = 256):
     """GeoTIFF file(s) → Dataset of tile-table rows (one file = one
-    read task; every band tiled `tile_size`²)."""
+    read task; every band tiled `tile_size`²). VSI paths supported
+    (e.g. ``/vsizip/scenes.zip/scene1.tif``)."""
     import pyarrow as pa
-    import ray.data as rd
 
+    from gdal_ray.formats import _binary_ds
     from gdal_ray.raster import model
 
-    ds = rd.read_binary_files(paths)
+    ds = _binary_ds(paths)
 
     def parse(batch: pa.Table) -> pa.Table:
         tables = []

@@ -276,16 +276,18 @@ def parse_prj(text: str) -> str:
 
 
 def read_shapefile_local(shp_path: str, geom_col: str = "geometry") -> pa.Table:
-    """One shapefile (+ sidecars if present) → Arrow table."""
-    import os
+    """One shapefile (+ sidecars if present) → Arrow table.
 
-    with open(shp_path, "rb") as f:
-        geoms = parse_shp(f.read())
+    ``shp_path`` may be a VSI path (e.g. ``/vsizip/data.zip/poly.shp``)
+    — sidecars are resolved through the same virtual filesystem."""
+    from gdal_ray.vsi import vsi_exists, vsi_read_bytes
+
+    geoms = parse_shp(vsi_read_bytes(shp_path))
     base = shp_path[:-4]
     table = None
     for ext in (".dbf", ".DBF"):
-        if os.path.exists(base + ext):
-            table = parse_dbf(open(base + ext, "rb").read())
+        if vsi_exists(base + ext):
+            table = parse_dbf(vsi_read_bytes(base + ext))
             break
     if table is None:
         table = pa.table({"fid": pa.array(range(len(geoms)), pa.int64())})
@@ -294,8 +296,9 @@ def read_shapefile_local(shp_path: str, geom_col: str = "geometry") -> pa.Table:
             f"dbf rows ({len(table)}) != shp records ({len(geoms)})")
     crs = ""
     for ext in (".prj", ".PRJ"):
-        if os.path.exists(base + ext):
-            crs = parse_prj(open(base + ext, encoding="latin-1").read())
+        if vsi_exists(base + ext):
+            crs = parse_prj(
+                vsi_read_bytes(base + ext).decode("latin-1"))
             break
     table = table.append_column(geom_col, pa.array(geoms, pa.binary()))
     if crs:
