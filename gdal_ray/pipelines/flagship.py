@@ -119,11 +119,25 @@ def encode_cells(
     )
 
 
-def geotag_pages(pages: rd.Dataset, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
-    """pages (url, warc_ts, text, lang[, html]) → + lon/lat + tiles."""
-    keep = [c for c in pages.schema().names if c != "html"]
-    if keep != pages.schema().names:
-        pages = pages.select_columns(keep)
+def geotag_pages(
+    pages: rd.Dataset,
+    zooms: tuple[int, ...] = DEFAULT_ZOOMS,
+    has_html: bool | None = None,
+) -> rd.Dataset:
+    """pages (url, warc_ts, text, lang[, html]) → + lon/lat + tiles.
+
+    ``has_html=False`` skips the html-column probe — ``.schema()`` on
+    a transformed Dataset triggers a limit-1 execution (~1 s of fixed
+    overhead per query); callers that KNOW their derivation emits no
+    html column (pages_from_documents) pass False."""
+    if has_html is None:
+        names = pages.schema().names
+        has_html = "html" in names
+        if has_html:
+            pages = pages.select_columns([c for c in names if c != "html"])
+    elif has_html:
+        names = pages.schema().names
+        pages = pages.select_columns([c for c in names if c != "html"])
     tagged = pages.map_batches(extract_coords, batch_format="pyarrow")
     return tagged.map_batches(
         lambda b: encode_tiles(b, zooms), batch_format="pyarrow"
@@ -154,7 +168,7 @@ def tile_counts(tagged: rd.Dataset, zoom: int = 9, num_partitions: int = 8) -> r
 def flagship(sf_dir: str, zooms: tuple[int, ...] = DEFAULT_ZOOMS) -> rd.Dataset:
     """documents → pages → geoparse → tile encode (the smoke slice;
     the PIP-join variant lives in gdal_ray.pipelines.pip)."""
-    return geotag_pages(pages_from_documents(sf_dir), zooms)
+    return geotag_pages(pages_from_documents(sf_dir), zooms, has_html=False)
 
 
 def merge_admin_partials(batch: pa.Table) -> pa.Table:
@@ -294,13 +308,18 @@ def fused_geotag_pip(
     from gdal_ray.stages.join import PIPJoiner
     from gdal_ray.stages.knn import GridKNNFeatures
 
-    state = _WORKER_STATE.get("flagship")
+    def _ref_key(r):
+        return r.hex() if hasattr(r, "hex") else id(r)
+
+    key = ("flagship", _ref_key(bnd_ref), _ref_key(knn_ref) if knn_ref is not None else None)
+    state = _WORKER_STATE.get(key)
     if state is None:
         state = {
             "pip": PIPJoiner(bnd_ref, id_cols=("admin_id",)),
             "knn": GridKNNFeatures(knn_ref) if knn_ref is not None else None,
         }
-        _WORKER_STATE["flagship"] = state
+        _WORKER_STATE.clear()  # one broadcast set per worker at a time
+        _WORKER_STATE[key] = state
     b = extract_coords(batch)
     if emit != "rows":
         # the rollup only needs coordinates downstream: drop the wide

@@ -18,7 +18,7 @@ from gdal_ray.stages.join import pip_join
 def pages_pip(
     sf_dir: str,
     keep_unmatched: bool = False,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
 ) -> rd.Dataset:
     """documents → pages → geoparse → PIP join vs the 100 admin boxes.
 
@@ -26,7 +26,7 @@ def pages_pip(
     attrs (Intersection semantics; ``keep_unmatched=True`` for the
     OGR-SQL-JOIN-style left join).
     """
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     boundaries = fixtures.gen_boundaries()
     return pip_join(
         pages,
@@ -37,25 +37,21 @@ def pages_pip(
     )
 
 
-def admin_page_counts(sf_dir: str, concurrency=(1, 4)) -> rd.Dataset:
-    """Pages per admin polygon — pre-aggregated inside map_batches
-    before the groupby (hot admins — the Jakarta box — produce many
-    rows; the partial aggregate is the salting-equivalent that keeps
-    the shuffle one row per (admin, batch))."""
-    joined = pages_pip(sf_dir, concurrency=concurrency)
+def admin_page_counts(sf_dir: str) -> pa.Table:
+    """Pages per admin polygon, via the fused production kernel:
+    geoparse → dictionary-encoded PIP → per-batch partial counts in
+    ONE task per block (worker-cached broadcast index, no actor-pool
+    ramp-up), then the streamed O(admins) rollup. The hot-admin skew
+    (the Jakarta box) is neutralized map-side: each batch emits one
+    row per admin regardless of row counts."""
+    import ray
 
-    def partial(batch: pa.Table) -> pa.Table:
-        g = (
-            batch.select(["admin_id"])
-            .group_by(["admin_id"])
-            .aggregate([([], "count_all")])
-        )
-        return g.rename_columns(["admin_id", "partial_count"])
-
-    from ray.data.aggregate import Sum
-
-    return (
-        joined.map_batches(partial, batch_format="pyarrow")
-        .groupby("admin_id", num_partitions=4)
-        .aggregate(Sum("partial_count", alias_name="n_pages"))
+    pages = flagship.pages_from_documents(sf_dir)
+    bnd_ref = ray.put(fixtures.gen_boundaries())
+    partials = pages.map_batches(
+        flagship.fused_geotag_pip,
+        batch_format="pyarrow",
+        batch_size=None,
+        fn_kwargs={"bnd_ref": bnd_ref, "knn_ref": None},
     )
+    return flagship.admin_rollup(partials)

@@ -40,18 +40,19 @@ def sample_pages(sf_dir: str) -> rd.Dataset:
 
     arr, gt = admin_raster()
     ref = ray.put((arr, gt))
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
+    from gdal_ray.stages.cache import worker_cached
+
     sampled = pages.map_batches(
-        sample.RasterSampler,
+        worker_cached(
+            sample.RasterSampler,
+            raster=ref,
+            method="nearest",
+            x_col="lon",
+            y_col="lat",
+            out_col="admin_id_sampled",
+        ),
         batch_format="pyarrow",
-        concurrency=(1, 4),
-        fn_constructor_kwargs={
-            "raster": ref,
-            "method": "nearest",
-            "x_col": "lon",
-            "y_col": "lat",
-            "out_col": "admin_id_sampled",
-        },
     )
 
     def finish(t: pa.Table) -> pa.Table:

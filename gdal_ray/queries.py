@@ -167,7 +167,7 @@ def q_cell_encode(sf_dir: str):
     tests/test_cells.py S2 invariants)."""
     from gdal_ray.pipelines import flagship
 
-    ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     ds = ds.map_batches(flagship.encode_cells, batch_format="pyarrow")
     return ds.select_columns(["url", "h3_res7", "h3_res8", "h3_res9", "s2_cell"])
 
@@ -179,7 +179,7 @@ def q_knn_k5(sf_dir: str):
     from gdal_ray.pipelines import flagship
     from gdal_ray.stages.knn import knn_join
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     ref = fixtures.gen_ref_points(500)
     out = knn_join(pages, ref, k=5)
     return out.select_columns(["url", "knn_rank", "point_id", "dist2"])
@@ -262,7 +262,7 @@ def q_reproject_3857(sf_dir: str):
     from gdal_ray.pipelines import flagship
     from gdal_ray.stages import vector as vs
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     pages = pages.select_columns(["url", "lon", "lat"])
     out = vs.reproject(pages, "EPSG:4326", "EPSG:3857", x_col="lon", y_col="lat")
     return out.map_batches(
@@ -293,7 +293,7 @@ def q_reproject_epsg(sf_dir: str):
     from gdal_ray.pipelines import flagship
     from gdal_ray.stages import vector as vs
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     pages = pages.select_columns(["url", "lon", "lat"])
     out = vs.reproject(pages, "EPSG:4326", "EPSG:3395", x_col="lon", y_col="lat")
 
@@ -338,7 +338,7 @@ def q_buffer_area(sf_dir: str):
     from gdal_ray.geom import buffer as gbuf
     from gdal_ray.pipelines import flagship
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     r = 0.25
     q = 8
 
@@ -701,7 +701,7 @@ def q_buffer_erode(sf_dir: str):
     from gdal_ray.geom import buffer as gbuf
     from gdal_ray.pipelines import flagship
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     r = 0.1
 
     def erode(t: pa.Table) -> pa.Table:
@@ -741,7 +741,7 @@ def q_wkt_roundtrip(sf_dir: str):
     from gdal_ray.geom import wkt as gwkt
     from gdal_ray.pipelines import flagship
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
 
     def roundtrip(t: pa.Table) -> pa.Table:
         # columnar ZM WKT write + parse (Arrow Ryu formatter /
@@ -768,7 +768,7 @@ def q_scrub_canon(sf_dir: str):
     from gdal_ray.pipelines import flagship
     from gdal_ray.stages.text import canonical_url, scrub_pii
 
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
 
     def clean(t: pa.Table) -> pa.Table:
         t = scrub_pii(t, "text")
@@ -831,7 +831,7 @@ def q_distance_line(sf_dir: str):
     from gdal_ray.pipelines import flagship
 
     line = np.array(_DIST_LINE)
-    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir))
+    pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
 
     def dist(t: pa.Table) -> pa.Table:
         lon = t["lon"].to_numpy(zero_copy_only=False)

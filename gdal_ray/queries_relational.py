@@ -533,8 +533,29 @@ def q_asof_join(sf_dir: str):
         )
 
     marks = events.map_batches(mk_marks, batch_format="pyarrow")
+    ev_schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("user_id", pa.int64()),
+            ("value", pa.float64()),
+        ]
+    )
+    mk_schema = pa.schema(
+        [
+            ("user_id", pa.int64()),
+            ("ts", pa.timestamp("us")),
+            ("mark_value", pa.float64()),
+        ]
+    )
     out = asof_join(
-        events, marks, key="user_id", ts="ts", right_cols=["mark_value"]
+        events,
+        marks,
+        key="user_id",
+        ts="ts",
+        right_cols=["mark_value"],
+        left_schema=ev_schema,
+        right_schema=mk_schema,
     )
     return out.select_columns(["event_id", "user_id", "mark_value"])
 

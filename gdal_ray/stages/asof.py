@@ -79,12 +79,18 @@ def asof_join(
     right_cols: list[str],
     suffix: str = "_r",
     num_partitions: int = 8,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
 ):
     """Backward as-of join on (key, ts).
 
     Both sides are tagged and unioned, then ONE groupby(key) shuffle
     co-locates each key's rows; the per-group merge sorts by ts and
     applies merge_asof. Right columns arrive suffixed when colliding.
+
+    ``left_schema``/``right_schema``: pass when known — ``.schema()``
+    on a transformed Dataset triggers a limit-1 probe execution
+    (~1 s fixed cost each).
     """
     lt = left.map_batches(
         lambda t: t.append_column("__side", pa.array([0] * t.num_rows, pa.int8())),
@@ -95,8 +101,10 @@ def asof_join(
         batch_format="pyarrow",
     )
     # align schemas for the union: missing columns become nulls
-    lcols = set(left.schema().names)
-    rcols = set(right.schema().names)
+    lbase0 = left_schema if left_schema is not None else left.schema().base_schema
+    rbase0 = right_schema if right_schema is not None else right.schema().base_schema
+    lcols = set(lbase0.names)
+    rcols = set(rbase0.names)
 
     def pad(missing):
         def f(t: pa.Table) -> pa.Table:
@@ -106,8 +114,8 @@ def asof_join(
 
         return f
 
-    lschema = {f.name: f.type for f in left.schema().base_schema}
-    rschema = {f.name: f.type for f in right.schema().base_schema}
+    lschema = {f.name: f.type for f in lbase0}
+    rschema = {f.name: f.type for f in rbase0}
     lt = lt.map_batches(
         pad([(c, rschema[c]) for c in sorted(rcols - lcols)]),
         batch_format="pyarrow",
@@ -120,8 +128,8 @@ def asof_join(
 
     # canonical output schema: every group block must agree (empty
     # groups otherwise degrade int columns to float64 via pandas NaN)
-    lbase = left.schema().base_schema
-    rbase = right.schema().base_schema
+    lbase = lbase0
+    rbase = rbase0
     fields = [lbase.field(c) for c in lbase.names]
     for c in right_cols:
         out_name = c + suffix if c in lcols else c

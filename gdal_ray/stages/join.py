@@ -311,22 +311,34 @@ def pip_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     keep_unmatched: bool = False,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
 ):
-    """points Dataset ⋈ polygon table (broadcast actor pool)."""
+    """points Dataset ⋈ broadcast polygon table.
+
+    Default: worker-cached tasks (index built once per warm worker).
+    Pass ``concurrency`` for a dedicated actor pool (long jobs)."""
+    from gdal_ray.stages.cache import worker_cached
+
     if isinstance(polygons, pa.Table):
         polygons = broadcast_table(polygons)
+    kwargs = {
+        "polygons": polygons,
+        "id_cols": id_cols,
+        "lon_col": lon_col,
+        "lat_col": lat_col,
+        "keep_unmatched": keep_unmatched,
+    }
+    if concurrency is not None:
+        return points.map_batches(
+            PIPJoiner,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=kwargs,
+        )
     return points.map_batches(
-        PIPJoiner,
+        worker_cached(PIPJoiner, **kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "polygons": polygons,
-            "id_cols": id_cols,
-            "lon_col": lon_col,
-            "lat_col": lat_col,
-            "keep_unmatched": keep_unmatched,
-        },
     )

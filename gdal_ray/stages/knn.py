@@ -299,24 +299,37 @@ def knn_join(
     lon_col: str = "lon",
     lat_col: str = "lat",
     include_value: bool = False,
-    concurrency: int | tuple[int, int] = (1, 4),
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int | None = None,
 ):
-    """points Dataset → k rows per point with nearest reference ids."""
+    """points Dataset → k rows per point with nearest reference ids.
+
+    Default: worker-cached tasks (index built once per warm worker,
+    no actor-pool startup). Pass ``concurrency`` to pin a dedicated
+    actor pool instead (long-running pipelines)."""
+    from gdal_ray.stages.cache import worker_cached
+
     if isinstance(ref, pa.Table):
         ref = ray.put(ref)
+    kwargs = {
+        "ref": ref,
+        "k": k,
+        "lon_col": lon_col,
+        "lat_col": lat_col,
+        "include_value": include_value,
+    }
+    if concurrency is not None:
+        return points.map_batches(
+            KNNJoiner,
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            fn_constructor_kwargs=kwargs,
+        )
     return points.map_batches(
-        KNNJoiner,
+        worker_cached(KNNJoiner, **kwargs),
         batch_format="pyarrow",
         batch_size=batch_size,
-        concurrency=concurrency,
-        fn_constructor_kwargs={
-            "ref": ref,
-            "k": k,
-            "lon_col": lon_col,
-            "lat_col": lat_col,
-            "include_value": include_value,
-        },
     )
 
 

@@ -140,7 +140,7 @@ class TestFusedDictionaryPath:
         from gdal_ray import fixtures
         from gdal_ray.pipelines import flagship
 
-        flagship._WORKER_STATE.pop("flagship", None)
+        flagship._WORKER_STATE.clear()
         bnd = ray.put(fixtures.gen_boundaries())
         knn = ray.put(fixtures.gen_ref_points(500))
         old = flagship._FACTORIZE_MAX_RATIO
@@ -152,7 +152,7 @@ class TestFusedDictionaryPath:
             )
         finally:
             flagship._FACTORIZE_MAX_RATIO = old
-            flagship._WORKER_STATE.pop("flagship", None)
+            flagship._WORKER_STATE.clear()
 
     def test_partials_match_direct(self, ray_session):
         for with_nan in (False, True):
@@ -223,4 +223,4 @@ def test_admin_rollup_matches_groupby(ray_session):
         .reset_index(drop=True)
     )
     assert got.equals(want)
-    flagship._WORKER_STATE.pop("flagship", None)
+    flagship._WORKER_STATE.clear()
