@@ -120,6 +120,15 @@ def build_pipeline(spec: str):
 
         source = lambda: gpkg.read_gpkg(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.endswith(".kml"):
+        from gdal_ray import kmlgpx
+
+        source = lambda: kmlgpx.read_kml(src_path)  # noqa: E731
+    elif low.endswith(".gpx"):
+        from gdal_ray import kmlgpx
+
+        source = lambda: kmlgpx.read_gpx(  # noqa: E731
+            src_path, layer=src_args.get("layer") or "waypoints")
     else:
         source = lambda: rd.read_parquet(  # noqa: E731
             src_path, columns=col_list
@@ -243,6 +252,10 @@ def run_pipeline(spec: str):
             from gdal_ray import gpkg
 
             gpkg.write_gpkg(ds, arg)
+        elif low.endswith(".kml"):
+            from gdal_ray import kmlgpx
+
+            kmlgpx.write_kml(ds, arg)
         else:
             ds.write_parquet(arg)
         return arg, kind
@@ -251,11 +264,89 @@ def run_pipeline(spec: str):
     return ds, kind
 
 
+def info_vector(path: str) -> str:
+    """ogrinfo -so role: driver, feature count, extent, fields."""
+    import numpy as np
+
+    from gdal_ray.geom import wkb as W
+
+    source, _, _ = build_pipeline(f"read {path}")
+    t = source().limit(100000).take_batch(100000, batch_format="pyarrow")
+    lines = [f"INFO: Open of `{path}'", f"Feature Count: {t.num_rows}"]
+    geom_col = "geometry" if "geometry" in t.column_names else None
+    if geom_col:
+        bounds = [
+            W.bounds(g) for g in t[geom_col].to_pylist() if g is not None
+        ]
+        if bounds:
+            b = np.array(bounds)
+            lines.append(
+                "Extent: (%.6f, %.6f) - (%.6f, %.6f)"
+                % (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
+            )
+    crs = (t.schema.metadata or {}).get(b"crs")
+    if crs:
+        lines.append(f"SRS: {crs.decode()}")
+    for f in t.schema:
+        if f.name != geom_col:
+            lines.append(f"{f.name}: {f.type}")
+    return "\n".join(lines)
+
+
+def info_raster(path: str) -> str:
+    """gdalinfo role for GeoTIFF: size, bands, dtype, CRS, transform."""
+    from gdal_ray.raster.gtiff import decode_geotiff
+    from gdal_ray.vsi import vsi_read_bytes
+
+    g = decode_geotiff(vsi_read_bytes(path))
+    bands = g["bands"]
+    h, w = bands[0].shape
+    gt = g["geotransform"]
+    lines = [
+        f"Driver: GTiff (gdal_ray)",
+        f"Size is {w}, {h}",
+        f"Bands: {len(bands)} ({bands[0].dtype})",
+        f"Origin = ({gt[0]}, {gt[3]})",
+        f"Pixel Size = ({gt[1]}, {gt[5]})",
+    ]
+    if g.get("crs"):
+        lines.append(f"SRS: {g['crs']}")
+    if g.get("nodata") is not None:
+        lines.append(f"NoData Value={g['nodata']}")
+    for i, b in enumerate(bands, 1):
+        lines.append(
+            f"Band {i}: Min={b.min():.3f} Max={b.max():.3f} Mean={b.mean():.3f}"
+        )
+    return "\n".join(lines)
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    if len(argv) == 3 and argv[1] == "info":
+        import ray
+
+        if argv[0] == "raster":
+            print(info_raster(argv[2]))
+            return 0
+        if argv[0] == "vector":
+            if not ray.is_initialized():
+                ray.init(
+                    address="local",
+                    include_dashboard=False,
+                    ignore_reinit_error=True,
+                    logging_level="ERROR",
+                )
+            from ray.data import DataContext
+
+            DataContext.get_current().enable_progress_bars = False
+            print(info_vector(argv[2]))
+            ray.shutdown()
+            return 0
     if len(argv) < 3 or argv[0] != "vector" or argv[1] != "pipeline":
         print(
-            "usage: python -m gdal_ray.cli vector pipeline \"read ... ! ... \"",
+            "usage: python -m gdal_ray.cli vector pipeline \"read ... ! ... \"\n"
+            "       python -m gdal_ray.cli vector info PATH\n"
+            "       python -m gdal_ray.cli raster info PATH",
             file=sys.stderr,
         )
         return 2
