@@ -250,9 +250,29 @@ def _geotransform(tags: dict) -> tuple[float, ...]:
     return (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
 
 
-def decode_geotiff(data: bytes) -> dict:
+def ifd_offsets(data: bytes) -> list[int]:
+    """All IFD offsets in the file (the chain: full-res + overviews)."""
+    if data[:2] == b"II":
+        bo = "<"
+    elif data[:2] == b"MM":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF (bad byte order mark)")
+    (off,) = struct.unpack_from(bo + "I", data, 4)
+    out = []
+    while off:
+        out.append(off)
+        (count,) = struct.unpack_from(bo + "H", data, off)
+        (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * count)
+        if len(out) > 64:
+            raise ValueError("IFD chain too long (corrupt file?)")
+    return out
+
+
+def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
     """GeoTIFF bytes → {"bands": [2-D arrays], "crs", "geotransform",
-    "nodata", "photometric"}."""
+    "nodata", "photometric"}. ``ifd_index`` selects an overview IFD
+    (0 = full resolution)."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
@@ -264,7 +284,7 @@ def decode_geotiff(data: bytes) -> dict:
         raise ValueError("BigTIFF not supported (classic TIFF only)")
     if magic != 42:
         raise ValueError("not a TIFF (bad magic)")
-    (ifd_off,) = struct.unpack_from(bo + "I", data, 4)
+    ifd_off = ifd_offsets(data)[ifd_index]
     tags = _read_ifd(data, bo, ifd_off)
 
     w = tags[_T_WIDTH][0]
@@ -487,6 +507,194 @@ def encode_geotiff(
         out += p
     out += struct.pack("<I", 0)  # next IFD
     return bytes(out)
+
+
+_T_SUBFILE = 254  # NewSubfileType: 1 = reduced-resolution image
+
+
+def encode_cog(
+    bands: list[np.ndarray] | np.ndarray,
+    crs: str = "",
+    geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+    nodata: float | None = None,
+    compression: str = "deflate",
+    tile_size: int = 256,
+    overview_resampling: str = "average",
+    min_overview_size: int = 256,
+) -> bytes:
+    """Bands → Cloud-Optimized GeoTIFF layout (gdal COG driver role,
+    frmts/gtiff/cogdriver.cpp semantics):
+
+    - TILED layout (TileWidth/TileLength 256², edge tiles padded),
+    - internal overviews (2× ``reduce_2x2`` pyramid down to
+      ``min_overview_size``) as reduced-resolution IFDs
+      (NewSubfileType=1) chained after the full-res IFD,
+    - all IFDs at the START of the file, tile data after them ordered
+      smallest-overview-first → full-res-last, so an HTTP range reader
+      gets header+index in one leading read and zoomed-out data first.
+
+    Note: ``compression="lzw"`` uses the pure-Python LZW coder —
+    fine for small rasters/tests, ~100 KB/s on 256² tiles; use the
+    default deflate (zlib C) for real data.
+    """
+    from gdal_ray.raster.overview import reduce_2x2
+
+    if isinstance(bands, np.ndarray) and bands.ndim == 2:
+        bands = [bands]
+    dt = bands[0].dtype
+    if str(dt) not in _NP_TO_TIFF:
+        raise ValueError(f"unsupported dtype {dt}")
+    bits, fmt = _NP_TO_TIFF[str(dt)]
+    if geotransform[2] or geotransform[4]:
+        raise ValueError("rotated geotransforms not supported")
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    spp = len(bands)
+
+    # pyramid: level 0 = full res
+    levels = [list(bands)]
+    while max(levels[-1][0].shape) > min_overview_size:
+        levels.append([reduce_2x2(b, overview_resampling).astype(dt)
+                       for b in levels[-1]])
+        if min(levels[-1][0].shape) < 2:
+            break
+
+    def tile_blobs(lv_bands):
+        h, w = lv_bands[0].shape
+        stack = np.stack(lv_bands, axis=2)
+        blobs = []
+        for y0 in range(0, h, tile_size):
+            for x0 in range(0, w, tile_size):
+                t = np.zeros((tile_size, tile_size, spp), dtype=dt)
+                sub = stack[y0 : y0 + tile_size, x0 : x0 + tile_size]
+                t[: sub.shape[0], : sub.shape[1]] = sub
+                raw = np.ascontiguousarray(
+                    t.astype(dt.newbyteorder("<"))).tobytes()
+                if compression == "deflate":
+                    raw = zlib.compress(raw, 6)
+                elif compression == "lzw":
+                    raw = _lzw_encode(raw)
+                blobs.append(raw)
+        return blobs
+
+    level_tiles = [tile_blobs(lv) for lv in levels]
+
+    def make_entries(li: int, offs: list[int]) -> list[tuple]:
+        h, w = levels[li][0].shape
+        e = []
+        if li > 0:
+            e.append((_T_SUBFILE, 4, (1,)))
+        e.append((_T_WIDTH, 4, (w,)))
+        e.append((_T_HEIGHT, 4, (h,)))
+        e.append((_T_BITS, 3, (bits,) * spp))
+        e.append((_T_COMP, 3, (comp_code,)))
+        e.append((_T_PHOTO, 3, (1,)))
+        e.append((_T_SPP, 3, (spp,)))
+        e.append((_T_PLANAR, 3, (1,)))
+        e.append((_T_SAMPLE_FMT, 3, (fmt,) * spp))
+        e.append((_T_TILE_W, 3, (tile_size,)))
+        e.append((_T_TILE_H, 3, (tile_size,)))
+        e.append((_T_TILE_OFF, 4, tuple(offs)))
+        e.append((_T_TILE_CNT, 4, tuple(len(b) for b in level_tiles[li])))
+        if li == 0:
+            gt = geotransform
+            e.append((_T_PIXEL_SCALE, 12, (gt[1], -gt[5], 0.0)))
+            e.append((_T_TIEPOINT, 12, (0.0, 0.0, 0.0, gt[0], gt[3], 0.0)))
+            if crs.upper().startswith("EPSG:"):
+                code = int(crs.split(":")[1])
+                geographic = code in (4326, 4267, 4269, 4258, 4283, 4322) or (
+                    4000 <= code < 5000)
+                keys = [1, 1, 0, 3,
+                        1024, 0, 1, (2 if geographic else 1),
+                        1025, 0, 1, 1]
+                keys += ([2048, 0, 1, code] if geographic
+                         else [3072, 0, 1, code])
+                keys[3] = (len(keys) - 4) // 4
+                e.append((_T_GEO_KEYS, 3, tuple(keys)))
+            if nodata is not None:
+                e.append((_T_GDAL_NODATA, 2,
+                          (repr(float(nodata)) + "\0").encode()))
+        e.sort(key=lambda x: x[0])
+        return e
+
+    def ifd_size(entries) -> int:
+        size = 2 + 12 * len(entries) + 4
+        for _, typ, vals in entries:
+            vsz = (len(vals) if typ == 2 else _TYPE_SIZE[typ] * len(vals))
+            if vsz > 4:
+                size += vsz
+        return size
+
+    # pass 1: IFD sizes with placeholder offsets (offsets are LONGs —
+    # byte size is value-independent)
+    placeholder = [make_entries(li, [0] * len(level_tiles[li]))
+                   for li in range(len(levels))]
+    ifd_offs = []
+    pos = 8
+    for e in placeholder:
+        ifd_offs.append(pos)
+        pos += ifd_size(e)
+    data_start = pos
+
+    # data: smallest overview first, full res last (COG read order)
+    tile_offs: list[list[int]] = [None] * len(levels)
+    pos = data_start
+    for li in range(len(levels) - 1, -1, -1):
+        offs = []
+        for b in level_tiles[li]:
+            offs.append(pos)
+            pos += len(b)
+        tile_offs[li] = offs
+
+    # pass 2: serialize
+    out = bytearray()
+    out += b"II" + struct.pack("<HI", 42, ifd_offs[0])
+    for li in range(len(levels)):
+        entries = make_entries(li, tile_offs[li])
+        nxt = ifd_offs[li + 1] if li + 1 < len(levels) else 0
+        # overflow area sits between the entry table and the next IFD
+        ovpos = ifd_offs[li] + 2 + 12 * len(entries) + 4
+        packed = []
+        overflow = bytearray()
+        for tag, typ, vals in entries:
+            if typ == 2:
+                blob = bytes(vals)
+                cnt = len(vals)
+            else:
+                blob = struct.pack(
+                    "<%d%s" % (len(vals), _TYPE_FMT[typ]), *vals)
+                cnt = len(vals)
+            if len(blob) > 4:
+                packed.append(struct.pack("<HHII", tag, typ, cnt, ovpos))
+                overflow += blob
+                ovpos += len(blob)
+            else:
+                packed.append(struct.pack("<HHI", tag, typ, cnt)
+                              + blob.ljust(4, b"\0"))
+        out += struct.pack("<H", len(packed))
+        for p in packed:
+            out += p
+        out += struct.pack("<I", nxt)
+        out += overflow
+    assert len(out) == data_start, "IFD layout accounting error"
+    for li in range(len(levels) - 1, -1, -1):
+        for b in level_tiles[li]:
+            out += b
+    return bytes(out)
+
+
+def write_cog(path: str, bands, crs: str = "",
+              geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+              nodata=None, compression: str = "deflate",
+              tile_size: int = 256) -> None:
+    """Atomic COG write (tmp + rename)."""
+    import os
+
+    data = encode_cog(bands, crs, geotransform, nodata, compression,
+                      tile_size)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
 
 
 # ---------------------------------------------------------------------------

@@ -134,3 +134,80 @@ class TestDatasetIO:
         back = model.to_array(pa.Table.from_pylist(
             rows, schema=model.tile_schema()))
         np.testing.assert_array_equal(back, arr)
+
+
+class TestCOG:
+    """encode_cog: tiled + overview IFD chain + COG byte layout."""
+
+    def _arr(self, h=600, w=500):
+        import numpy as np
+
+        y, x = np.mgrid[0:h, 0:w]
+        return ((x * 7 + y * 13) % 251).astype(np.uint8)
+
+    def test_roundtrip_full_res(self):
+        from gdal_ray.raster.gtiff import decode_geotiff, encode_cog
+        import numpy as np
+
+        a = self._arr()
+        data = encode_cog([a], crs="EPSG:32633",
+                          geotransform=(100.0, 10.0, 0.0, 5000.0, 0.0, -10.0),
+                          nodata=0.0)
+        g = decode_geotiff(data)
+        assert np.array_equal(g["bands"][0], a)
+        assert g["crs"] == "EPSG:32633"
+        assert g["geotransform"] == (100.0, 10.0, 0.0, 5000.0, 0.0, -10.0)
+        assert g["nodata"] == 0.0
+
+    def test_overview_chain_matches_reduce(self):
+        from gdal_ray.raster.gtiff import decode_geotiff, encode_cog, ifd_offsets
+        from gdal_ray.raster.overview import reduce_2x2
+        import numpy as np
+
+        a = self._arr()
+        data = encode_cog([a], min_overview_size=128)
+        offs = ifd_offsets(data)
+        assert len(offs) >= 2  # full + at least one overview
+        want = a
+        for i in range(1, len(offs)):
+            want = reduce_2x2(want, "average").astype(a.dtype)
+            got = decode_geotiff(data, ifd_index=i)["bands"][0]
+            assert np.array_equal(got, want), f"overview {i} mismatch"
+
+    def test_cog_layout(self):
+        """COG contract: every IFD before any tile data; tile data of
+        the SMALLEST overview first, full-res last."""
+        import struct
+
+        from gdal_ray.raster.gtiff import encode_cog, ifd_offsets, _read_ifd
+
+        data = encode_cog([self._arr()], min_overview_size=128)
+        offs = ifd_offsets(data)
+        tile_starts = []
+        for o in offs:
+            tags = _read_ifd(data, "<", o)
+            tile_starts.append(min(tags[324]))
+        assert max(offs) < min(tile_starts)  # IFDs lead the file
+        # smallest overview's tiles come first
+        assert tile_starts == sorted(tile_starts, reverse=True)
+
+    def test_multiband_float(self):
+        from gdal_ray.raster.gtiff import decode_geotiff, encode_cog
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        b1 = rng.random((300, 300)).astype(np.float32)
+        b2 = rng.random((300, 300)).astype(np.float32)
+        g = decode_geotiff(encode_cog([b1, b2]))
+        assert np.array_equal(g["bands"][0], b1)
+        assert np.array_equal(g["bands"][1], b2)
+
+    def test_write_cog_file(self, tmp_path):
+        from gdal_ray.raster.gtiff import decode_geotiff, write_cog
+        import numpy as np
+
+        a = self._arr(100, 100)
+        p = tmp_path / "x_cog.tif"
+        write_cog(str(p), [a])
+        g = decode_geotiff(p.read_bytes())
+        assert np.array_equal(g["bands"][0], a)
