@@ -180,11 +180,55 @@ def q_embed_neardup_lsh(sf_dir: str):
     return embedding_near_dups(ds, threshold=NEARDUP_THRESHOLD)
 
 
+def sql_lang_quality() -> str:
+    """DuckDB mirror of LanguageID + quality_score: same RE2 patterns
+    (both engines run RE2), same max(x,1) guards, same clip order, and
+    numpy-argmax's first-max tie rule via ordered >= comparisons."""
+    from gdal_ray.stages.text import STOPWORDS
+
+    langs = list(STOPWORDS)
+    score_cols = ", ".join(
+        "CAST(len(regexp_extract_all(text, '(?i)\\b("
+        + "|".join(STOPWORDS[lg])
+        + r")\b')) AS DOUBLE) AS s_" + lg
+        for lg in langs
+    )
+    cases = []
+    for i, lg in enumerate(langs):
+        conds = [f"s_{lg} >= s_{other}" for other in langs[i + 1 :]]
+        cond = " AND ".join(conds) if conds else "TRUE"
+        cases.append(f"WHEN {cond} THEN '{lg}'")
+    greatest = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    return f"""
+WITH f AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(text, '[^\\s]+')) AS DOUBLE) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit,
+    CAST(len(regexp_extract_all(text,
+         '(?i)\\b(the|and|of|to|in|a|is)\\b')) AS DOUBLE) AS n_stop,
+    {score_cols}
+  FROM documents
+)
+SELECT doc_id,
+  CASE WHEN {greatest} = 0 THEN 'und'
+       {' '.join(cases)}
+  END AS lang_pred,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  LEAST(GREATEST(n_tokens / 20.0, 0), 1) * 0.3
+  + LEAST(GREATEST(1.0 - (n_digit / GREATEST(n_chars, 1.0)) * 5.0, 0), 1) * 0.2
+  + LEAST(GREATEST((n_stop / GREATEST(n_tokens, 1.0)) * 4.0, 0), 1) * 0.3
+  + LEAST(GREATEST(1.0 - ABS(GREATEST(n_chars, 1.0) / GREATEST(n_tokens, 1.0)
+                             - 5.0) / 5.0, 0), 1) * 0.2 AS quality
+FROM f
+"""
+
+
 ML_QUERIES = {
     "embed_topk": (q_embed_topk, sql_embed_topk()),
     "embed_neardup": (q_embed_neardup, sql_embed_neardup()),
     "embed_neardup_lsh": (q_embed_neardup_lsh, sql_embed_neardup()),
     "near_dups": (q_near_dups, None),
     "text_fingerprints": (q_text_fingerprints, None),
-    "lang_quality": (q_lang_quality, None),
+    "lang_quality": (q_lang_quality, sql_lang_quality()),
 }
