@@ -34,6 +34,7 @@ def scan_parquet_files(
     paths: list[str],
     *,
     columns: list[str] | None = None,
+    filters=None,
     num_blocks: int | None = None,
     fuse=None,
     fuse_kwargs: dict | None = None,
@@ -55,6 +56,10 @@ def scan_parquet_files(
     pa.Table`` applied to the concatenation of the per-file fuse
     outputs — e.g. merge per-file partial aggregates so each task
     emits one partial row per key, independent of files-per-task.
+
+    ``filters``: pyarrow.parquet DNF filters (e.g. ``[("lang", "=",
+    "en")]``) — row-group statistics pruning + row filtering happen
+    inside the decode, so filtered rows never materialize.
     """
     if not paths:
         raise ValueError("scan_parquet_files: empty path list")
@@ -65,7 +70,9 @@ def scan_parquet_files(
     def _scan(batch: pa.Table) -> pa.Table:
         outs = []
         for p in batch["path"].to_pylist():
-            t = pq.read_table(p, columns=columns, use_threads=False)
+            t = pq.read_table(
+                p, columns=columns, filters=filters, use_threads=False
+            )
             outs.append(fuse(t, **fuse_kwargs) if fuse is not None else t)
         out = pa.concat_tables(outs, promote_options="default")
         return combine(out) if combine is not None else out

@@ -193,3 +193,18 @@ class TestScanParquetFiles:
             [str(tmp_path / "one.parquet")], fuse=fuse, fuse_kwargs={"mult": 10}
         ).to_pandas()
         assert sorted(df["a"]) == [10, 20, 30]
+
+    def test_filters_pushdown(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from gdal_ray.sources import scan_parquet_files
+
+        t = pa.table({"a": list(range(100)), "lang": ["en", "fr"] * 50})
+        pq.write_table(t, tmp_path / "f.parquet", row_group_size=10)
+        df = scan_parquet_files(
+            [str(tmp_path / "f.parquet")],
+            columns=["a"],
+            filters=[("lang", "=", "en")],
+        ).to_pandas()
+        assert len(df) == 50 and (df["a"] % 2 == 0).all()
