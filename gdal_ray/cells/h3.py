@@ -642,6 +642,144 @@ def _build_bc_lut():
                             f"unfold/metric disagree at face {f} {pos}: "
                             f"{b} vs {bm}"
                         )
+    # --- pentagon rotation calibration: boundary single-valuedness ---
+    # The vertex-walk rotation counts above are path-convention-
+    # dependent (60-degree angular deficit at icosahedron vertices).
+    # The property that pins each pentagon entry's rotation uniquely
+    # is that latLngToCell is a FUNCTION: approaching a point on the
+    # Voronoi boundary between adjacent faces F and G from either side
+    # must give the same index, i.e. rot^{r_F}(kfix_F(chain_F(q))) ==
+    # rot^{r_G}(kfix_G(chain_G(q))) for boundary samples q near the
+    # vertex (where the two gnomonic lattices coincide along the
+    # shared edge). Anchored at each pentagon's home face (r = 0 by
+    # definition), the constraint propagates around the vertex's
+    # 5-cycle and determines every other face's rotation.
+    res_cal = 6
+
+    def digits_on_face(f, lat_d, lng_d):
+        lat = np.radians(np.asarray([lat_d]))
+        lng = np.radians(np.asarray([lng_d]))
+        p = _geo_to_xyz(lat, lng)
+        dot = np.clip(p @ _FACE_XYZ[f], -1.0, 1.0)
+        ang = np.arccos(dot)
+        az = _azimuth(FACE_CENTER_GEO[f, 0], FACE_CENTER_GEO[f, 1], lat, lng)
+        theta0 = _pos_angle(FACE_AX_AZ[f] - az)
+        r0 = np.where(ang < 1e-16, 0.0, np.tan(ang) / RES0_U_GNOMONIC)
+        theta = theta0
+        if res_cal % 2 == 1:
+            theta = _pos_angle(theta0 - M_AP7_ROT_RADS)
+        rr0 = r0 * (M_SQRT7 ** res_cal)
+        x = rr0 * np.cos(theta)
+        y = rr0 * np.sin(theta)
+        i, j, k = _hex2d_to_ijk(x, y)
+        dig = np.zeros(res_cal, dtype=np.int64)
+        a = float(i[0] - k[0])
+        b = float(j[0] - k[0])
+        for rr in range(res_cal, 0, -1):
+            if rr % 2 == 1:
+                pa = round((3 * a - b) / 7.0)
+                pb = round((a + 2 * b) / 7.0)
+                ca, cb = 2 * pa + pb, 3 * pb - pa
+            else:
+                pa = round((2 * a + b) / 7.0)
+                pb = round((3 * b - a) / 7.0)
+                ca, cb = 3 * pa - pb, pa + 2 * pb
+            dig[rr - 1] = _AXIAL_DIGIT[(int(a - ca) + 1) * 3 + int(b - cb) + 1]
+            a, b = pa, pb
+        m = min(int(a), int(b), 0)
+        return dig, (int(a) - m, int(b) - m, -m)
+
+    def apply_kfix(dig, bcell, f):
+        d = dig.copy()
+        nz = d[d != 0]
+        if len(nz) and nz[0] == _K_DIGIT:
+            table = (
+                _ROT_CW
+                if (_BC_CW0[bcell] == f or _BC_CW1[bcell] == f)
+                else _ROT_CCW
+            )
+            d = table[d]
+        return d
+
+    def pent_rot_once(dig):
+        d = _ROT_CCW[dig]
+        nz = d[d != 0]
+        if len(nz) and nz[0] == _K_DIGIT:
+            d = _ROT_CCW[d]
+        return d
+
+    def canon(dig, bcell, f, r):
+        d = apply_kfix(dig, bcell, f)
+        for _ in range(r):
+            d = pent_rot_once(d)
+        return d
+
+    home_face = {b: BASE_CELL_DATA[b][0] for b in pents}
+    for b in pents:
+        hf = home_face[b]
+        vlat, vlng = _res0_center_geo(*BASE_CELL_DATA[b][:4])
+        vxyz = _geo_to_xyz(np.float64(vlat), np.float64(vlng))
+        slot_of = {}
+        for f in range(20):
+            for s in _VERTEX_SLOTS:
+                if lut[f, s[0], s[1], s[2]] == b:
+                    slot_of[f] = s
+        known = {hf: 0}
+        # propagate around the vertex 5-cycle via edge-sharing pairs
+        for _ in range(5):
+            for f_known, r_known in list(known.items()):
+                for g in slot_of:
+                    if g in known or (f_known, g) not in transforms:
+                        continue
+                    # the shared edge must be incident to THIS vertex
+                    shared_v = {
+                        slot_vertex[(f_known, s)] for s in _VERTEX_SLOTS
+                    } & {slot_vertex[(g, s)] for s in _VERTEX_SLOTS}
+                    if b not in shared_v:
+                        continue
+                    mid = _FACE_XYZ[f_known] + _FACE_XYZ[g]
+                    mid /= np.linalg.norm(mid)
+                    tvec = mid - vxyz * float(vxyz @ mid)
+                    tvec /= np.linalg.norm(tvec)
+                    votes = {}
+                    for frac in np.linspace(0.008, 0.06, 8):
+                        q = vxyz * np.cos(frac) + tvec * np.sin(frac)
+                        qla, qlo = _xyz_to_latlng(q[None, :])
+                        qla = np.degrees(float(qla[0]))
+                        qlo = np.degrees(float(qlo[0]))
+                        dF, pF = digits_on_face(f_known, qla, qlo)
+                        dG, pG = digits_on_face(g, qla, qlo)
+                        if pF != slot_of[f_known] or pG != slot_of[g]:
+                            continue
+                        target = canon(dF, b, f_known, r_known)
+                        d = apply_kfix(dG, b, g)
+                        for r in range(6):
+                            if np.array_equal(d, target):
+                                votes[r] = votes.get(r, 0) + 1
+                                break
+                            d = pent_rot_once(d)
+                    if not votes:
+                        continue  # no boundary sample matched; retry later
+                    if len(votes) > 1:
+                        raise AssertionError(
+                            f"pentagon boundary votes conflict bc={b} "
+                            f"{f_known}->{g}: {votes}"
+                        )
+                    known[g] = next(iter(votes))
+        if set(known) != set(slot_of):
+            raise AssertionError(
+                f"pentagon calibration incomplete bc={b}: "
+                f"{sorted(known)} vs {sorted(slot_of)}"
+            )
+        for f, r_found in known.items():
+            slot = slot_of[f]
+            for i in range(3):
+                for j in range(3):
+                    for k in range(3):
+                        m = min(i, j, k)
+                        if (i - m, j - m, k - m) == slot:
+                            rot[f, i, j, k] = r_found
+
     _BC_LUT = lut
     _BC_ROT = rot
 
@@ -1399,3 +1537,112 @@ def _disk_safe(cell: int, k: int) -> np.ndarray:
         frontier = new - members
         members |= new
     return np.array(sorted(members), np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# compact / uncompact / polygonToCells (H3 lib API roles; the reference
+# GDAL repo has no H3 — these complete the north-rule cell toolkit)
+# ---------------------------------------------------------------------------
+
+
+def cell_to_children(cells, child_res: int) -> np.ndarray:
+    """H3 cellToChildren: all children at ``child_res``. Pentagons skip
+    the deleted K (digit 1) subsequence — only the CENTER child stays a
+    pentagon, so the skip applies per-level to center-lineage cells."""
+    out = np.atleast_1d(np.asarray(cells, np.uint64))
+    res = get_resolution(out)
+    if (res > child_res).any():
+        raise ValueError("child_res finer than cell res required")
+    while True:
+        res = get_resolution(out)
+        todo = res < child_res
+        if not todo.any():
+            return out
+        done = out[~todo]
+        cur = out[todo]
+        r = get_resolution(cur).astype(np.int64)
+        pent = is_pentagon(cur)
+        shift = ((14 - r) * 3).astype(np.uint64)
+        # clear the child digit (7 -> d) and bump resolution
+        base = (cur & ~(np.uint64(0xF) << np.uint64(52))) | (
+            (r + 1).astype(np.uint64) << np.uint64(52)
+        )
+        base &= ~(np.uint64(7) << shift)
+        kids = []
+        for d in range(7):
+            keep = ~(pent & (d == 1))
+            if not keep.any():
+                continue
+            kids.append(base[keep] | (np.uint64(d) << shift[keep]))
+        out = np.concatenate([done] + kids)
+
+
+def compact_cells(cells) -> np.ndarray:
+    """H3 compactCells: recursively replace every complete child set
+    (7 for hexagon parents, 6 for pentagon parents) by the parent."""
+    cur = np.unique(np.atleast_1d(np.asarray(cells, np.uint64)))
+    while True:
+        res = get_resolution(cur).astype(np.int64)
+        if (res == 0).all():
+            return cur
+        finest = int(res.max())
+        at = cur[res == finest]
+        rest = cur[res != finest]
+        parents = cell_to_parent(at, finest - 1)
+        uniq, inv, counts = np.unique(
+            parents, return_inverse=True, return_counts=True
+        )
+        need = np.where(is_pentagon(uniq), 6, 7)
+        complete = counts == need
+        if not complete.any():
+            return np.concatenate([rest, at]) if len(rest) else at
+        keep = at[~complete[inv]]
+        cur = np.unique(np.concatenate([rest, keep, uniq[complete]]))
+
+
+def uncompact_cells(cells, res: int) -> np.ndarray:
+    return cell_to_children(cells, res)
+
+
+def polygon_to_cells(
+    exterior: np.ndarray,
+    res: int,
+    holes: list[np.ndarray] | None = None,
+) -> np.ndarray:
+    """H3 polygonToCells (center containment, the lib default): every
+    res-``res`` cell whose CENTER lies inside the lat/lng polygon.
+
+    Method: sample the polygon bbox on a grid finer than half the
+    local cell inradius (every cell overlapping the bbox then receives
+    ≥1 sample → no candidate is missed), encode samples, dedupe, and
+    keep cells whose exact center passes the even-odd test. Fully
+    vectorized; exact for center containment because the final filter
+    uses true cell centers."""
+    from gdal_ray.geom.predicates import PolygonEdges
+
+    ext = np.asarray(exterior, dtype=np.float64)  # (n, 2) lon/lat
+    if ext.ndim != 2 or ext.shape[1] != 2:
+        raise ValueError("exterior must be (n, 2) lon/lat")
+    lon0, lat0 = ext[:, 0].min(), ext[:, 1].min()
+    lon1, lat1 = ext[:, 0].max(), ext[:, 1].max()
+    if abs(lat0) > 89.5 or abs(lat1) > 89.5 or (lon1 - lon0) > 180:
+        raise ValueError(
+            "polygon_to_cells: polar / antimeridian-crossing polygons "
+            "need splitting first"
+        )
+    # local spacing probe at the bbox corners + center
+    probes_lat = np.array([lat0, lat1, (lat0 + lat1) / 2])
+    probes_lon = np.array([lon0, lon1, (lon0 + lon1) / 2])
+    probe_cells = latlng_to_cell(probes_lat, probes_lon, res)
+    spacing = min(_local_spacing(int(c), res) for c in probe_cells)
+    step_deg = np.degrees(spacing) * 0.35  # < inradius/sqrt(2) margin
+    lat_step = step_deg
+    lon_step = step_deg / max(np.cos(np.radians(max(abs(lat0), abs(lat1)))), 1e-6)
+    lats = np.arange(lat0 - lat_step, lat1 + 2 * lat_step, lat_step)
+    lons = np.arange(lon0 - lon_step, lon1 + 2 * lon_step, lon_step)
+    glat, glon = np.meshgrid(lats, lons, indexing="ij")
+    cand = np.unique(latlng_to_cell(glat.ravel(), glon.ravel(), res))
+    clat, clon = cell_to_latlng(cand)
+    rings = [ext] + [np.asarray(h, dtype=np.float64) for h in (holes or [])]
+    inside = PolygonEdges(rings).contains_points(clon, clat)  # even-odd
+    return cand[inside]

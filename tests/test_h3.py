@@ -348,3 +348,139 @@ class TestGridDisk:
         assert set(oi) == {0, 1}
         assert (H.get_resolution(nb[oi == 0]) == 7).all()
         assert (H.get_resolution(nb[oi == 1]) == 9).all()
+
+
+class TestChildrenCompact:
+    def test_children_roundtrip_hexagon(self):
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        c = h3.latlng_to_cell(40.7, -74.0, 5)
+        kids = h3.cell_to_children(c, 7)
+        assert len(kids) == 49  # 7^2
+        # every child's ancestor is the cell
+        assert (h3.cell_to_parent(kids, 5) == c).all()
+        # children tile the parent: centers encode back to themselves
+        la, lo = h3.cell_to_latlng(kids)
+        assert np.array_equal(h3.latlng_to_cell(la, lo, 7), np.sort(kids)) or (
+            np.sort(h3.latlng_to_cell(la, lo, 7)) == np.sort(kids)
+        ).all()
+
+    def test_children_pentagon_count(self):
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        # base cell 4 is a pentagon; its res-0 cell index:
+        pent = np.uint64((1 << 59) | (0 << 52) | (4 << 45) | ((1 << 45) - 1))
+        assert h3.is_pentagon(np.array([pent]))[0]
+        kids = h3.cell_to_children(pent, 1)
+        assert len(kids) == 6  # deleted K subsequence
+        kids2 = h3.cell_to_children(pent, 2)
+        assert len(kids2) == 6 * 7 - 1  # only the center child is a pentagon
+
+    def test_compact_uncompact_roundtrip(self):
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        c = h3.latlng_to_cell(51.5, -0.1, 4)
+        full = h3.cell_to_children(c, 6)
+        compacted = h3.compact_cells(full)
+        assert len(compacted) == 1 and compacted[0] == c
+        # remove one leaf: compaction must stop above it
+        partial = full[1:]
+        comp2 = h3.compact_cells(partial)
+        assert len(comp2) > 1
+        back = np.sort(h3.uncompact_cells(comp2, 6))
+        assert np.array_equal(back, np.sort(partial))
+
+
+class TestPolygonToCells:
+    def test_center_containment_equals_bruteforce(self):
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        # a concave polygon near Lyon
+        ext = np.array(
+            [[4.5, 45.5], [5.3, 45.5], [5.3, 46.1], [4.9, 45.8],
+             [4.5, 46.1], [4.5, 45.5]]
+        )
+        res = 6
+        got = np.sort(h3.polygon_to_cells(ext, res))
+        # brute force: dense grid encode + exact center filter
+        from gdal_ray.geom.predicates import PolygonEdges
+
+        lats = np.arange(45.4, 46.2, 0.005)
+        lons = np.arange(4.4, 5.4, 0.005)
+        glat, glon = np.meshgrid(lats, lons, indexing="ij")
+        cand = np.unique(h3.latlng_to_cell(glat.ravel(), glon.ravel(), res))
+        cla, clo = h3.cell_to_latlng(cand)
+        want = np.sort(cand[PolygonEdges([ext]).contains_points(clo, cla)])
+        assert np.array_equal(got, want)
+        assert len(got) > 50
+
+    def test_hole_excluded(self):
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        ext = np.array([[0.0, 0.0], [1.0, 0.0], [1.0, 1.0], [0.0, 1.0]])
+        hole = np.array([[0.3, 0.3], [0.7, 0.3], [0.7, 0.7], [0.3, 0.7]])
+        res = 6
+        with_hole = h3.polygon_to_cells(ext, res, holes=[hole])
+        without = h3.polygon_to_cells(ext, res)
+        assert len(with_hole) < len(without)
+        # every excluded cell center is inside the hole bbox
+        la, lo = h3.cell_to_latlng(
+            np.setdiff1d(without, with_hole))
+        assert (lo >= 0.29).all() and (lo <= 0.71).all()
+        assert (la >= 0.29).all() and (la <= 0.71).all()
+
+
+class TestEncodeContinuity:
+    """Regression for the pentagon-rotation bug: the encode must be a
+    continuous partition — every point's cell center lies within one
+    cell radius, globally (the broken table scattered ~1% of points
+    near the 12 pentagons by many degrees)."""
+
+    def test_center_distance_bounded_globally(self):
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        rng = np.random.default_rng(42)
+        lat = rng.uniform(-89, 89, 30000)
+        lon = rng.uniform(-180, 180, 30000)
+        for res, tol in ((6, 0.06), (9, 0.0025)):
+            c = h3.latlng_to_cell(lat, lon, res)
+            cla, clo = h3.cell_to_latlng(c)
+            dlon = (clo - lon + 180) % 360 - 180
+            d = np.hypot(cla - lat, dlon * np.cos(np.radians(lat)))
+            assert d.max() < tol, f"res {res}: max center dist {d.max()}"
+
+    def test_pentagon_preimage_connected(self):
+        """Dense grid over pentagon base cell 4: every res-6 cell's
+        preimage bbox is at most ~2 cell diameters wide."""
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        lats = np.arange(58, 72, 0.02)
+        lons = np.arange(0, 25, 0.02)
+        glat, glon = np.meshgrid(lats, lons, indexing="ij")
+        c = h3.latlng_to_cell(glat.ravel(), glon.ravel(), 6)
+        order = np.argsort(c)
+        cs, la, lo = c[order], glat.ravel()[order], glon.ravel()[order]
+        starts = np.flatnonzero(np.r_[True, cs[1:] != cs[:-1]])
+        ends = np.r_[starts[1:], len(cs)]
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            dlat = la[s:e].max() - la[s:e].min()
+            dlon = lo[s:e].max() - lo[s:e].min()
+            assert dlat < 0.2 and dlon < 0.45, (
+                f"cell {hex(int(cs[s]))} preimage spans {dlat} x {dlon} deg"
+            )
