@@ -320,8 +320,89 @@ def info_raster(path: str) -> str:
     return "\n".join(lines)
 
 
+def _raster_tool(cmd: str, args: list[str]) -> int:
+    """gdal_translate / gdalwarp / COG-convert over GeoTIFF files
+    (apps/gdal_translate_lib.cpp, apps/gdalwarp_lib.cpp roles)."""
+    import argparse
+
+    from gdal_ray.raster.gtiff import decode_geotiff, write_cog, write_geotiff
+    from gdal_ray.vsi import vsi_read_bytes
+
+    p = argparse.ArgumentParser(prog=f"gdal_ray raster {cmd}")
+    p.add_argument("src")
+    p.add_argument("dst")
+    if cmd == "translate":
+        p.add_argument("--bands", help="1-based band list, e.g. 3,2,1")
+        p.add_argument("--srcwin", nargs=4, type=int,
+                       metavar=("XOFF", "YOFF", "XSIZE", "YSIZE"))
+        p.add_argument("--projwin", nargs=4, type=float,
+                       metavar=("ULX", "ULY", "LRX", "LRY"))
+        p.add_argument("--outsize", nargs=2, metavar=("W", "H"))
+        p.add_argument("--scale", nargs=4, type=float,
+                       metavar=("SMIN", "SMAX", "DMIN", "DMAX"))
+        p.add_argument("--ot")
+        p.add_argument("--resample", default="nearest")
+    elif cmd == "warp":
+        p.add_argument("--t_srs", required=True, help="e.g. EPSG:3857")
+        p.add_argument("--size", nargs=2, type=int, metavar=("W", "H"))
+        p.add_argument("--resample", default="nearest")
+        p.add_argument("--nodata", type=float, default=0.0)
+    a = p.parse_args(args)
+
+    g = decode_geotiff(vsi_read_bytes(a.src))
+    if cmd == "cog":
+        write_cog(a.dst, g["bands"], g.get("crs", ""), g["geotransform"],
+                  g.get("nodata"))
+        return 0
+    if cmd == "translate":
+        from gdal_ray.raster.translate import translate
+
+        out, gt = translate(
+            g["bands"], g["geotransform"],
+            band_list=[int(x) for x in a.bands.split(",")] if a.bands else None,
+            srcwin=tuple(a.srcwin) if a.srcwin else None,
+            projwin=tuple(a.projwin) if a.projwin else None,
+            outsize=tuple(a.outsize) if a.outsize else None,
+            resample=a.resample,
+            scale=tuple(a.scale) if a.scale else None,
+            ot=a.ot,
+        )
+        write_geotiff(a.dst, out, g.get("crs", ""), gt, g.get("nodata"))
+        return 0
+    # warp
+    from gdal_ray.raster.warp import suggested_warp_output, warp_array
+
+    src_crs = g.get("crs", "") or "EPSG:4326"
+    band0 = g["bands"][0]
+    (dh, dw), dst_gt = suggested_warp_output(
+        band0.shape, g["geotransform"], src_crs, a.t_srs
+    )
+    if a.size:
+        import numpy as np
+
+        w, h = a.size
+        sx = dst_gt[1] * dw / w
+        sy = dst_gt[5] * dh / h
+        dst_gt = (dst_gt[0], sx, 0.0, dst_gt[3], 0.0, sy)
+        dh, dw = h, w
+    out = [
+        warp_array(b, g["geotransform"], src_crs, (dh, dw), dst_gt,
+                   a.t_srs, method=a.resample, nodata=a.nodata).astype(
+            b.dtype if a.resample == "nearest" else b.dtype)
+        for b in g["bands"]
+    ]
+    write_geotiff(a.dst, out, a.t_srs, dst_gt, g.get("nodata"))
+    return 0
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
+    if (
+        len(argv) >= 3
+        and argv[0] == "raster"
+        and argv[1] in ("translate", "warp", "cog")
+    ):
+        return _raster_tool(argv[1], argv[2:])
     if len(argv) == 3 and argv[1] == "info":
         import ray
 

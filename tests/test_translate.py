@@ -81,3 +81,73 @@ class TestTranslate:
             )
         )
         assert np.array_equal(got, arr[3:19, 5:25])
+
+
+class TestRasterCLI:
+    """gdal_translate / gdalwarp / COG CLI commands over byte.tif."""
+
+    SRC = "/root/reference/autotest/gcore/data/byte.tif"
+
+    def _run(self, *args):
+        import subprocess
+        import sys
+
+        out = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", *args],
+            capture_output=True, text=True, cwd="/root/repo", timeout=200,
+        )
+        assert out.returncode == 0, out.stderr[-500:]
+        return out.stdout
+
+    def test_translate_cli(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        if not os.path.exists(self.SRC):
+            import pytest
+
+            pytest.skip("reference data absent")
+        dst = tmp_path / "half.tif"
+        self._run("raster", "translate", self.SRC, str(dst),
+                  "--outsize", "50%", "50%")
+        g = decode_geotiff(dst.read_bytes())
+        assert g["bands"][0].shape == (10, 10)
+        assert g["geotransform"][1] == 120.0  # 60m * 2
+
+    def test_warp_cli(self, tmp_path):
+        import os
+
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        if not os.path.exists(self.SRC):
+            import pytest
+
+            pytest.skip("reference data absent")
+        dst = tmp_path / "merc.tif"
+        self._run("raster", "warp", self.SRC, str(dst),
+                  "--t_srs", "EPSG:3857")
+        g = decode_geotiff(dst.read_bytes())
+        assert g["crs"] == "EPSG:3857"
+        # WebMercator scale factor at byte.tif's latitude (~33.9N)
+        assert 70 < g["geotransform"][1] < 76
+
+    def test_cog_cli(self, tmp_path):
+        import os
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        if not os.path.exists(self.SRC):
+            import pytest
+
+            pytest.skip("reference data absent")
+        dst = tmp_path / "c.tif"
+        self._run("raster", "cog", self.SRC, str(dst))
+        src = decode_geotiff(open(self.SRC, "rb").read())
+        got = decode_geotiff(dst.read_bytes())
+        assert np.array_equal(got["bands"][0], src["bands"][0])
+        assert got["crs"] == src["crs"]
