@@ -396,9 +396,65 @@ _CAST_TYPES = {
 }
 
 
+_GEOM_TYPE_NAMES = {
+    1: "POINT", 2: "LINESTRING", 3: "POLYGON", 4: "MULTIPOINT",
+    5: "MULTILINESTRING", 6: "MULTIPOLYGON", 7: "GEOMETRYCOLLECTION",
+}
+
+
+def _special_field(name: str, batch: pa.Table):
+    """OGR SQL special fields (ogr/ogr_swq 'special field' semantics,
+    ogr_gensql.cpp OGR_GEOMETRY/OGR_GEOM_WKT/OGR_GEOM_AREA): computed
+    from the ``geometry`` WKB column on demand."""
+    up = name.upper()
+    if up not in ("OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA"):
+        return None
+    if "geometry" not in batch.column_names:
+        raise ValueError(f"{name}: no geometry column in table")
+    from gdal_ray.geom import wkb as W
+
+    geoms = batch["geometry"].to_pylist()
+    if up == "OGR_GEOMETRY":
+        out = [
+            None if g is None
+            else _GEOM_TYPE_NAMES.get(W.geometry_type(g) % 1000)
+            for g in geoms
+        ]
+        return pa.array(out, pa.string())
+    if up == "OGR_GEOM_WKT":
+        from gdal_ray.geom.wkt import to_wkt
+
+        return pa.array(
+            [None if g is None else to_wkt(g) for g in geoms], pa.string()
+        )
+    # OGR_GEOM_AREA: polygon / multipolygon area (0 for other types)
+    from gdal_ray.geom.ops import polygon_area
+
+    out = []
+    for g in geoms:
+        if g is None:
+            out.append(0.0)
+            continue
+        t = W.geometry_type(g) % 1000
+        if t == 3:
+            out.append(polygon_area(W.polygon_rings(g)))
+        elif t == 6:
+            total = 0.0
+            for part in W.parse(g)["parts"]:
+                total += polygon_area(part["rings"])
+            out.append(total)
+        else:
+            out.append(0.0)
+    return pa.array(out, pa.float64())
+
+
 def eval_expr(node, batch: pa.Table):
     """Expression AST → pyarrow array/scalar over a batch."""
     if isinstance(node, Col):
+        if node.name not in batch.column_names:
+            sp = _special_field(node.name, batch)
+            if sp is not None:
+                return sp
         return batch[node.name]
     if isinstance(node, Lit):
         return pa.scalar(node.value)

@@ -152,3 +152,58 @@ def test_hstore_get_value(ray_session):
         {"t": rd.from_arrow(t)},
     ).to_pandas().sort_values("id")
     assert out["a"].tolist() == ["1", None, None, "q"]
+
+
+class TestSpecialFields:
+    """OGR SQL special fields OGR_GEOMETRY / OGR_GEOM_WKT /
+    OGR_GEOM_AREA (ogr_gensql special-field semantics)."""
+
+    def _ds(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.geom.wkb import linestring_wkb, point_wkb, polygon_wkb
+
+        t = pa.table(
+            {
+                "name": ["pt", "ln", "pg"],
+                "geometry": pa.array(
+                    [
+                        point_wkb(1.0, 2.0),
+                        linestring_wkb([[0, 0], [1, 1]]),
+                        polygon_wkb([[0, 0], [4, 0], [4, 3], [0, 0]]),
+                    ],
+                    pa.binary(),
+                ),
+            }
+        )
+        return rd.from_arrow(t)
+
+    def test_geometry_type_filter(self, ray_session):
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT name FROM t WHERE OGR_GEOMETRY = 'POLYGON'",
+            {"t": self._ds()},
+        ).to_pandas()
+        assert df["name"].tolist() == ["pg"]
+
+    def test_geom_area(self, ray_session):
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT name, OGR_GEOM_AREA AS a FROM t", {"t": self._ds()}
+        ).to_pandas()
+        areas = dict(zip(df["name"], df["a"]))
+        assert areas["pg"] == 6.0  # 4x3 right triangle
+        assert areas["pt"] == 0.0 and areas["ln"] == 0.0
+
+    def test_geom_wkt(self, ray_session):
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT OGR_GEOM_WKT AS w FROM t WHERE name = 'pt'",
+            {"t": self._ds()},
+        ).to_pandas()
+        assert df["w"][0].startswith("POINT")
+        assert "1" in df["w"][0] and "2" in df["w"][0]
