@@ -1,15 +1,17 @@
-"""Baseline JPEG (ITU-T T.81 sequential DCT) codec, pure
-numpy/stdlib — the multimodal decode boundary the r2 verdict asked to
-lift (reference role: GDAL's JPEG driver delegating to libjpeg;
-frmts/jpeg).  Decoder supports baseline SOF0, 8-bit, grayscale and
-YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals; the
-encoder (grayscale / 4:4:4) exists for round-trip testing and
+"""JPEG (ITU-T T.81) codec, pure numpy/stdlib — the multimodal decode
+boundary the r2 verdict asked to lift (reference role: GDAL's JPEG
+driver delegating to libjpeg; frmts/jpeg).  Decoder supports baseline
+SOF0/1 AND progressive SOF2 (spectral selection + successive
+approximation, DC/AC first + refinement scans with EOB runs — T.81
+G.2 / libjpeg jdphuff.c semantics), 8-bit, grayscale and YCbCr with
+4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals; the encoder
+(grayscale / 4:4:4 baseline) exists for round-trip testing and
 synthetic media generation.
 
-Not implemented (raise): progressive (SOF2), arithmetic coding,
-12-bit precision.  Chroma upsampling is box replication (libjpeg's
-"fancy" triangular filter is a documented divergence: pixel values
-may differ by ±1 near chroma edges).
+Not implemented (raise): arithmetic coding, lossless SOF3, 12-bit
+precision.  Chroma upsampling is box replication (libjpeg's "fancy"
+triangular filter is a documented divergence: pixel values may differ
+by ±1 near chroma edges).
 
 Tables below are the ITU-T T.81 Annex K examples (public spec
 constants): K.1 luminance / K.2 chrominance quantization, K.3
@@ -242,7 +244,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 p += 17 + n
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", seg, 0)
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
             if prec != 8:
                 raise NotImplementedError("only 8-bit JPEG")
@@ -251,21 +253,239 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 cid, samp, tq = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"h": h, "w": w, "comps": comps,
+                     "progressive": marker == 0xC2}
+            if frame["progressive"]:
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                mcux = -(-w // (8 * hmax))
+                mcuy = -(-h // (8 * vmax))
+                coeffs = []
+                dcpred = [0] * nc
+                for c in comps:
+                    comp_w = -(-(w * c["h"]) // hmax)
+                    comp_h = -(-(h * c["v"]) // vmax)
+                    c["bw"] = -(-comp_w // 8)
+                    c["bh"] = -(-comp_h // 8)
+                    coeffs.append(
+                        np.zeros((mcuy * c["v"], mcux * c["h"], 64),
+                                 np.int64))
+                frame.update(hmax=hmax, vmax=vmax, mcux=mcux, mcuy=mcuy)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02X})")
+                f"unsupported JPEG (SOF marker 0x{marker:02X})")
         elif marker == 0xDA:  # SOS — entropy data follows
             ns = seg[0]
             scan = []
             for c in range(ns):
                 cs, tbl = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan.append({"cs": cs, "dc": tbl >> 4, "ac": tbl & 0xF})
+            if not frame.get("progressive"):
+                pos += seglen
+                return _decode_scan(data, pos, frame, scan, qt, huff,
+                                    restart)
+            ss = seg[1 + 2 * ns]
+            se = seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
             pos += seglen
-            return _decode_scan(data, pos, frame, scan, qt, huff, restart)
+            pos = _decode_progressive_scan(
+                data, pos, frame, scan, ss, se, ahal >> 4, ahal & 0xF,
+                huff, restart, coeffs, dcpred,
+            )
+            continue
         pos += seglen
+    if frame is not None and frame.get("progressive"):
+        return _finish_progressive(frame, coeffs, qt)
     raise ValueError("no SOS segment")
+
+
+def _dc_first(br, dctab, coef, pred, ci, al):
+    t = _decode_huff(br, dctab)
+    pred[ci] += _extend(br.bits(t), t)
+    coef[0] = pred[ci] << al
+
+
+def _ac_first(br, actab, coef, ss, se, al, eobrun):
+    """T.81 G.2.2 AC first scan (spectral band, point transform Al)."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(br, actab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += br.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coef[k] = _extend(br.bits(s), s) * (1 << al)
+        k += 1
+    return eobrun
+
+
+def _ac_refine(br, actab, coef, ss, se, al, eobrun):
+    """T.81 G.2.2 AC successive-approximation refinement (libjpeg
+    jdphuff.c decode_mcu_AC_refine structure)."""
+    p1 = 1 << al
+    m1 = -1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(br, actab)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+            else:
+                val = p1 if br.bit() else m1
+            while k <= se:
+                if coef[k] != 0:
+                    if br.bit() and (coef[k] & p1) == 0:
+                        coef[k] += p1 if coef[k] >= 0 else m1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val:
+                coef[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            if coef[k] != 0:
+                if br.bit() and (coef[k] & p1) == 0:
+                    coef[k] += p1 if coef[k] >= 0 else m1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    data, pos, frame, scan, ss, se, ah, al, huff, restart, coeffs, dcpred
+):
+    """Decode ONE progressive scan into the coefficient store; returns
+    the stream position just past the scan's entropy data."""
+    comps = frame["comps"]
+    by_id = {c["id"]: ci for ci, c in enumerate(comps)}
+    br = _BitReader(data, pos)
+    eobrun = 0
+    unit = 0
+
+    def maybe_restart(n_units):
+        nonlocal eobrun, unit
+        if restart and unit and unit % restart == 0 and unit < n_units:
+            m = br.align_to_marker()
+            if m is not None and 0xD0 <= m <= 0xD7:
+                br.skip_marker()
+            eobrun = 0
+            for i in range(len(dcpred)):
+                dcpred[i] = 0
+
+    if len(scan) > 1:
+        # interleaved: DC scans only (T.81 G.1.1.1.1)
+        if ss != 0:
+            raise ValueError("interleaved progressive AC scan")
+        n_units = frame["mcux"] * frame["mcuy"]
+        for my in range(frame["mcuy"]):
+            for mx in range(frame["mcux"]):
+                maybe_restart(n_units)
+                for s in scan:
+                    ci = by_id[s["cs"]]
+                    c = comps[ci]
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            coef = coeffs[ci][my * c["v"] + by,
+                                              mx * c["h"] + bx]
+                            if ah == 0:
+                                _dc_first(br, huff[(0, s["dc"])], coef,
+                                          dcpred, ci, al)
+                            else:
+                                coef[0] |= br.bit() << al
+                unit += 1
+    else:
+        s = scan[0]
+        ci = by_id[s["cs"]]
+        c = comps[ci]
+        n_units = c["bw"] * c["bh"]
+        for by in range(c["bh"]):
+            for bx in range(c["bw"]):
+                maybe_restart(n_units)
+                coef = coeffs[ci][by, bx]
+                if ss == 0:
+                    if ah == 0:
+                        _dc_first(br, huff[(0, s["dc"])], coef, dcpred,
+                                  ci, al)
+                    else:
+                        coef[0] |= br.bit() << al
+                elif ah == 0:
+                    eobrun = _ac_first(br, huff[(1, s["ac"])], coef, ss,
+                                       se, al, eobrun)
+                else:
+                    eobrun = _ac_refine(br, huff[(1, s["ac"])], coef, ss,
+                                        se, al, eobrun)
+                unit += 1
+    # locate the end of this scan's entropy bytes (next true marker)
+    p = br.pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00 and not (
+            0xD0 <= data[p + 1] <= 0xD7
+        ):
+            return p
+        p += 1
+    return len(data)
+
+
+def _finish_progressive(frame, coeffs, qt):
+    comps = frame["comps"]
+    planes = []
+    for ci, c in enumerate(comps):
+        q = qt[c["tq"]]
+        store = coeffs[ci]
+        pbh, pbw = store.shape[:2]
+        plane = np.zeros((pbh * 8, pbw * 8))
+        for by in range(pbh):
+            for bx in range(pbw):
+                blk = np.zeros(64, np.int64)
+                blk[ZIGZAG] = store[by, bx]
+                plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
+                    _idct2(blk.reshape(8, 8) * q) + 128.0
+                )
+        planes.append(plane)
+    return _planes_to_image(frame, planes)
+
+
+def _planes_to_image(frame, planes):
+    """Shared tail: upsample subsampled planes, crop, color-convert."""
+    h, w = frame["h"], frame["w"]
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    full = []
+    for ci, c in enumerate(comps):
+        p = planes[ci]
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
+        full.append(p[:h, :w])
+    if len(full) == 1:
+        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart):
@@ -322,22 +542,7 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px
             mcu_count += 1
-    # upsample to full resolution (box replication) and crop
-    full = []
-    for ci, c in enumerate(comps):
-        p = planes[ci]
-        ry, rx = vmax // c["v"], hmax // c["h"]
-        if ry > 1 or rx > 1:
-            p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
-        full.append(p[:h, :w])
-    if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
-    r = y + 1.402 * cr
-    g = y - 0.344136 * cb - 0.714136 * cr
-    b = y + 1.772 * cb
-    rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return _planes_to_image(frame, planes)
 
 
 # --- encoder (grayscale / 4:4:4 color) ---------------------------------

@@ -198,11 +198,11 @@ class TestErrors:
         with pytest.raises(ValueError):
             J.decode_jpeg(b"\x89PNG")
 
-    def test_progressive_raises(self):
+    def test_lossless_sof_raises(self):
         gy, gx = np.mgrid[0:8, 0:8]
         buf = bytearray(J.encode_jpeg((gy + gx).astype(np.uint8)))
         i = bytes(buf).find(b"\xff\xc0")
-        buf[i + 1] = 0xC2  # flip SOF0 -> SOF2
+        buf[i + 1] = 0xC3  # flip SOF0 -> SOF3 (lossless, unsupported)
         with pytest.raises(NotImplementedError):
             J.decode_jpeg(bytes(buf))
 
@@ -231,3 +231,215 @@ class TestStage:
             src = imgs[int(row["media_id"])]
             rmse = float(np.sqrt(((t[..., 0].astype(float) - src) ** 2).mean()))
             assert rmse < 5.0
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode: a test-side progressive encoder
+    (T.81 G.2 / libjpeg jcphuff.c structure) produces a stream that
+    must decode IDENTICALLY to the baseline encoding of the same
+    quantized coefficients."""
+
+    def _tables(self):
+        # simple valid Huffman tables: 16 symbols of length 5..8
+        from gdal_ray.raster import jpeg as J
+
+        # DC: categories 0..11
+        dc_bits = [0] * 16
+        dc_bits[7] = 12  # all length-8
+        dc_vals = list(range(12))
+        # AC: enough (r,s) symbols for the test data: sizes 1..10 with
+        # runs 0..15 plus ZRL and EOB
+        ac_vals = [0x00, 0xF0]
+        for r in range(16):
+            for s in range(1, 11):
+                ac_vals.append((r << 4) | s)
+        ac_bits = [0] * 16
+        ac_bits[8] = len(ac_vals)  # all codes length 9 (162 < 512)
+        return (dc_bits, dc_vals), (ac_bits, ac_vals)
+
+    def _build_streams(self, coeff_blocks, w, h, q=16):
+        """coeff_blocks: list of 64-int zigzag-order blocks (one comp,
+        8x8 grid row-major). Returns (baseline_bytes, progressive_bytes)."""
+        import struct
+
+        from gdal_ray.raster import jpeg as J
+
+        (dcb, dcv), (acb, acv) = self._tables()
+        dctab = J._build_encode_table(dcb, dcv)
+        actab = J._build_encode_table(acb, acv)
+
+        def seg(marker, payload):
+            return bytes([0xFF, marker]) + struct.pack(
+                ">H", len(payload) + 2) + payload
+
+        qtab = bytes([0]) + bytes([q] * 64)
+        dht = (bytes([0x00]) + bytes(dcb) + bytes(dcv)
+               + bytes([0x10]) + bytes(acb) + bytes(acv))
+        sof = lambda m: seg(m, bytes([8]) + struct.pack(">HH", h, w)
+                            + bytes([1, 1, 0x11, 0]))
+        head = b"\xff\xd8" + seg(0xDB, qtab) + seg(0xC4, dht)
+
+        def cat_bits(v):
+            c = J._cat(v)
+            return c, (v if v >= 0 else v + (1 << c) - 1)
+
+        def _fin(writer):
+            writer.flush()
+            return bytes(writer.out)
+
+        # ---- baseline entropy
+        bw = J._BitWriter()
+        pred = 0
+        for coef in coeff_blocks:
+            c, vb = cat_bits(coef[0] - pred)
+            pred = coef[0]
+            bw.write(dctab[c][1], dctab[c][0])
+            if c:
+                bw.write(vb, c)
+            k = 1
+            while k < 64:
+                r = 0
+                while k < 64 and coef[k] == 0:
+                    r += 1
+                    k += 1
+                if k == 64:
+                    bw.write(actab[0x00][1], actab[0x00][0])
+                    break
+                while r > 15:
+                    bw.write(actab[0xF0][1], actab[0xF0][0])
+                    r -= 16
+                s, vb2 = cat_bits(coef[k])
+                sym = (r << 4) | s
+                bw.write(actab[sym][1], actab[sym][0])
+                bw.write(vb2, s)
+                k += 1
+        base = (head + sof(0xC0)
+                + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+                + _fin(bw) + b"\xff\xd9")
+
+        # ---- progressive scans
+        def sos(ss, se, ah, al):
+            return seg(0xDA, bytes([1, 1, 0x00, ss, se, (ah << 4) | al]))
+
+        # scan 1: DC first, Al=1
+        w1 = J._BitWriter()
+        pred = 0
+        for coef in coeff_blocks:
+            v = coef[0] >> 1
+            c, vb = cat_bits(v - pred)
+            pred = v
+            w1.write(dctab[c][1], dctab[c][0])
+            if c:
+                w1.write(vb, c)
+        # scan 2: AC 1-63 first, Al=1
+        w2 = J._BitWriter()
+        for coef in coeff_blocks:
+            k = 1
+            r = 0
+            while k < 64:
+                v = coef[k] >> 1 if coef[k] >= 0 else -((-coef[k]) >> 1)
+                if v == 0:
+                    r += 1
+                    k += 1
+                    continue
+                while r > 15:
+                    w2.write(actab[0xF0][1], actab[0xF0][0])
+                    r -= 16
+                s, vb2 = cat_bits(v)
+                sym = (r << 4) | s
+                w2.write(actab[sym][1], actab[sym][0])
+                w2.write(vb2, s)
+                r = 0
+                k += 1
+            if r:
+                w2.write(actab[0x00][1], actab[0x00][0])  # EOB (run 1)
+        # scan 3: DC refine (Al=0)
+        w3 = J._BitWriter()
+        for coef in coeff_blocks:
+            w3.write(coef[0] & 1, 1)
+        # scan 4: AC refine Ah=1 Al=0 — mirrors libjpeg
+        # encode_mcu_AC_refine: ZRLs are emitted EAGERLY at the first
+        # nonzero coefficient once r > 15 (within the EOB span), each
+        # flushing only the correction bits buffered BEFORE that zero
+        # run, so the decoder's interleaved reads line up exactly.
+        w4 = J._BitWriter()
+        for coef in coeff_blocks:
+            absv = [abs(int(v)) for v in coef]
+            eob = 0
+            for k in range(1, 64):
+                if absv[k] == 1:
+                    eob = k
+            r = 0
+            pending = []
+            for k in range(1, 64):
+                temp = absv[k]
+                if temp == 0:
+                    r += 1
+                    continue
+                while r > 15 and k <= eob:
+                    w4.write(actab[0xF0][1], actab[0xF0][0])
+                    r -= 16
+                    for b in pending:
+                        w4.write(b, 1)
+                    pending = []
+                if temp > 1:
+                    pending.append(temp & 1)
+                    continue
+                sym = (r << 4) | 1
+                w4.write(actab[sym][1], actab[sym][0])
+                w4.write(1 if coef[k] > 0 else 0, 1)
+                for b in pending:
+                    w4.write(b, 1)
+                pending = []
+                r = 0
+            if r or pending:
+                w4.write(actab[0x00][1], actab[0x00][0])  # EOB
+                for b in pending:
+                    w4.write(b, 1)
+        prog = (head + sof(0xC2)
+                + sos(0, 0, 0, 1) + _fin(w1)
+                + sos(1, 63, 0, 1) + _fin(w2)
+                + sos(0, 0, 1, 0) + _fin(w3)
+                + sos(1, 63, 1, 0) + _fin(w4)
+                + b"\xff\xd9")
+        return base, prog
+
+    def test_progressive_equals_baseline(self):
+        import numpy as np
+
+        from gdal_ray.raster.jpeg import decode_jpeg
+
+        rng = np.random.default_rng(11)
+        blocks = []
+        for _ in range(6):  # 16x24 image: 2 rows x 3 cols of blocks
+            coef = np.zeros(64, np.int64)
+            coef[0] = int(rng.integers(-60, 60))
+            nz = rng.choice(np.arange(1, 64), size=12, replace=False)
+            coef[nz] = rng.integers(-40, 40, size=12)
+            blocks.append(coef)
+        base, prog = self._build_streams(blocks, w=24, h=16)
+        a = decode_jpeg(base)
+        b = decode_jpeg(prog)
+        assert a.shape == b.shape == (16, 24)
+        assert np.array_equal(a, b)
+
+    def test_fixture_decodes(self):
+        import numpy as np
+
+        from gdal_ray.raster.jpeg import decode_jpeg
+
+        p = ("/root/reference/doc/images/gdal-tshirt-front.jpg")
+        import os
+
+        if not os.path.exists(p):
+            import pytest
+
+            pytest.skip("fixture absent")
+        img = decode_jpeg(open(p, "rb").read())
+        assert img.shape == (480, 480, 3)
+        # non-trivial content
+        assert img.std() > 10
+        g = decode_jpeg(open(
+            "/root/reference/autotest/gdrivers/data/jpeg/"
+            "arcgis_geodataxform_gcp.jpg", "rb").read())
+        assert g.shape == (30, 30)
