@@ -200,7 +200,19 @@ def scaling() -> None:
     # barrier) don't masquerade as poor scaling at the high-CPU level
     repeat = os.environ.get("GRAFT_BENCH_REPEAT", str(REPEAT * 4))
 
+    def _wait_quiet(limit: float = 1.2, timeout_s: float = 40.0) -> None:
+        # the sandbox carries decaying co-resident load; measuring a
+        # leg while the previous leg's load average drains skews the
+        # ratio far more than sampling noise does
+        t0 = time.perf_counter()
+        while time.perf_counter() - t0 < timeout_s:
+            with open("/proc/loadavg") as f:
+                if float(f.read().split()[0]) < limit:
+                    return
+            time.sleep(5)
+
     def run(ncpu: int) -> dict:
+        _wait_quiet()
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
