@@ -1579,12 +1579,18 @@ def cell_to_children(cells, child_res: int) -> np.ndarray:
 
 def compact_cells(cells) -> np.ndarray:
     """H3 compactCells: recursively replace every complete child set
-    (7 for hexagon parents, 6 for pentagon parents) by the parent."""
+    (7 for hexagon parents, 6 for pentagon parents) by the parent.
+
+    Cells at the finest level whose sibling set is incomplete can never
+    compact — they retire to a done accumulator and the loop continues
+    over the coarser levels (an early return here would skip compaction
+    of coarser complete sets when the finest level has none)."""
     cur = np.unique(np.atleast_1d(np.asarray(cells, np.uint64)))
+    done: list[np.ndarray] = []
     while True:
         res = get_resolution(cur).astype(np.int64)
-        if (res == 0).all():
-            return cur
+        if len(cur) == 0 or (res == 0).all():
+            break
         finest = int(res.max())
         at = cur[res == finest]
         rest = cur[res != finest]
@@ -1594,10 +1600,11 @@ def compact_cells(cells) -> np.ndarray:
         )
         need = np.where(is_pentagon(uniq), 6, 7)
         complete = counts == need
-        if not complete.any():
-            return np.concatenate([rest, at]) if len(rest) else at
-        keep = at[~complete[inv]]
-        cur = np.unique(np.concatenate([rest, keep, uniq[complete]]))
+        done.append(at[~complete[inv]])
+        cur = np.unique(np.concatenate([rest, uniq[complete]]))
+    if done:
+        return np.unique(np.concatenate(done + [cur]))
+    return cur
 
 
 def uncompact_cells(cells, res: int) -> np.ndarray:

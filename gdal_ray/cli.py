@@ -271,8 +271,13 @@ def info_vector(path: str) -> str:
     from gdal_ray.geom import wkb as W
 
     source, _, _ = build_pipeline(f"read {path}")
-    t = source().limit(100000).take_batch(100000, batch_format="pyarrow")
-    lines = [f"INFO: Open of `{path}'", f"Feature Count: {t.num_rows}"]
+    full = source()
+    n_total = full.count()  # distributed count — not the sample size
+    t = full.limit(100000).take_batch(100000, batch_format="pyarrow")
+    lines = [f"INFO: Open of `{path}'", f"Feature Count: {n_total}"]
+    if n_total > t.num_rows:
+        lines.append(f"(extent/fields computed from first {t.num_rows} "
+                     "features)")
     geom_col = "geometry" if "geometry" in t.column_names else None
     if geom_col:
         bounds = [

@@ -70,7 +70,7 @@ def q_text_fingerprints(sf_dir: str):
     engine-internal; SimHash brute-force Hamming parity and
     fingerprint dedup equivalence are pinned in
     tests/test_dedup_embed.py)."""
-    from gdal_ray.stages.dedup import simhash64
+    from gdal_ray.stages.dedup import simhash64_batch
     from gdal_ray.stages.text import fingerprint64
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
@@ -78,14 +78,12 @@ def q_text_fingerprints(sf_dir: str):
 
     def fp(batch: pa.Table) -> pa.Table:
         out = fingerprint64(batch)
-        vals = [simhash64(t or "") for t in batch["text"].to_pylist()]
+        vals = simhash64_batch(batch["text"].to_pylist())
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "fingerprint": out["fingerprint"],
-                "simhash": pa.array(
-                    np.array(vals, dtype=np.uint64).astype(np.int64)
-                ),
+                "simhash": pa.array(vals.astype(np.int64)),
             }
         )
 

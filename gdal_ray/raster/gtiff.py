@@ -35,6 +35,7 @@ _T_STRIP_OFF, _T_SPP, _T_ROWS_PER_STRIP, _T_STRIP_CNT = 273, 277, 278, 279
 _T_PLANAR, _T_PREDICTOR = 284, 317
 _T_TILE_W, _T_TILE_H, _T_TILE_OFF, _T_TILE_CNT = 322, 323, 324, 325
 _T_SAMPLE_FMT = 339
+_T_EXTRA_SAMPLES = 338
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
 _T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
 _T_GDAL_NODATA = 42113
@@ -436,8 +437,12 @@ def encode_geotiff(
     entry(_T_HEIGHT, 4, (h,))
     entry(_T_BITS, 3, (bits,) * spp)
     entry(_T_COMP, 3, (comp_code,))
-    entry(_T_PHOTO, 3, (1,))
+    # RGB photometric for 3+ bands (reference GTiff default for 3-band
+    # byte); extra bands marked unassociated alpha
+    entry(_T_PHOTO, 3, (2 if spp >= 3 else 1,))
     entry(_T_SPP, 3, (spp,))
+    if spp > 3:
+        entry(_T_EXTRA_SAMPLES, 3, (2,) * (spp - 3))
     entry(_T_ROWS_PER_STRIP, 4, (rps,))
     entry(_T_PLANAR, 3, (1,))
     entry(_T_SAMPLE_FMT, 3, (fmt,) * spp)
@@ -587,9 +592,13 @@ def encode_cog(
         e.append((_T_HEIGHT, 4, (h,)))
         e.append((_T_BITS, 3, (bits,) * spp))
         e.append((_T_COMP, 3, (comp_code,)))
-        e.append((_T_PHOTO, 3, (1,)))
+        # PHOTOMETRIC=2 (RGB) for 3+ band output like the reference COG
+        # writer; band 4+ marked unassociated alpha via ExtraSamples
+        e.append((_T_PHOTO, 3, (2 if spp >= 3 else 1,)))
         e.append((_T_SPP, 3, (spp,)))
         e.append((_T_PLANAR, 3, (1,)))
+        if spp > 3:
+            e.append((_T_EXTRA_SAMPLES, 3, (2,) * (spp - 3)))
         e.append((_T_SAMPLE_FMT, 3, (fmt,) * spp))
         e.append((_T_TILE_W, 3, (tile_size,)))
         e.append((_T_TILE_H, 3, (tile_size,)))

@@ -31,7 +31,14 @@ def _key_of(v):
         return ("ref", v.hex())
     if isinstance(v, (str, int, float, bool, tuple, frozenset, type(None))):
         return v
-    return ("id", id(v))
+    # id() is unsafe as a cache key: after the original is GC'd a new
+    # object can reuse the id and silently hit a cache entry built from
+    # stale state. Require content-addressable inputs instead.
+    raise TypeError(
+        f"worker_cached constructor kwarg of type {type(v).__name__} is not "
+        "cache-keyable; pass a ray.ObjectRef (ray.put the object) or a "
+        "hashable primitive"
+    )
 
 
 def worker_cached(cls, **ctor_kwargs):

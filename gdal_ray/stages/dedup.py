@@ -71,9 +71,23 @@ def jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
+def _window_hashes(text: str, k: int) -> np.ndarray:
+    """All k-gram rolling hashes of one text (non-distinct; short texts
+    padded with spaces to one window)."""
+    raw = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(raw) < k:
+        raw = np.pad(raw, (0, k - len(raw)), constant_values=32)
+    win = np.lib.stride_tricks.sliding_window_view(raw, k).astype(np.uint64)
+    pw = _P ** np.arange(k, dtype=np.uint64)
+    return (win * pw[None, :]).sum(axis=1, dtype=np.uint64)
+
+
 def simhash64(text: str, k: int = 4) -> int:
-    """64-bit SimHash over k-gram hashes (unweighted)."""
-    h = char_shingle_hashes(text, k)
+    """64-bit term-frequency-weighted SimHash (Charikar 2002; weights =
+    k-gram occurrence counts, the Manku et al. 2007 web-dedup variant).
+    Weighted rather than distinct-shingle so the batched kernel needs
+    no per-doc dedup sort — a duplicate k-gram just votes twice."""
+    h = _window_hashes(text, k)
     if len(h) == 0:
         return 0
     bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
@@ -81,6 +95,73 @@ def simhash64(text: str, k: int = 4) -> int:
     )
     v = (2 * bits - 1).sum(axis=0)
     return int(((v > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum())
+
+
+def simhash64_batch(texts, k: int = 4) -> np.ndarray:
+    """Vectorized SimHash of a whole column, bit-identical to
+    ``simhash64`` per row (parity pinned in tests/test_dedup_embed.py):
+    one concatenated byte buffer, one sliding-window hash pass, then
+    per-doc per-bit counts via PACKED BYTE COUNTERS — ``(h >> j) &
+    0x0101..01`` puts bit ``8b+j`` of each hash into byte ``b``, so one
+    uint64 segment-sum accumulates 8 bit-counters at once (8 reduceats
+    total instead of 64), as long as every segment is < 256 rows (docs
+    are split into <=255-window sub-segments first)."""
+    n = len(texts)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint64)
+    bufs = []
+    lens = np.empty(n, dtype=np.int64)
+    pad = b" " * k
+    for i, t in enumerate(texts):
+        b = (t or "").encode("utf-8", "ignore")
+        if len(b) < k:
+            b = b + pad[: k - len(b)]
+        bufs.append(b)
+        lens[i] = len(b)
+    raw = np.frombuffer(b"".join(bufs), dtype=np.uint8)
+    # rolling hash without the (M, k) window matrix: k shifted passes
+    nwin = len(raw) - k + 1
+    base = raw.astype(np.uint64)
+    h = base[:nwin] * (_P ** np.uint64(0))
+    for j in range(1, k):
+        h += base[j : j + nwin] * (_P ** np.uint64(j))
+    # windows per doc (every doc contributes lens-k+1 valid windows;
+    # the k-1 windows straddling each boundary are dropped below)
+    wcnt = lens - (k - 1)
+    starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    # gather only in-doc windows: global window index = doc start + off
+    doc_w_start = starts  # window at byte p starts at index p
+    # sub-segments of <=255 windows so packed byte counters can't carry
+    nsub = (wcnt + 254) // 255
+    total_sub = int(nsub.sum())
+    sub_doc = np.repeat(np.arange(n, dtype=np.int64), nsub)
+    sub_first = np.concatenate(([0], np.cumsum(nsub)[:-1]))
+    within = np.arange(total_sub, dtype=np.int64) - sub_first[sub_doc]
+    sub_start = doc_w_start[sub_doc] + within * 255
+    sub_len = np.minimum(wcnt[sub_doc] - within * 255, 255)
+    # compact h to valid windows only, keeping sub-segment boundaries
+    # contiguous: build the gather index once
+    doc_valid_start = np.concatenate(([0], np.cumsum(wcnt)[:-1]))
+    gidx = (
+        np.repeat(doc_w_start - doc_valid_start, wcnt)
+        + np.arange(int(wcnt.sum()), dtype=np.int64)
+    )
+    hv = h[gidx]
+    csub_start = np.concatenate(([0], np.cumsum(sub_len)[:-1]))
+    ones = np.zeros((n, 64), dtype=np.int64)
+    m01 = np.uint64(0x0101010101010101)
+    for j in range(8):
+        packed = np.add.reduceat((hv >> np.uint64(j)) & m01, csub_start)
+        bytes_ = packed.view(np.uint8).reshape(total_sub, 8)
+        if not np.little_endian:  # big-endian byte order flips
+            bytes_ = bytes_[:, ::-1]
+        for b in range(8):
+            ones[:, 8 * b + j] += np.bincount(
+                sub_doc, weights=bytes_[:, b].astype(np.float64), minlength=n
+            ).astype(np.int64)
+    v = 2 * ones - wcnt[:, None]
+    return ((v > 0).astype(np.uint64)
+            << np.arange(64, dtype=np.uint64)[None, :]).sum(axis=1)
 
 
 # ---------------------------------------------------------------------------

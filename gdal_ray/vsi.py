@@ -134,7 +134,12 @@ def vsi_open(path: str, mode: str = "rb"):
                 MEM_FS[name] = self2.getvalue()
                 super().close()
 
-        return _MemWriter()
+        wf = _MemWriter()
+        if "a" in mode and name in MEM_FS:
+            # append seeds with existing content (reference /vsimem/
+            # supports append; plain 'w' truncates)
+            wf.write(MEM_FS[name])
+        return wf
     if "r" not in mode:
         raise OSError(f"{path}: VSI archive/compression paths are read-only")
     if path.startswith("/vsizip/"):

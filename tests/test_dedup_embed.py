@@ -86,6 +86,49 @@ class TestSimHash:
     def test_deterministic(self):
         assert dedup.simhash64("hello world") == dedup.simhash64("hello world")
 
+    def test_batch_parity(self):
+        """simhash64_batch is bit-identical to the per-row scalar,
+        including empty/None/short/multibyte/long-doc edge cases and
+        docs longer than the 255-window packed-counter sub-segment."""
+        import random
+
+        random.seed(11)
+        words = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                 "kappa").split()
+        texts = [
+            " ".join(random.choice(words)
+                     for _ in range(random.randint(0, 60)))
+            for _ in range(500)
+        ]
+        texts += ["", "a", "ab", "abc", "abcd", None,
+                  "日本語テキストのサンプル", "x" * 3, "y" * 300, "z" * 5000]
+        batch = dedup.simhash64_batch(texts)
+        scalar = np.array([dedup.simhash64(t or "") for t in texts],
+                          dtype=np.uint64)
+        assert (batch == scalar).all()
+
+    def test_batch_faster_than_per_row(self):
+        """The vectorized kernel beats the per-row loop warm (measured
+        ~10x at 10^5 docs; asserted at a safe 2x margin on 20k docs)."""
+        import random
+        import time
+
+        random.seed(3)
+        words = "lorem ipsum dolor sit amet consectetur adipiscing".split()
+        texts = [
+            " ".join(random.choice(words)
+                     for _ in range(random.randint(5, 40)))
+            for _ in range(20_000)
+        ]
+        dedup.simhash64_batch(texts)  # warm the allocator (first-touch)
+        t0 = time.process_time()
+        dedup.simhash64_batch(texts)
+        t_batch = time.process_time() - t0
+        t0 = time.process_time()
+        [dedup.simhash64(t) for t in texts[:2000]]
+        t_row = (time.process_time() - t0) * 10
+        assert t_row > 2 * t_batch, (t_row, t_batch)
+
 
 class TestEmbed:
     def test_cosine_topk_matches_bruteforce(self, ray_session):

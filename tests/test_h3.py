@@ -396,6 +396,27 @@ class TestChildrenCompact:
         back = np.sort(h3.uncompact_cells(comp2, 6))
         assert np.array_equal(back, np.sort(partial))
 
+    def test_compact_mixed_resolution_continues_past_finest(self):
+        """Regression (round-4 advice): an incompletable finest level
+        must not abort compaction of coarser complete sibling sets —
+        7 complete res-2 siblings + 1 lone res-3 cell must compact to
+        2 cells (the res-1 parent + the lone res-3), not 8."""
+        import numpy as np
+
+        from gdal_ray.cells import h3
+
+        base = h3.latlng_to_cell(np.array([40.0]), np.array([-100.0]), 1)[0]
+        kids2 = h3.cell_to_children(np.array([base], np.uint64), 2)
+        lone3 = h3.cell_to_children(
+            h3.latlng_to_cell(np.array([10.0]), np.array([20.0]), 2), 3
+        )[:1]
+        out = h3.compact_cells(np.concatenate([kids2, lone3]))
+        assert len(out) == 2
+        res = sorted(int(h3.get_resolution(np.array([c], np.uint64))[0])
+                     for c in out)
+        assert res == [1, 3]
+        assert base in out and lone3[0] in out
+
 
 class TestPolygonToCells:
     def test_center_containment_equals_bruteforce(self):
