@@ -197,13 +197,25 @@ DATUMS = {
 }
 
 
-def shift_geographic(src: Datum, dst: Datum, lon, lat):
-    """Transform geographic lon/lat (degrees, h=0) between datums.
+# NTv2 grid-shift registry: datum name → NTv2Grid whose forward
+# direction is datum → WGS84-equivalent (NAD27→NAD83, OSGB36→ETRS89).
+# When a grid is registered it takes precedence over the nominal
+# Helmert for in-grid points, exactly like PROJ prefers installed
+# +nadgrids over +towgs84; out-of-grid points fall back to the Helmert
+# (documented deviation from PROJ's hard error — a streaming pipeline
+# must not poison a whole batch for one offshore point).
+GRID_SHIFTS: dict = {}
 
-    Identity short-circuit when both sides are WGS84-equivalent (the
-    classic towgs84=0 null transform — NAD83/ETRS89/GDA ↔ WGS84);
-    otherwise the full geocentric pipeline through each side's own
-    ellipsoid (heights assumed 0, the 2-D ogr2ogr path)."""
+
+def register_grid(datum_name: str, grid) -> None:
+    GRID_SHIFTS[datum_name] = grid
+
+
+def unregister_grid(datum_name: str) -> None:
+    GRID_SHIFTS.pop(datum_name, None)
+
+
+def _helmert_path(src: Datum, dst: Datum, lon, lat):
     if src.is_wgs84_equivalent and dst.is_wgs84_equivalent:
         return lon, lat
     x, y, z = geodetic_to_geocentric(src.ellipsoid, lon, lat)
@@ -213,3 +225,34 @@ def shift_geographic(src: Datum, dst: Datum, lon, lat):
         x, y, z = dst.to_wgs84.apply_inverse(x, y, z)
     lon2, lat2, _h = geocentric_to_geodetic(dst.ellipsoid, x, y, z)
     return lon2, lat2
+
+
+def shift_geographic(src: Datum, dst: Datum, lon, lat):
+    """Transform geographic lon/lat (degrees, h=0) between datums.
+
+    Grid path first: a registered NTv2 grid on either side shifts
+    in-grid points directly on the ellipsoid (sub-meter national
+    accuracy); remaining points and remaining datum legs go through
+    the geocentric 7-parameter Helmert pipeline (heights assumed 0,
+    the 2-D ogr2ogr path)."""
+    import numpy as np
+
+    gsrc = GRID_SHIFTS.get(src.name)
+    if gsrc is not None:
+        glon, glat, inside = gsrc.apply(lon, lat)
+        if bool(np.all(inside)):
+            lon, lat = glon, glat
+        else:
+            flon, flat = _helmert_path(src, WGS84_DATUM, lon, lat)
+            lon = np.where(inside, glon, flon)
+            lat = np.where(inside, glat, flat)
+        src = WGS84_DATUM
+    gdst = GRID_SHIFTS.get(dst.name)
+    if gdst is not None:
+        lon, lat = _helmert_path(src, WGS84_DATUM, lon, lat)
+        glon, glat, inside = gdst.apply_inverse(lon, lat)
+        if bool(np.all(inside)):
+            return glon, glat
+        flon, flat = _helmert_path(WGS84_DATUM, dst, lon, lat)
+        return np.where(inside, glon, flon), np.where(inside, glat, flat)
+    return _helmert_path(src, dst, lon, lat)

@@ -730,6 +730,84 @@ FROM pages
     )
 
 
+def q_ntv2_shift(sf_dir: str):
+    """NAD27 → NAD83/WGS84 grid-shift datum transform through a real
+    NTv2 ``.gsb`` parsed from ``/vsimem/`` (reference role: PROJ
+    ``+nadgrids`` grid path, ogr/ogrct.cpp:2359; the reference's
+    autotest proj_grids/ fixtures exercise exactly this). Input points
+    are synthesized deterministically from doc_id across CONUS; the
+    synthetic grid's node values are dyadic (exact in float32), so the
+    DuckDB oracle recomputes the *identical* float64 bilinear —
+    wrong cell indexing, swapped axes, or a wrong west-positive
+    longitude sign all hash-mismatch."""
+    import ray.data as rd
+
+    from gdal_ray import vsi
+    from gdal_ray.proj import ntv2
+
+    vsi.vsi_write_bytes("/vsimem/synconus.gsb", ntv2.synthetic_conus_gsb())
+    grid = ntv2.read_ntv2("/vsimem/synconus.gsb")
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lon = -125.0 + (ids * 7919 % 5800) / 100.0
+        lat = 25.0 + (ids * 104729 % 2400) / 100.0
+        lon83, lat83, inside = grid.apply(lon, lat)
+        assert bool(inside.all())  # synthesis keeps every point in-grid
+        return pa.table({"doc_id": t["doc_id"],
+                         "lon83": lon83, "lat83": lat83})
+
+    return ds.map_batches(shift, batch_format="pyarrow")
+
+
+def _sql_ntv2_shift() -> str:
+    """The same NTv2 bilinear in SQL, term-for-term (see q_ntv2_shift):
+    node values come from the synthetic grid's dyadic formula, which
+    equals the float32 bytes in the .gsb exactly."""
+    from gdal_ray.proj.ntv2 import SYN_E_LONG, SYN_S_LAT
+
+    flat = ("(0.5 + 0.0625*{i} + 0.03125*{j} + 0.015625*{i}*{j})")
+    flon = ("(1.0 + 0.03125*{i} + 0.015625*{j}*{j})")
+
+    def bilin(f):
+        return (
+            f"({f.format(i='i', j='j')}*(1.0-tx)*(1.0-ty)"
+            f" + {f.format(i='i', j='(j+1)')}*tx*(1.0-ty)"
+            f" + {f.format(i='(i+1)', j='j')}*(1.0-tx)*ty"
+            f" + {f.format(i='(i+1)', j='(j+1)')}*tx*ty)"
+        )
+
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         -125.0 + (doc_id*7919 % 5800)/100.0 AS lon,
+         25.0 + (doc_id*104729 % 2400)/100.0 AS lat
+  FROM documents
+),
+idx AS (
+  SELECT *,
+         (lat*3600.0 - {SYN_S_LAT!r})/3600.0 AS fy,
+         (-lon*3600.0 - {SYN_E_LONG!r})/3600.0 AS fx
+  FROM pts
+),
+cell AS (
+  SELECT *,
+         LEAST(GREATEST(floor(fy), 0.0), 23.0) AS i,
+         LEAST(GREATEST(floor(fx), 0.0), 57.0) AS j
+  FROM idx
+),
+w AS (
+  SELECT *, fy - i AS ty, fx - j AS tx FROM cell
+)
+SELECT doc_id,
+       lon - {bilin(flon)}/3600.0 AS lon83,
+       lat + {bilin(flat)}/3600.0 AS lat83
+FROM w
+"""
+
+
 def q_wkt_roundtrip(sf_dir: str):
     """WKT interchange round trip, ZM variant: page points lifted to
     POINT ZM (z = lon+lat, m = lon·lat) → WKT strings → re-parsed
@@ -939,6 +1017,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "contour_bands": q_contour_bands,
     "distance_line": q_distance_line,
     "buffer_erode": q_buffer_erode,
+    "ntv2_shift": q_ntv2_shift,
     "wkt_roundtrip": q_wkt_roundtrip,
     "scrub_canon": q_scrub_canon,
 }
@@ -961,6 +1040,7 @@ ORACLE: dict[str, str] = {
     "contour_bands": _sql_contour_bands(),
     "distance_line": _sql_distance_line(),
     "buffer_erode": _sql_buffer_erode(),
+    "ntv2_shift": _sql_ntv2_shift(),
     "wkt_roundtrip": _PAGES_SQL
     + "SELECT url, lon, lat, lon + lat AS z, lon * lat AS m FROM pages",
     "scrub_canon": _sql_scrub_canon(),
