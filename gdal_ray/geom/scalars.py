@@ -163,6 +163,54 @@ def distance(buf_a: bytes, buf_b: bytes) -> float:
     return best
 
 
+def intersects(buf_a: bytes, buf_b: bytes) -> bool:
+    """OGRGeometry::Intersects (ogrgeometry.cpp:4073 delegates to
+    GEOS): true iff the geometries share at least one point. Exactly
+    the distance == 0 cases of ``distance`` (containment, segment
+    crossing, or touching within tolerance)."""
+    return distance(buf_a, buf_b) <= _EPS
+
+
+def within(buf_a: bytes, buf_b: bytes) -> bool:
+    """OGRGeometry::Within (a ⊆ b, b polygonal): every vertex and
+    segment midpoint of ``a`` lies inside-or-on ``b`` (even-odd,
+    boundary-inclusive) and at least one probe is strictly interior.
+    Midpoint sampling stands in for the exact interior-exterior
+    emptiness test; exact for convex ``b`` and for all point/segment
+    inputs, approximate only for a concave ``b`` whose boundary dips
+    between a segment's sampled points (documented engine tolerance).
+    """
+    pa_, ca, ra = _decompose(buf_a)
+    _, _, rb = _decompose(buf_b)
+    if not rb:
+        return False
+    probe = [_rep_points(pa_, ca, ra)]
+    for c in ca:
+        if len(c) >= 2:
+            probe.append((c[:-1] + c[1:]) / 2.0)
+    for r in ra:
+        rr = r if (r[0] == r[-1]).all() else np.vstack([r, r[:1]])
+        probe.append((rr[:-1] + rr[1:]) / 2.0)
+    pts = np.vstack(probe)
+    if len(pts) == 0:
+        return False
+    edges = PolygonEdges(rb)
+    inside = edges.contains_points(pts[:, 0], pts[:, 1])
+    if not inside.all():
+        return False
+    # interiors must intersect: some probe strictly off b's boundary
+    s0, s1 = _all_segments([], rb)
+    d = _seg_point_dist(
+        pts[:, 0], pts[:, 1], s0[:, 0], s0[:, 1], s1[:, 0], s1[:, 1]
+    ).min(axis=1)
+    return bool((inside & (d > _EPS)).any())
+
+
+def contains(buf_a: bytes, buf_b: bytes) -> bool:
+    """OGRGeometry::Contains = Within with the operands swapped."""
+    return within(buf_b, buf_a)
+
+
 def distance_points_to_line(px, py, line: np.ndarray) -> np.ndarray:
     """Vectorized distance from many points to one polyline."""
     a = line[:-1]

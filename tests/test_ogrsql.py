@@ -207,3 +207,133 @@ class TestSpecialFields:
         ).to_pandas()
         assert df["w"][0].startswith("POINT")
         assert "1" in df["w"][0] and "2" in df["w"][0]
+
+
+class TestSTFunctions:
+    """Spatialite-style ST_* in the SQL dialect (reference:
+    ogrsqliteexecutesql.cpp ST_* registration) — value-checked against
+    closed forms, with WHERE-clause and null propagation coverage."""
+
+    def _pts(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"id": pa.array([1, 2, 3], pa.int64()),
+             "x": pa.array([0.0, 3.0, 10.0]),
+             "y": pa.array([0.0, 4.0, 0.5])}
+        ))
+
+    def test_constructors_and_accessors(self, ray_session):
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT id, ST_X(ST_Point(x, y)) AS px, "
+            "ST_Y(ST_GeomFromText(ST_AsText(ST_Point(x, y)))) AS py "
+            "FROM t", {"t": self._pts()},
+        ).to_pandas().sort_values("id")
+        assert df["px"].tolist() == [0.0, 3.0, 10.0]
+        assert df["py"].tolist() == [0.0, 4.0, 0.5]
+
+    def test_distance_and_measures(self, ray_session):
+        import numpy as np
+
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT id, ST_Distance(ST_Point(x, y), ST_Point(0.0, 0.0)) AS d,"
+            " ST_Length(ST_GeomFromText('LINESTRING (0 0, 3 4)')) AS l,"
+            " ST_Area(ST_GeomFromText("
+            "'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))')) AS a"
+            " FROM t", {"t": self._pts()},
+        ).to_pandas().sort_values("id")
+        assert np.allclose(df["d"], [0.0, 5.0, np.hypot(10.0, 0.5)])
+        assert (df["l"] == 5.0).all() and (df["a"] == 12.0).all()
+
+    def test_buffer_area_closed_form(self, ray_session):
+        import numpy as np
+
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT ST_Area(ST_Buffer(ST_Point(x, y), 2.0, 8)) AS a FROM t",
+            {"t": self._pts()},
+        ).to_pandas()
+        exp = 0.5 * 32 * 4.0 * np.sin(2 * np.pi / 32)
+        assert np.allclose(df["a"], exp, rtol=1e-12)
+
+    def test_predicates_in_where(self, ray_session):
+        from gdal_ray import ogrsql
+
+        box = "POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))"
+        df = ogrsql.execute(
+            f"SELECT id FROM t WHERE ST_Within(ST_Point(x, y), "
+            f"ST_GeomFromText('{box}'))", {"t": self._pts()},
+        ).to_pandas()
+        assert sorted(df["id"].tolist()) == [1, 2]
+        df2 = ogrsql.execute(
+            f"SELECT id, ST_Contains(ST_GeomFromText('{box}'), "
+            f"ST_Point(x, y)) AS c, ST_Intersects(ST_Point(x, y), "
+            f"ST_GeomFromText('{box}')) AS i FROM t", {"t": self._pts()},
+        ).to_pandas().sort_values("id")
+        assert df2["c"].tolist() == [True, True, False]
+        assert df2["i"].tolist() == [True, True, False]
+
+    def test_centroid_envelope_npoints(self, ray_session):
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT ST_AsText(ST_Centroid(ST_GeomFromText("
+            "'POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))'))) AS c,"
+            " ST_Area(ST_Envelope(ST_GeomFromText("
+            "'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))'))) AS e,"
+            " ST_NPoints(ST_GeomFromText('LINESTRING (0 0, 1 1, 2 2)')) AS n,"
+            " ST_IsEmpty(ST_Point(x, y)) AS emp,"
+            " ST_IsSimple(ST_GeomFromText('LINESTRING (0 0, 1 1)')) AS simp"
+            " FROM t", {"t": self._pts()},
+        ).to_pandas()
+        assert df["c"][0] == "POINT (1 1)"
+        assert (df["e"] == 12.0).all()
+        assert (df["n"] == 3).all()
+        assert (not df["emp"].any()) and df["simp"].all()
+
+    def test_overlay_functions(self, ray_session):
+        from gdal_ray import ogrsql
+
+        a = "POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))"
+        b = "POLYGON ((1 1, 3 1, 3 3, 1 3, 1 1))"
+        df = ogrsql.execute(
+            f"SELECT ST_Area(ST_Intersection(ST_GeomFromText('{a}'), "
+            f"ST_GeomFromText('{b}'))) AS ia, "
+            f"ST_Area(ST_Union(ST_GeomFromText('{a}'), "
+            f"ST_GeomFromText('{b}'))) AS ua, "
+            f"ST_Area(ST_Difference(ST_GeomFromText('{a}'), "
+            f"ST_GeomFromText('{b}'))) AS da FROM t",
+            {"t": self._pts()},
+        ).to_pandas()
+        assert abs(df["ia"][0] - 1.0) < 1e-12
+        assert abs(df["ua"][0] - 7.0) < 1e-12
+        assert abs(df["da"][0] - 3.0) < 1e-12
+
+    def test_ogr_style_null(self, ray_session):
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT id, OGR_STYLE AS s FROM t", {"t": self._pts()}
+        ).to_pandas()
+        assert df["s"].isna().all()
+
+    def test_scalar_within_kernel(self):
+        """Direct kernel checks incl. the strictly-interior rule: a
+        point ON the boundary intersects but is not within."""
+        from gdal_ray.geom import scalars as GS
+        from gdal_ray.geom.wkb import point_wkb, polygon_wkb
+
+        box = polygon_wkb([[0, 0], [4, 0], [4, 4], [0, 4], [0, 0]])
+        assert GS.within(point_wkb(2, 2), box)
+        assert not GS.within(point_wkb(0, 2), box)     # on boundary
+        assert GS.intersects(point_wkb(0, 2), box)
+        assert not GS.within(point_wkb(9, 9), box)
+        inner = polygon_wkb([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]])
+        assert GS.within(inner, box) and GS.contains(box, inner)
+        assert not GS.within(box, inner)
