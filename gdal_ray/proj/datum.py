@@ -187,12 +187,18 @@ AGD66 = Datum(
     "AGD66", Ellipsoid(a=6378160.0, f=1.0 / 298.25),  # Australian National
     Helmert(-117.808, -51.536, 137.784, 0.303, 0.446, 0.234, -0.29),
 )
+AMERSFOORT = Datum(
+    "AMERSFOORT", BESSEL1841,
+    Helmert(565.417, 50.3319, 465.552, -0.398957, 0.343988, -1.8774,
+            4.0725),
+)
+SJTSK = Datum("SJTSK", BESSEL1841, Helmert(589.0, 76.0, 480.0))
 
 DATUMS = {
     d.name: d
     for d in (
         WGS84_DATUM, NAD83, ETRS89, OSGB36, ED50, NAD27, TOKYO, DHDN,
-        TM65, WGS72_DATUM, GGRS87, BD72, AGD66,
+        TM65, WGS72_DATUM, GGRS87, BD72, AGD66, AMERSFOORT, SJTSK,
     )
 }
 

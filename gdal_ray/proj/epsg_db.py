@@ -6,11 +6,13 @@ sourced from the public EPSG registry definitions and validated by
 Snyder worked examples + structural tests in tests/test_proj.py).
 
 Coverage: geographic CRSs, UTM/TM national grids, Gauss-Krüger,
-Lambert Conformal Conic (2SP), Albers, Lambert Azimuthal Equal Area
-and ellipsoidal Mercator — ~150 explicit codes plus the UTM zone
-ranges.  Datum shifts remain identity (no grid-shift files in this
-environment), matching gdal_ray.proj.transformer's documented
-limitation."""
+Lambert Conformal Conic (2SP), Albers, Lambert Azimuthal Equal Area,
+ellipsoidal Mercator, Polar Stereographic A/B, Oblique ("double")
+Stereographic and Krovak — 400+ codes via known_codes() (explicit
+rows + enumerated UTM/zone ranges).  Datum shifts use the nominal
+national towgs84 Helmert (proj/datum.py) plus any registered NTv2
+grids (proj/ntv2.py); without grids this matches a grid-less PROJ
+install."""
 
 from __future__ import annotations
 
@@ -125,6 +127,38 @@ _MERC = {
     3395: (WGS84, 0.0, 1.0, None, 0.0, 0.0),                            # WGS 84 / World Mercator
 }
 
+# --- Polar Stereographic rows: (ell, lat0, lon0, k0, lat_ts, fe, fn) ---
+# k0 set → variant A (EPSG 9810); lat_ts set → variant B (EPSG 9829)
+
+_PS = {
+    3031: (WGS84, -90.0, 0.0, None, -71.0, 0.0, 0.0),        # Antarctic Polar Stereographic
+    3032: (WGS84, -90.0, 70.0, None, -71.0, 6000000.0, 6000000.0),  # Australian Antarctic
+    3976: (WGS84, -90.0, 0.0, None, -70.0, 0.0, 0.0),        # NSIDC Sea Ice South
+    3413: (WGS84, 90.0, -45.0, None, 70.0, 0.0, 0.0),        # NSIDC Sea Ice North
+    3995: (WGS84, 90.0, 0.0, None, 71.0, 0.0, 0.0),          # Arctic Polar Stereographic
+    5041: (WGS84, 90.0, 0.0, 0.994, None, 2000000.0, 2000000.0),    # UPS North (E,N)
+    5042: (WGS84, -90.0, 0.0, 0.994, None, 2000000.0, 2000000.0),   # UPS South (E,N)
+    32661: (WGS84, 90.0, 0.0, 0.994, None, 2000000.0, 2000000.0),   # UPS North (legacy code)
+    32761: (WGS84, -90.0, 0.0, 0.994, None, 2000000.0, 2000000.0),  # UPS South (legacy code)
+}
+
+# --- Oblique ("double") Stereographic rows (EPSG 9809):
+#     (ell, lat0, lon0, k0, fe, fn)
+
+_STEREA = {
+    28992: (BESSEL1841, 52.0 + 9.0 / 60.0 + 22.178 / 3600.0,
+            5.0 + 23.0 / 60.0 + 15.5 / 3600.0, 0.9999079,
+            155000.0, 463000.0),                              # Amersfoort / RD New
+}
+
+# --- Krovak rows (EPSG 9819): code → east_north axis convention -------
+
+_KROVAK = {
+    5514: True,    # S-JTSK / Krovak East North (x = −westing, y = −southing)
+    5513: False,   # S-JTSK / Krovak (southing X, westing Y)
+    2065: False,   # S-JTSK (Ferro) / Krovak
+}
+
 
 def _tm_with_lat0(ell, lat0, lon0, k0, fe, fn) -> TransverseMercator:
     """EPSG natural-origin TM: northing is measured from lat0 — fold
@@ -167,8 +201,34 @@ def resolve(code: int):
         ell, lon0, k0, lat_ts, fe, fn = _MERC[code]
         return ("raw", Mercator(lon0=lon0, k0=k0, lat_ts=lat_ts,
                                 x0=fe, y0=fn, ellipsoid=ell))
-    # UTM zone ranges (beyond the WGS84/NAD ranges transformer.py
-    # already resolves)
+    if code in _PS:
+        from gdal_ray.proj.stereographic import PolarStereographic
+
+        ell, lat0, lon0, k0, lat_ts, fe, fn = _PS[code]
+        return ("raw", PolarStereographic(
+            lat0=lat0, lon0=lon0, k0=k0, lat_ts=lat_ts,
+            x0=fe, y0=fn, ellipsoid=ell))
+    if code in _STEREA:
+        from gdal_ray.proj.stereographic import ObliqueStereographic
+
+        ell, lat0, lon0, k0, fe, fn = _STEREA[code]
+        return ("raw", ObliqueStereographic(
+            lat0=lat0, lon0=lon0, k0=k0, x0=fe, y0=fn, ellipsoid=ell))
+    if code in _KROVAK:
+        from gdal_ray.proj.stereographic import Krovak
+
+        return ("raw", Krovak(east_north=_KROVAK[code]))
+    # UTM zone ranges (the WGS84/NAD ranges are also short-circuited in
+    # transformer.py; listed here too so known_codes() is the one
+    # complete registry accounting)
+    if 32601 <= code <= 32660:   # WGS 84 / UTM north
+        return ("tmerc", utm(code - 32600, north=True, ellipsoid=WGS84))
+    if 32701 <= code <= 32760:   # WGS 84 / UTM south
+        return ("tmerc", utm(code - 32700, north=False, ellipsoid=WGS84))
+    if 26701 <= code <= 26722:   # NAD27 / UTM north
+        return ("tmerc", utm(code - 26700, north=True, ellipsoid=CLARKE1866))
+    if 26901 <= code <= 26923:   # NAD83 / UTM north
+        return ("tmerc", utm(code - 26900, north=True, ellipsoid=GRS80))
     if 25828 <= code <= 25838:   # ETRS89 / UTM 28N-38N
         return ("tmerc", utm(code - 25800, north=True, ellipsoid=GRS80))
     if 23028 <= code <= 23038:   # ED50 / UTM 28N-38N
@@ -216,6 +276,7 @@ _DATUM_NAME = {
     27700: "OSGB36", 29902: "TM65", 29903: "TM65", 2100: "GGRS87",
     31466: "DHDN", 31467: "DHDN", 31468: "DHDN", 31469: "DHDN",
     31370: "BD72",
+    28992: "AMERSFOORT", 5514: "SJTSK", 5513: "SJTSK", 2065: "SJTSK",
 }
 
 
@@ -240,10 +301,11 @@ def known_codes() -> list[int]:
     """All explicitly-registered codes (ranges enumerated)."""
     codes = sorted(
         set(GEOGRAPHIC_CODES) | set(_TM) | set(_LCC) | set(_AEA)
-        | set(_LAEA) | set(_MERC)
+        | set(_LAEA) | set(_MERC) | set(_PS) | set(_STEREA) | set(_KROVAK)
     )
     for lo, hi in ((25828, 25838), (23028, 23038), (28348, 28358),
                    (7846, 7859), (32201, 32260), (32301, 32360),
-                   (2443, 2461)):
+                   (2443, 2461), (32601, 32660), (32701, 32760),
+                   (26701, 26722), (26901, 26923)):
         codes.extend(range(lo, hi + 1))
     return sorted(set(codes))

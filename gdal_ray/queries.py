@@ -295,21 +295,49 @@ def q_reproject_epsg(sf_dir: str):
 
     pages = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     pages = pages.select_columns(["url", "lon", "lat"])
+
+    def _dup(t: pa.Table) -> pa.Table:
+        return t.append_column("lon2", t["lon"]).append_column(
+            "lat2", t["lat"]
+        )
+
+    pages = pages.map_batches(_dup, batch_format="pyarrow")
     out = vs.reproject(pages, "EPSG:4326", "EPSG:3395", x_col="lon", y_col="lat")
+    # round-4 registry breadth: the same rows through the Polar
+    # Stereographic family (EPSG:3031, variant B via the _PS table)
+    out = vs.reproject(out, "EPSG:4326", "EPSG:3031",
+                       x_col="lon2", y_col="lat2")
 
     def _mm(t: pa.Table) -> pa.Table:
-        x = t.column(1).to_numpy(zero_copy_only=False)
-        y = t.column(2).to_numpy(zero_copy_only=False)
         mm = lambda v: np.trunc(v * 1000.0 + np.copysign(0.5, v)) / 1000.0  # noqa: E731
-        return pa.table({"url": t.column(0), "mx": mm(x), "my": mm(y)})
+
+        def col(name):
+            return mm(t[name].to_numpy(zero_copy_only=False))
+
+        return pa.table({
+            "url": t["url"], "mx": col("lon"), "my": col("lat"),
+            "x3031": col("lon2"), "y3031": col("lat2"),
+        })
 
     return out.map_batches(_mm, batch_format="pyarrow")
 
 
 def _sql_reproject_epsg() -> str:
+    import numpy as np
+
+    from gdal_ray.proj.stereographic import PolarStereographic
     from gdal_ray.proj.transverse_mercator import WGS84
 
     e = WGS84.e
+    # EPSG:3031 variant-B closed form (GN7-2 §3.2.3): the south-aspect
+    # t with the derived k0 constant (computed once here — exactly the
+    # engine's own _k0(), so both sides share the double)
+    k0 = PolarStereographic(lat0=-90, lon0=0.0, lat_ts=-71.0,
+                            ellipsoid=WGS84)._k0()
+    big = float(np.sqrt((1.0 + e) ** (1.0 + e) * (1.0 - e) ** (1.0 - e)))
+    t_s = (f"(tan(pi()/4.0 + radians(lat)/2.0) * pow((1.0 - {e!r}*sin(radians(lat)))"
+           f" / (1.0 + {e!r}*sin(radians(lat))), {e / 2.0!r}))")
+    rho = f"(2.0 * 6378137.0 * {k0!r} * {t_s} / {big!r})"
     return (
         _PAGES_SQL
         + f"""
@@ -318,7 +346,9 @@ SELECT url,
        round(0.0 - 6378137.0 * ln(
          tan(pi()/4.0 - radians(lat)/2.0)
          / pow((1.0 - {e!r}*sin(radians(lat))) / (1.0 + {e!r}*sin(radians(lat))), {e / 2.0!r})
-       ), 3) AS my
+       ), 3) AS my,
+       round({rho} * sin(radians(lon)), 3) AS x3031,
+       round({rho} * cos(radians(lon)), 3) AS y3031
 FROM pages
 """
     )
