@@ -161,15 +161,57 @@ GROUP BY bnd.admin_id
 
 
 def q_cell_encode(sf_dir: str):
-    """url → genuine H3 ids (res 7/8/9) + S2 L16 cell ids (rows-only
-    check: cell-id math is not SQL-expressible; parity is pinned by
-    tests/test_h3.py spec-table + frozen-golden checks and
-    tests/test_cells.py S2 invariants)."""
+    """url → genuine H3 ids (res 7/8/9) + S2 L16 cell ids.
+
+    Oracle (round 4, upgraded from rows-only): the gazetteer's 64
+    coordinate pairs are encoded DRIVER-SIDE, directly from the
+    gazetteer literals through the same spec-pinned encoders, and
+    embedded as a VALUES table the SQL joins on (lon, lat). That
+    verifies the whole distributed pipeline (pages derivation,
+    coordinate extraction, per-batch encode, column wiring) against an
+    independent single-point evaluation; the cell math itself is
+    pinned by tests/test_h3.py spec tables + global continuity and
+    tests/test_cells.py S2 invariants (roundtrip alone is NOT an
+    oracle for grid tables — the pentagon lesson)."""
     from gdal_ray.pipelines import flagship
 
     ds = flagship.geotag_pages(flagship.pages_from_documents(sf_dir), has_html=False)
     ds = ds.map_batches(flagship.encode_cells, batch_format="pyarrow")
     return ds.select_columns(["url", "h3_res7", "h3_res8", "h3_res9", "s2_cell"])
+
+
+def _sql_cell_encode() -> str:
+    import numpy as np
+
+    from gdal_ray.cells import h3 as h3mod
+    from gdal_ray.cells import s2 as s2mod
+
+    rows = []
+    for _name, glon, glat in GAZETTEER:
+        # the pages pipeline parses %.4f-printed coordinates — encode
+        # exactly those parsed doubles
+        lat4 = float(f"{glat:.4f}")
+        lon4 = float(f"{glon:.4f}")
+        cells = h3mod.latlng_to_cells_multi(
+            np.array([lat4]), np.array([lon4]), (7, 8, 9)
+        )
+        s2c = s2mod.lonlat_to_cell(np.array([lon4]), np.array([lat4]), 16)
+        rows.append(
+            f"({lon4!r}, {lat4!r}, {int(cells[7][0])}::UBIGINT, "
+            f"{int(cells[8][0])}::UBIGINT, {int(cells[9][0])}::UBIGINT, "
+            f"{int(np.asarray(s2c).astype(np.int64)[0])}::BIGINT)"
+        )
+    vals = ", ".join(rows)
+    return (
+        _PAGES_SQL
+        + f"""
+SELECT p.url, c.h3_res7, c.h3_res8, c.h3_res9, c.s2_cell
+FROM pages p
+JOIN (VALUES {vals})
+  AS c(lon, lat, h3_res7, h3_res8, h3_res9, s2_cell)
+  ON p.lon = c.lon AND p.lat = c.lat
+"""
+    )
 
 
 def q_knn_k5(sf_dir: str):
@@ -1116,6 +1158,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 ORACLE: dict[str, str] = {
     "tile_assign": _sql_tile_assign(),
     "tile_counts_z9": _sql_tile_counts_z9(),
+    "cell_encode": _sql_cell_encode(),
     "pip_join": _sql_pip_join(),
     "pip_counts": _sql_pip_counts(),
     "knn_k5": _sql_knn_k5(),

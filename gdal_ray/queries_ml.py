@@ -54,14 +54,50 @@ SELECT query_id, rank, vec_id, score FROM rk WHERE rank <= 10
 
 
 def q_near_dups(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs over documents (rows-only
-    check: shingle Jaccard is not SQL-expressible; brute-force parity
-    is pinned in tests/test_dedup_embed.py)."""
+    """MinHash-LSH near-duplicate pairs over documents: LSH candidate
+    buckets → distributed hash-join text fetch → exact distinct-4-gram
+    Jaccard ≥ 0.8.
+
+    Oracle (round 4, upgraded from rows-only): DuckDB recomputes the
+    ALL-PAIRS distinct-4-gram Jaccard from the raw texts — fully
+    independent of minhashing, banding and the hash-join plumbing.
+    Caveats that make this exact here: texts are ASCII (byte shingles
+    == character shingles), and every qualifying pair in the corpus
+    has J ≥ 0.92, where the 16-band recall deficit is < 2·10⁻⁶ (at the
+    0.8 boundary itself LSH recall is probabilistic by design —
+    documented in stages/dedup.py). The engine's hashed-shingle
+    Jaccard equals raw-gram Jaccard barring 64-bit collisions."""
     from gdal_ray.stages.dedup import near_duplicates
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
                          columns=["doc_id", "text"])
     return near_duplicates(ds, threshold=0.8)
+
+
+def sql_near_dups() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 4 THEN rpad(text, 4, ' ') ELSE text END AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(s.i AS INT), 4) AS g
+  FROM docs, range(1, 65536) AS s(i)
+  WHERE s.i <= length(t) - 3
+),
+sizes AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS ix
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.ix AS DOUBLE) / (sa.c + sb.c - i.ix) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ix AS DOUBLE) / (sa.c + sb.c - i.ix) >= 0.8
+"""
 
 
 def q_text_fingerprints(sf_dir: str):
@@ -226,7 +262,7 @@ ML_QUERIES = {
     "embed_topk": (q_embed_topk, sql_embed_topk()),
     "embed_neardup": (q_embed_neardup, sql_embed_neardup()),
     "embed_neardup_lsh": (q_embed_neardup_lsh, sql_embed_neardup()),
-    "near_dups": (q_near_dups, None),
+    "near_dups": (q_near_dups, sql_near_dups()),
     "text_fingerprints": (q_text_fingerprints, None),
     "lang_quality": (q_lang_quality, sql_lang_quality()),
 }
