@@ -115,6 +115,10 @@ def build_pipeline(spec: str):
         from gdal_ray import shapefile
 
         source = lambda: shapefile.read_shapefile(src_path)  # noqa: E731
+    elif low.endswith(".fgb"):
+        from gdal_ray import flatgeobuf
+
+        source = lambda: flatgeobuf.read_flatgeobuf(src_path)  # noqa: E731
     elif low.endswith(".gpkg"):
         from gdal_ray import gpkg
 

@@ -1,0 +1,427 @@
+"""FlatGeobuf reader — from the PUBLIC spec (flatgeobuf.org/spec:
+header.fbs / feature.fbs + the packed Hilbert R-tree layout), not the
+reference driver (ogr/ogrsf_frmts/flatgeobuf/ is the C++ role model
+only; its generated flatbuffers code has no line correspondence here).
+
+File layout (spec):
+  magic  8 bytes  66 67 62 03 66 67 62 00  ("fgb", version 3)
+  header uint32 LE size + FlatBuffers Header table
+  index  (optional) packed Hilbert R-tree: per node 40 bytes =
+         4 float64 (minx miny maxx maxy) + uint64 (leaf: byte offset
+         of the feature relative to the feature section)
+  data   per feature: uint32 LE size + FlatBuffers Feature table
+
+FlatBuffers wire format (public): root uint32 offset → table; table
+starts with int32 soffset back to its vtable; vtable = uint16 size,
+uint16 table size, uint16 per-field in-table offsets (0 = absent);
+strings/vectors/subtables are uint32 forward offsets.
+
+Scale shape: the header + R-tree index are O(features/node_size) and
+read once on the driver; leaf nodes carry every feature's byte offset,
+so the feature section shards into independent byte ranges that Ray
+tasks read in parallel (one ``read_binary_files``-style range per
+block). A spatial filter traverses the R-tree driver-side and prunes
+to intersecting leaves before any feature bytes move.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+import pyarrow as pa
+
+MAGIC = b"fgb\x03fgb\x00"
+
+GEOM_POINT = 1
+GEOM_LINESTRING = 2
+GEOM_POLYGON = 3
+GEOM_MULTIPOINT = 4
+GEOM_MULTILINESTRING = 5
+GEOM_MULTIPOLYGON = 6
+GEOM_COLLECTION = 7
+
+# ColumnType enum (header.fbs)
+CT_BYTE, CT_UBYTE, CT_BOOL, CT_SHORT, CT_USHORT, CT_INT, CT_UINT, \
+    CT_LONG, CT_ULONG, CT_FLOAT, CT_DOUBLE, CT_STRING, CT_JSON, \
+    CT_DATETIME, CT_BINARY = range(15)
+
+_SCALAR_FMT = {
+    CT_BYTE: ("b", 1), CT_UBYTE: ("B", 1), CT_BOOL: ("?", 1),
+    CT_SHORT: ("h", 2), CT_USHORT: ("H", 2), CT_INT: ("i", 4),
+    CT_UINT: ("I", 4), CT_LONG: ("q", 8), CT_ULONG: ("Q", 8),
+    CT_FLOAT: ("f", 4), CT_DOUBLE: ("d", 8),
+}
+
+_ARROW_TYPE = {
+    CT_BYTE: pa.int8(), CT_UBYTE: pa.uint8(), CT_BOOL: pa.bool_(),
+    CT_SHORT: pa.int16(), CT_USHORT: pa.uint16(), CT_INT: pa.int32(),
+    CT_UINT: pa.uint32(), CT_LONG: pa.int64(), CT_ULONG: pa.uint64(),
+    CT_FLOAT: pa.float32(), CT_DOUBLE: pa.float64(),
+    CT_STRING: pa.string(), CT_JSON: pa.string(),
+    CT_DATETIME: pa.string(), CT_BINARY: pa.binary(),
+}
+
+
+# --------------------------------------------------------------- fb core
+
+
+class _Tbl:
+    """Minimal FlatBuffers table accessor."""
+
+    __slots__ = ("buf", "pos", "vt", "vt_len")
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.pos = pos
+        soff = struct.unpack_from("<i", buf, pos)[0]
+        self.vt = pos - soff
+        self.vt_len = struct.unpack_from("<H", buf, self.vt)[0]
+
+    def _field(self, idx: int) -> int:
+        """→ absolute position of field idx's data, or 0 if absent."""
+        vo = 4 + 2 * idx
+        if vo >= self.vt_len:
+            return 0
+        off = struct.unpack_from("<H", buf := self.buf, self.vt + vo)[0]
+        del buf
+        return self.pos + off if off else 0
+
+    def scalar(self, idx: int, fmt: str, default=0):
+        p = self._field(idx)
+        if not p:
+            return default
+        return struct.unpack_from("<" + fmt, self.buf, p)[0]
+
+    def _indirect(self, p: int) -> int:
+        return p + struct.unpack_from("<I", self.buf, p)[0]
+
+    def string(self, idx: int) -> str | None:
+        p = self._field(idx)
+        if not p:
+            return None
+        sp = self._indirect(p)
+        n = struct.unpack_from("<I", self.buf, sp)[0]
+        return self.buf[sp + 4 : sp + 4 + n].decode("utf-8")
+
+    def vector(self, idx: int, dtype) -> np.ndarray | None:
+        p = self._field(idx)
+        if not p:
+            return None
+        vp = self._indirect(p)
+        n = struct.unpack_from("<I", self.buf, vp)[0]
+        dt = np.dtype(dtype).newbyteorder("<")
+        return np.frombuffer(self.buf, dtype=dt,
+                             count=n, offset=vp + 4)
+
+    def table(self, idx: int) -> "_Tbl | None":
+        p = self._field(idx)
+        if not p:
+            return None
+        return _Tbl(self.buf, self._indirect(p))
+
+    def table_vector(self, idx: int) -> "list[_Tbl]":
+        p = self._field(idx)
+        if not p:
+            return []
+        vp = self._indirect(p)
+        n = struct.unpack_from("<I", self.buf, vp)[0]
+        out = []
+        for i in range(n):
+            ep = vp + 4 + 4 * i
+            out.append(_Tbl(self.buf, self._indirect(ep)))
+        return out
+
+
+def _root(buf: bytes) -> _Tbl:
+    return _Tbl(buf, struct.unpack_from("<I", buf, 0)[0])
+
+
+# ------------------------------------------------------------- header
+
+
+@dataclass
+class FgbColumn:
+    name: str
+    type: int
+
+
+@dataclass
+class FgbHeader:
+    name: str | None
+    envelope: np.ndarray | None
+    geometry_type: int
+    has_z: bool
+    has_m: bool
+    columns: list[FgbColumn]
+    features_count: int
+    index_node_size: int
+    crs_org: str | None = None
+    crs_code: int = 0
+    crs_wkt: str | None = None
+    header_end: int = 0          # byte offset where the index starts
+    index_size: int = 0          # bytes of the packed R-tree
+
+    @property
+    def data_start(self) -> int:
+        return self.header_end + self.index_size
+
+
+def _tree_level_sizes(n_items: int, node_size: int) -> list[int]:
+    """Packed-Hilbert-R-tree node counts per level, leaf level first
+    (spec's generateLevelBounds)."""
+    if n_items == 0:
+        return []
+    sizes = [n_items]
+    n = n_items
+    while True:  # spec do-while: even a single feature gets a root level
+        n = (n + node_size - 1) // node_size
+        sizes.append(n)
+        if n == 1:
+            break
+    return sizes
+
+
+def packed_rtree_size(n_items: int, node_size: int) -> int:
+    return 40 * sum(_tree_level_sizes(n_items, node_size))
+
+
+def read_header(buf: bytes) -> FgbHeader:
+    if buf[:8] != MAGIC:
+        raise ValueError("not a FlatGeobuf file (bad magic)")
+    hsize = struct.unpack_from("<I", buf, 8)[0]
+    h = _root(buf[12 : 12 + hsize])
+    cols = [
+        FgbColumn(c.string(0) or "", c.scalar(1, "B"))
+        for c in h.table_vector(7)
+    ]
+    feat_count = h.scalar(8, "Q", 0)
+    node_size = h.scalar(9, "H", 16)
+    crs = h.table(10)
+    env = h.vector(1, np.float64)
+    hdr = FgbHeader(
+        name=h.string(0),
+        envelope=env.copy() if env is not None else None,
+        geometry_type=h.scalar(2, "B", 0),
+        has_z=bool(h.scalar(3, "?", False)),
+        has_m=bool(h.scalar(4, "?", False)),
+        columns=cols,
+        features_count=int(feat_count),
+        index_node_size=int(node_size),
+        crs_org=crs.string(0) if crs else None,
+        crs_code=crs.scalar(1, "i", 0) if crs else 0,
+        crs_wkt=crs.string(4) if crs else None,
+        header_end=12 + hsize,
+    )
+    if node_size > 0 and feat_count > 0:
+        hdr.index_size = packed_rtree_size(int(feat_count), int(node_size))
+    return hdr
+
+
+def read_index(buf: bytes, hdr: FgbHeader):
+    """→ (boxes (n,4) float64, offsets (n,) uint64) of the LEAF nodes
+    (one per feature, Hilbert order — offsets relative to data_start)."""
+    sizes = _tree_level_sizes(hdr.features_count, hdr.index_node_size)
+    if not sizes:
+        return np.zeros((0, 4)), np.zeros(0, np.uint64)
+    n_upper = sum(sizes[1:])
+    start = hdr.header_end + 40 * n_upper
+    raw = np.frombuffer(
+        buf, dtype=np.dtype("<f8"), count=hdr.features_count * 5,
+        offset=start,
+    ).reshape(hdr.features_count, 5)
+    boxes = raw[:, :4].copy()
+    offsets = raw[:, 4:].copy().view(np.uint64).reshape(-1)
+    return boxes, offsets
+
+
+# ------------------------------------------------------------ geometry
+
+
+def _geom_to_wkb(g: _Tbl | None, gtype: int) -> bytes | None:
+    """FlatGeobuf Geometry table → little-endian 2-D WKB."""
+    from gdal_ray.geom import wkb as W
+
+    if g is None:
+        return None
+    t = g.scalar(6, "B", 0) or gtype
+    if t == GEOM_COLLECTION:
+        parts = [
+            _geom_to_wkb(p, p.scalar(6, "B", 0)) for p in g.table_vector(7)
+        ]
+        return W.geometrycollection_wkb([p for p in parts if p])
+    if t == GEOM_MULTIPOLYGON:
+        parts = g.table_vector(7)
+        if parts:
+            polys = []
+            for p in parts:
+                rings = _rings(p)
+                polys.append((rings[0], rings[1:]))
+            return W.multipolygon_wkb(polys)
+        rings = _rings(g)
+        return W.multipolygon_wkb([(rings[0], rings[1:])])
+    xy = g.vector(1, np.float64)
+    if xy is None:
+        return None
+    pts = xy.reshape(-1, 2)
+    if t == GEOM_POINT:
+        return W.point_wkb(float(pts[0, 0]), float(pts[0, 1]))
+    if t == GEOM_LINESTRING:
+        return W.linestring_wkb(pts)
+    if t == GEOM_POLYGON:
+        rings = _rings(g)
+        return W.polygon_wkb(rings[0], rings[1:])
+    if t == GEOM_MULTIPOINT:
+        return _multipoint_wkb(pts)
+    if t == GEOM_MULTILINESTRING:
+        ends = g.vector(0, np.uint32)
+        chains = _split_by_ends(pts, ends)
+        return _multilinestring_wkb(chains)
+    raise NotImplementedError(f"FlatGeobuf geometry type {t}")
+
+
+def _split_by_ends(pts: np.ndarray, ends) -> list[np.ndarray]:
+    if ends is None or len(ends) == 0:
+        return [pts]
+    out = []
+    start = 0
+    for e in ends:
+        out.append(pts[start : int(e)])
+        start = int(e)
+    return out
+
+
+def _rings(g: _Tbl) -> list[np.ndarray]:
+    xy = g.vector(1, np.float64).reshape(-1, 2)
+    return _split_by_ends(xy, g.vector(0, np.uint32))
+
+
+def _multipoint_wkb(pts: np.ndarray) -> bytes:
+    out = bytearray(struct.pack("<BII", 1, 4, len(pts)))
+    for x, y in pts:
+        out += struct.pack("<BIdd", 1, 1, x, y)
+    return bytes(out)
+
+
+def _multilinestring_wkb(chains: list[np.ndarray]) -> bytes:
+    from gdal_ray.geom import wkb as W
+
+    out = bytearray(struct.pack("<BII", 1, 5, len(chains)))
+    for c in chains:
+        out += W.linestring_wkb(c)
+    return bytes(out)
+
+
+# ----------------------------------------------------------- properties
+
+
+def _decode_properties(props: bytes, columns: list[FgbColumn]) -> dict:
+    out: dict = {}
+    pos = 0
+    n = len(props)
+    while pos + 2 <= n:
+        ci = struct.unpack_from("<H", props, pos)[0]
+        pos += 2
+        col = columns[ci]
+        if col.type in _SCALAR_FMT:
+            fmt, w = _SCALAR_FMT[col.type]
+            out[col.name] = struct.unpack_from("<" + fmt, props, pos)[0]
+            pos += w
+        else:  # String/Json/DateTime/Binary: uint32 len + bytes
+            ln = struct.unpack_from("<I", props, pos)[0]
+            pos += 4
+            raw = props[pos : pos + ln]
+            pos += ln
+            out[col.name] = (
+                raw if col.type == CT_BINARY else raw.decode("utf-8")
+            )
+    return out
+
+
+def parse_feature(buf: bytes, pos: int, hdr: FgbHeader):
+    """→ (row dict incl. 'geometry' WKB, next position)."""
+    size = struct.unpack_from("<I", buf, pos)[0]
+    fbuf = buf[pos + 4 : pos + 4 + size]
+    f = _root(fbuf)
+    row: dict = {}
+    props_vec = f.vector(1, np.uint8)
+    cols = f.table_vector(2)
+    columns = (
+        [FgbColumn(c.string(0) or "", c.scalar(1, "B")) for c in cols]
+        if cols else hdr.columns
+    )
+    if props_vec is not None and len(props_vec):
+        row.update(_decode_properties(props_vec.tobytes(), columns))
+    row["geometry"] = _geom_to_wkb(f.table(0), hdr.geometry_type)
+    return row, pos + 4 + size
+
+
+# ------------------------------------------------------------- dataset
+
+
+def _schema_fields(hdr: FgbHeader) -> list[pa.Field]:
+    fields = [pa.field(c.name, _ARROW_TYPE[c.type]) for c in hdr.columns]
+    fields.append(pa.field("geometry", pa.binary()))
+    return fields
+
+
+def read_flatgeobuf(
+    path: str,
+    bbox: tuple[float, float, float, float] | None = None,
+    rows_per_block: int = 4096,
+):
+    """FlatGeobuf → Ray Dataset of (attributes…, geometry WKB).
+
+    With an index: leaf offsets shard the feature section into
+    independent byte ranges (parallel tasks; a ``bbox`` prunes via the
+    leaf envelopes before any feature bytes are parsed — the driver's
+    spatial-filter pushdown role, ogrflatgeobuflayer.cpp). Without an
+    index: one sequential scan task (the format is then a pure
+    size-prefixed stream)."""
+    import ray
+    import ray.data as rd
+
+    from gdal_ray.vsi import vsi_read_bytes
+
+    buf = vsi_read_bytes(path)
+    hdr = read_header(buf)
+    schema = pa.schema(_schema_fields(hdr))
+
+    if hdr.index_size and hdr.features_count:
+        boxes, offsets = read_index(buf, hdr)
+        keep = np.arange(hdr.features_count)
+        if bbox is not None:
+            minx, miny, maxx, maxy = bbox
+            m = ~(
+                (boxes[:, 2] < minx) | (boxes[:, 0] > maxx)
+                | (boxes[:, 3] < miny) | (boxes[:, 1] > maxy)
+            )
+            keep = keep[m]
+        offs = np.sort(offsets[keep].astype(np.int64)) + hdr.data_start
+        buf_ref = ray.put(buf)
+
+        def load(batch: pa.Table) -> pa.Table:
+            data = ray.get(buf_ref)
+            rows = []
+            for p in batch["pos"].to_pylist():
+                row, _ = parse_feature(data, int(p), hdr)
+                rows.append(row)
+            return pa.Table.from_pylist(rows, schema=schema)
+
+        pos_ds = rd.from_arrow(pa.table({"pos": pa.array(offs)}))
+        if len(offs) > rows_per_block:
+            pos_ds = pos_ds.repartition(
+                max(1, len(offs) // rows_per_block)
+            )
+        return pos_ds.map_batches(load, batch_format="pyarrow")
+
+    # no index: sequential size-prefixed stream (single scan task)
+    rows = []
+    pos = hdr.data_start
+    while pos + 4 <= len(buf):
+        row, pos = parse_feature(buf, pos, hdr)
+        rows.append(row)
+    if not rows:
+        return rd.from_arrow(schema.empty_table())
+    return rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
