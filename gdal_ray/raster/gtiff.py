@@ -41,9 +41,10 @@ _T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
 _T_GDAL_NODATA = 42113
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
-              10: 8, 11: 4, 12: 8}
+              10: 8, 11: 4, 12: 8,
+              16: 8, 17: 8, 18: 8}   # BigTIFF LONG8 / SLONG8 / IFD8
 _TYPE_FMT = {1: "B", 2: "s", 3: "H", 4: "I", 6: "b", 8: "h", 9: "i",
-             11: "f", 12: "d"}
+             11: "f", 12: "d", 16: "Q", 17: "q", 18: "Q"}
 
 
 def _dtype_of(bits: int, fmt: int) -> np.dtype:
@@ -196,15 +197,29 @@ def _packbits_decode(data: bytes, expected: int) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def _read_ifd(data: bytes, bo: str, off: int) -> dict[int, tuple]:
-    (count,) = struct.unpack_from(bo + "H", data, off)
+def _read_ifd(data: bytes, bo: str, off: int,
+              big: bool = False) -> dict[int, tuple]:
+    """One IFD → {tag: values}. ``big`` = BigTIFF layout (uint64 entry
+    count, 20-byte entries with 8-byte counts and inline values)."""
+    if big:
+        (count,) = struct.unpack_from(bo + "Q", data, off)
+        ebase, esize, inline = off + 8, 20, 8
+    else:
+        (count,) = struct.unpack_from(bo + "H", data, off)
+        ebase, esize, inline = off + 2, 12, 4
     tags: dict[int, tuple] = {}
     for i in range(count):
-        tag, typ, cnt = struct.unpack_from(bo + "HHI", data, off + 2 + 12 * i)
+        if big:
+            tag, typ, cnt = struct.unpack_from(
+                bo + "HHQ", data, ebase + esize * i)
+        else:
+            tag, typ, cnt = struct.unpack_from(
+                bo + "HHI", data, ebase + esize * i)
         size = _TYPE_SIZE.get(typ, 1) * cnt
-        vpos = off + 2 + 12 * i + 8
-        if size > 4:
-            (vpos,) = struct.unpack_from(bo + "I", data, vpos)
+        vpos = ebase + esize * i + (12 if big else 8)
+        if size > inline:
+            (vpos,) = struct.unpack_from(bo + ("Q" if big else "I"),
+                                         data, vpos)
         if typ == 2:  # ascii
             val = data[vpos : vpos + cnt].split(b"\0")[0].decode(
                 "latin-1", "replace")
@@ -251,20 +266,42 @@ def _geotransform(tags: dict) -> tuple[float, ...]:
     return (0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
 
 
-def ifd_offsets(data: bytes) -> list[int]:
-    """All IFD offsets in the file (the chain: full-res + overviews)."""
+def _tiff_layout(data: bytes) -> tuple[str, bool]:
+    """→ (byte order, is_bigtiff); validates both magics."""
     if data[:2] == b"II":
         bo = "<"
     elif data[:2] == b"MM":
         bo = ">"
     else:
         raise ValueError("not a TIFF (bad byte order mark)")
-    (off,) = struct.unpack_from(bo + "I", data, 4)
+    (magic,) = struct.unpack_from(bo + "H", data, 2)
+    if magic == 42:
+        return bo, False
+    if magic == 43:
+        offsize, pad = struct.unpack_from(bo + "HH", data, 4)
+        if offsize != 8 or pad != 0:
+            raise ValueError("BigTIFF with non-8-byte offsets")
+        return bo, True
+    raise ValueError("not a TIFF (bad magic)")
+
+
+def ifd_offsets(data: bytes) -> list[int]:
+    """All IFD offsets in the file (the chain: full-res + overviews),
+    classic or BigTIFF."""
+    bo, big = _tiff_layout(data)
+    if big:
+        (off,) = struct.unpack_from(bo + "Q", data, 8)
+    else:
+        (off,) = struct.unpack_from(bo + "I", data, 4)
     out = []
     while off:
         out.append(off)
-        (count,) = struct.unpack_from(bo + "H", data, off)
-        (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * count)
+        if big:
+            (count,) = struct.unpack_from(bo + "Q", data, off)
+            (off,) = struct.unpack_from(bo + "Q", data, off + 8 + 20 * count)
+        else:
+            (count,) = struct.unpack_from(bo + "H", data, off)
+            (off,) = struct.unpack_from(bo + "I", data, off + 2 + 12 * count)
         if len(out) > 64:
             raise ValueError("IFD chain too long (corrupt file?)")
     return out
@@ -274,19 +311,9 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
     """GeoTIFF bytes → {"bands": [2-D arrays], "crs", "geotransform",
     "nodata", "photometric"}. ``ifd_index`` selects an overview IFD
     (0 = full resolution)."""
-    if data[:2] == b"II":
-        bo = "<"
-    elif data[:2] == b"MM":
-        bo = ">"
-    else:
-        raise ValueError("not a TIFF (bad byte order mark)")
-    (magic,) = struct.unpack_from(bo + "H", data, 2)
-    if magic == 43:
-        raise ValueError("BigTIFF not supported (classic TIFF only)")
-    if magic != 42:
-        raise ValueError("not a TIFF (bad magic)")
+    bo, big = _tiff_layout(data)
     ifd_off = ifd_offsets(data)[ifd_index]
-    tags = _read_ifd(data, bo, ifd_off)
+    tags = _read_ifd(data, bo, ifd_off, big=big)
 
     w = tags[_T_WIDTH][0]
     h = tags[_T_HEIGHT][0]
@@ -393,9 +420,13 @@ def encode_geotiff(
     geotransform: tuple[float, ...] = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
     nodata: float | None = None,
     compression: str = "deflate",
+    bigtiff: bool | None = None,
 ) -> bytes:
-    """Bands (equal-shape 2-D arrays) → classic GeoTIFF bytes
-    (little-endian, striped, chunky)."""
+    """Bands (equal-shape 2-D arrays) → GeoTIFF bytes (little-endian,
+    striped, chunky). ``bigtiff``: True forces the BigTIFF (magic 43,
+    64-bit offset) layout, None auto-selects it when the payload could
+    cross 4 GiB — the reference GTiff driver's IF_NEEDED behavior
+    (frmts/gtiff, BIGTIFF=IF_NEEDED)."""
     if isinstance(bands, np.ndarray) and bands.ndim == 2:
         bands = [bands]
     h, w = bands[0].shape
@@ -464,16 +495,24 @@ def encode_geotiff(
         txt = (repr(float(nodata)) + "\0").encode()
         entry(_T_GDAL_NODATA, 2, txt)
 
+    data_bytes = sum(len(s) for s in strips)
+    if bigtiff is None:
+        # IF_NEEDED: header+tables slack well under 64 KiB here
+        bigtiff = data_bytes + 65536 > 0xFFFFFFFF
+    big = bool(bigtiff)
+
     # layout: header | strip data | strip tables + overflow | IFD
-    pos = 8
+    pos = 16 if big else 8
     strip_offsets = []
     for s in strips:
         strip_offsets.append(pos)
         pos += len(s)
-    entry(_T_STRIP_OFF, 4, tuple(strip_offsets))
-    entry(_T_STRIP_CNT, 4, tuple(len(s) for s in strips))
+    off_type = 16 if big else 4          # LONG8 in BigTIFF
+    entry(_T_STRIP_OFF, off_type, tuple(strip_offsets))
+    entry(_T_STRIP_CNT, off_type, tuple(len(s) for s in strips))
     entries.sort(key=lambda e: e[0])
 
+    inline = 8 if big else 4
     overflow = bytearray()
     packed = []
     ifd_off0 = pos  # overflow grows before IFD; two-pass
@@ -485,9 +524,10 @@ def encode_geotiff(
         else:
             size = _TYPE_SIZE[typ] * len(vals)
         sizes.append(size)
-    total_overflow = sum(s for s in sizes if s > 4)
+    total_overflow = sum(s for s in sizes if s > inline)
     ifd_off = ifd_off0 + total_overflow
     ovpos = ifd_off0
+    cnt_fmt = "Q" if big else "I"
     for (tag, typ, vals), size in zip(entries, sizes):
         if typ == 2:
             blob = bytes(vals)
@@ -495,22 +535,27 @@ def encode_geotiff(
         else:
             blob = struct.pack("<%d%s" % (len(vals), _TYPE_FMT[typ]), *vals)
             cnt = len(vals)
-        if size > 4:
-            packed.append(struct.pack("<HHII", tag, typ, cnt, ovpos))
+        if size > inline:
+            packed.append(
+                struct.pack("<HH" + cnt_fmt * 2, tag, typ, cnt, ovpos)
+            )
             overflow += blob
             ovpos += size
         else:
-            packed.append(struct.pack("<HHI", tag, typ, cnt)
-                          + blob.ljust(4, b"\0"))
+            packed.append(struct.pack("<HH" + cnt_fmt, tag, typ, cnt)
+                          + blob.ljust(inline, b"\0"))
     out = bytearray()
-    out += b"II" + struct.pack("<HI", 42, ifd_off)
+    if big:
+        out += b"II" + struct.pack("<HHHQ", 43, 8, 0, ifd_off)
+    else:
+        out += b"II" + struct.pack("<HI", 42, ifd_off)
     for s in strips:
         out += s
     out += overflow
-    out += struct.pack("<H", len(packed))
+    out += struct.pack("<" + ("Q" if big else "H"), len(packed))
     for p in packed:
         out += p
-    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<" + ("Q" if big else "I"), 0)  # next IFD
     return bytes(out)
 
 

@@ -211,3 +211,73 @@ class TestCOG:
         write_cog(str(p), [a])
         g = decode_geotiff(p.read_bytes())
         assert np.array_equal(g["bands"][0], a)
+
+
+class TestBigTIFF:
+    """BigTIFF (magic 43, 64-bit offsets) — reference fixture parity
+    across byte orders and offset types (frmts/gtiff BigTIFF support;
+    fixtures from autotest/gcore/data/bigtiff_*.tif) + write
+    roundtrip with IF_NEEDED auto-promotion."""
+
+    def test_reference_fixtures_all_variants(self):
+        import glob
+
+        expected = {
+            "bigtiff_one_strip": ((1, 1), 3),
+            "bigtiff_two_strip": ((2, 1), 9),
+            "bigtiff_four_strip": ((4, 1), 27),
+            "bigtiff_one_block": ((1, 1), 3),
+        }
+        seen = 0
+        for f in sorted(glob.glob(
+            "/root/reference/autotest/gcore/data/bigtiff_*.tif"
+        )):
+            if "header_extract" in f:   # intentionally truncated
+                continue
+            d = gtiff.decode_geotiff(open(f, "rb").read())
+            b = d["bands"][0]
+            for stem, (shape, cks) in expected.items():
+                if stem in f:
+                    assert b.shape == shape, f
+                    assert checksum_array(b) == cks, f
+                    seen += 1
+        assert seen >= 12   # le/be x long/long8/short variants
+
+    def test_forced_bigtiff_roundtrip(self):
+        arr = (np.arange(200 * 300, dtype=np.uint16) % 1000).reshape(
+            200, 300)
+        blob = gtiff.encode_geotiff(
+            [arr, (arr * 2) % 999], crs="EPSG:32633",
+            geotransform=(10.0, 2.0, 0.0, 20.0, 0.0, -2.0),
+            nodata=7.0, bigtiff=True,
+        )
+        assert blob[2:4] == b"\x2b\x00"         # magic 43
+        assert blob[4:8] == b"\x08\x00\x00\x00"  # offsetsize 8, pad 0
+        d = gtiff.decode_geotiff(blob)
+        assert np.array_equal(d["bands"][0], arr)
+        assert np.array_equal(d["bands"][1], (arr * 2) % 999)
+        assert d["crs"] == "EPSG:32633" and d["nodata"] == 7.0
+        assert d["geotransform"] == (10.0, 2.0, 0.0, 20.0, 0.0, -2.0)
+
+    def test_small_stays_classic(self):
+        blob = gtiff.encode_geotiff(np.zeros((4, 4), np.uint8))
+        assert blob[2:4] == b"\x2a\x00"
+
+    @pytest.mark.skipif(
+        os.environ.get("GDAL_RAY_SLOW") != "1",
+        reason="4 GiB allocation; set GDAL_RAY_SLOW=1",
+    )
+    def test_over_4gib_auto_promotes(self):
+        """>4 GiB uncompressed payload: IF_NEEDED must emit BigTIFF and
+        the strip offsets past 2^32 must read back exactly."""
+        h, w = 33000, 33000  # uint32 -> 4.356 GB
+        arr = np.zeros((h, w), np.uint32)
+        arr[::1000, ::1000] = np.arange(33 * 33, dtype=np.uint32).reshape(
+            33, 33)
+        blob = gtiff.encode_geotiff(arr, compression="none")
+        assert blob[2:4] == b"\x2b\x00"
+        assert len(blob) > 0xFFFFFFFF
+        d = gtiff.decode_geotiff(blob)
+        assert np.array_equal(d["bands"][0][::1000, ::1000],
+                              arr[::1000, ::1000])
+        assert int(d["bands"][0].sum()) == int(arr.sum())
