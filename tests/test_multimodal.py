@@ -76,3 +76,28 @@ def test_png_decoder_real_roundtrip(ray_session):
         shape = tuple(row["pixels_shape"])
         got = np.frombuffer(row["pixels"], dtype=np.uint8).reshape(shape)
         assert (got == imgs[row["img_id"]]).all()
+
+
+class TestWebpDecodeStage:
+    def test_webp_actor_pool_decode(self, ray_session):
+        """Lossless-WebP media column decodes to RGBA tensors through
+        the same actor-pool plumbing (engine VP8L codec)."""
+        import ray.data as rd
+
+        from gdal_ray.raster.webp import encode_webp_lossless
+        from gdal_ray.stages.multimodal import webp_decode_stage
+
+        rng = np.random.default_rng(12)
+        imgs = [rng.integers(0, 256, (5, 7, 4), dtype=np.uint8)
+                for _ in range(4)]
+        t = pa.table({
+            "id": pa.array(range(4), pa.int64()),
+            "media": pa.array([encode_webp_lossless(i) for i in imgs],
+                              pa.binary()),
+        })
+        out = webp_decode_stage(rd.from_arrow(t), concurrency=1) \
+            .to_pandas().sort_values("id")
+        for i, row in out.iterrows():
+            got = np.frombuffer(row["pixels"], np.uint8).reshape(
+                row["pixels_shape"])
+            assert np.array_equal(got, imgs[row["id"]])
