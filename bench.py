@@ -148,6 +148,11 @@ def run_queries() -> dict:
         "embed_topk",
         "asof_join",
         "box_overlay",
+        # round-4 additions
+        "ntv2_shift",
+        "sql_st_funcs",
+        "text_fingerprints",
+        "stats_agg",
     ]
     q = entrymod.queries()
     out = {}

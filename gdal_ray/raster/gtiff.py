@@ -4,17 +4,22 @@ libgeotiff geo_normalize.c for the GeoKey → CRS mapping; formats
 re-derived from the public TIFF 6.0 + GeoTIFF 1.1 (OGC 19-008r4)
 specifications, no code ported).
 
-Scope (classic TIFF, the overwhelmingly common profile):
-- read: striped + tiled, chunky (PlanarConfig=1) + separate (=2),
+Scope:
+- read: classic TIFF and BigTIFF (round 4 — magic 43, 64-bit
+  offsets, LONG8/SLONG8/IFD8, both byte orders), striped + tiled,
+  chunky (PlanarConfig=1) + separate (=2),
   uint8/int8/uint16/int16/uint32/int32/float32/float64, compression
   none (1) / LZW (5) / DEFLATE (8, 32946) / PackBits (32773),
-  horizontal-differencing predictor (2), both byte orders,
+  horizontal-differencing predictor (2),
   ModelPixelScale+ModelTiepoint or ModelTransformation
-  geotransforms, EPSG codes from GeoKeyDirectory, GDAL_NODATA.
-- write: striped, chunky, none/DEFLATE, GeoKeys for EPSG codes,
-  ModelPixelScale+Tiepoint, GDAL_NODATA.
-- out of scope (documented): BigTIFF, bit depths < 8, floating-point
-  predictor 3, JPEG-in-TIFF, overviews/subIFDs.
+  geotransforms, EPSG codes from GeoKeyDirectory, GDAL_NODATA,
+  overview IFD chains (``ifd_index=``).
+- write: striped, chunky, none/DEFLATE/LZW, GeoKeys for EPSG codes,
+  ModelPixelScale+Tiepoint, GDAL_NODATA; classic or BigTIFF with
+  IF_NEEDED auto-promotion past 4 GiB (``bigtiff=``); tiled COG with
+  internal overview IFDs via ``encode_cog``.
+- out of scope (documented): bit depths < 8, floating-point
+  predictor 3, JPEG-in-TIFF.
 
 Dataset-level wrappers mirror the PNG codec's layout: one file = one
 read task (`read_geotiff` → the engine's tile-table model), atomic
