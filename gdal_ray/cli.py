@@ -119,6 +119,10 @@ def build_pipeline(spec: str):
         from gdal_ray import flatgeobuf
 
         source = lambda: flatgeobuf.read_flatgeobuf(src_path)  # noqa: E731
+    elif low.endswith((".arrow", ".arrows", ".feather")):
+        from gdal_ray import arrowipc
+
+        source = lambda: arrowipc.read_arrow_ipc(src_path)  # noqa: E731
     elif low.endswith(".gpkg"):
         from gdal_ray import gpkg
 
