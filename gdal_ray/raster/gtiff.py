@@ -117,15 +117,18 @@ def _lzw_decode(data: bytes, expected: int) -> bytes:
             out += entry
             table.append(entry)
         old = entry
-        # early change, lag-corrected: the decoder runs one table
-        # entry behind the encoder, so it must widen one entry before
-        # the encoder's 511/1023/2047 switch points (libtiff parity,
-        # validated by encoder round-trip through all widths)
-        if len(table) == 510:
+        # early change: widen when the next free code reaches
+        # 2^width − 1 (libtiff tif_lzw.c: maxcodep = nbitsmask − 1,
+        # widen when free_entp passes it) — i.e. table length 511/
+        # 1023/2047.  Round-4 fix: the old 510/1022/2046 boundaries
+        # desynced one code early on streams whose table crossed 510
+        # (first seen on the reference's predictor-3 LZW fixtures;
+        # earlier fixtures never grew the table past 510).
+        if len(table) == 511:
             width = 10
-        elif len(table) == 1022:
+        elif len(table) == 1023:
             width = 11
-        elif len(table) == 2046:
+        elif len(table) == 2047:
             width = 12
     return bytes(out)
 
@@ -158,13 +161,16 @@ def _lzw_encode(data: bytes) -> bytes:
         emit(table[w], width)
         table[w + c] = nxt
         nxt += 1
-        # early change: width grows when the NEXT code to assign
-        # would not fit with one slot spare
-        if nxt == 511:
+        # width grows one table entry LATER than the decoder's
+        # 511/1023/2047 switch points because the decoder's table lags
+        # the encoder by exactly one entry (round-4 fix: both sides
+        # moved one step to libtiff's boundaries — verified against
+        # the reference's predictor-3 LZW fixtures, checksum 4672)
+        if nxt == 512:
             width = 10
-        elif nxt == 1023:
+        elif nxt == 1024:
             width = 11
-        elif nxt == 2047:
+        elif nxt == 2048:
             width = 12
         elif nxt == 4095:
             emit(256, width)
@@ -331,8 +337,6 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
     comp = tags.get(_T_COMP, (1,))[0]
     planar = tags.get(_T_PLANAR, (1,))[0]
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
-    if predictor == 3:
-        raise ValueError("floating-point predictor not supported")
     itemsize = dt.itemsize
 
     def blocks():
@@ -378,8 +382,27 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
         elif comp != 1:
             raise ValueError(f"unsupported TIFF compression {comp}")
         raw = raw[:expect].ljust(expect, b"\0")
-        arr = np.frombuffer(raw, dtype=dt).reshape(full_h, bw, ns)
-        arr = arr.astype(dt.newbyteorder("="))
+        if predictor == 3:
+            # floating-point predictor (libtiff fpAcc semantics): per
+            # row, byte-wise horizontal accumulation at sample stride,
+            # then the row's bytes are byte-PLANES, MSB plane first —
+            # un-shuffle to big-endian values
+            rows = np.frombuffer(raw, np.uint8).reshape(
+                full_h, bw * ns * itemsize).copy()
+            for r in range(ns):
+                lane = rows[:, r::ns]
+                rows[:, r::ns] = np.cumsum(
+                    lane.astype(np.uint64), axis=1
+                ).astype(np.uint8)
+            wc = bw * ns
+            planes = rows.reshape(full_h, itemsize, wc)
+            be = np.ascontiguousarray(planes.transpose(0, 2, 1))
+            arr = be.reshape(full_h, -1).view(
+                dt.newbyteorder(">")).reshape(full_h, bw, ns)
+            arr = arr.astype(dt.newbyteorder("="))
+        else:
+            arr = np.frombuffer(raw, dtype=dt).reshape(full_h, bw, ns)
+            arr = arr.astype(dt.newbyteorder("="))
         if predictor == 2:
             # horizontal differencing: modular cumsum along the row
             # (wide accumulate then cast back wraps exactly)
