@@ -26,6 +26,7 @@ to intersecting leaves before any feature bytes move.
 
 from __future__ import annotations
 
+import os
 import struct
 from dataclasses import dataclass
 
@@ -425,3 +426,268 @@ def read_flatgeobuf(
     if not rows:
         return rd.from_arrow(schema.empty_table())
     return rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+
+
+# ------------------------------------------------------------- writer
+# Minimal back-to-front FlatBuffers builder (the standard algorithm:
+# objects prepend, positions are distances from the buffer end, a u32
+# reference = field_end_distance − target_end_distance). Only what the
+# FlatGeobuf tables need: scalar fields, strings, scalar vectors,
+# table fields and vectors of tables.
+
+
+class FBBuilder:
+    def __init__(self):
+        self.buf = bytearray()   # grows at the FRONT (prepend)
+        self.minalign = 4
+
+    def _prepend(self, b: bytes):
+        self.buf[:0] = b
+
+    def _align(self, size: int, extra: int = 0):
+        self.minalign = max(self.minalign, size)
+        while (len(self.buf) + extra) % size:
+            self._prepend(b"\0")
+
+    @property
+    def pos(self) -> int:
+        return len(self.buf)
+
+    def string(self, s: str) -> int:
+        raw = s.encode("utf-8") + b"\0"
+        self._align(4, 4 + len(raw))
+        self._prepend(struct.pack("<I", len(raw) - 1) + raw)
+        return self.pos
+
+    def vector_scalar(self, arr: np.ndarray) -> int:
+        data = np.ascontiguousarray(arr).astype(
+            arr.dtype.newbyteorder("<"), copy=False).tobytes()
+        self._align(max(4, arr.dtype.itemsize), 4 + len(data))
+        self._prepend(struct.pack("<I", len(arr)) + data)
+        return self.pos
+
+    def vector_offsets(self, positions: list[int]) -> int:
+        self._align(4, 4 + 4 * len(positions))
+        body = bytearray(struct.pack("<I", len(positions)))
+        base = self.pos + 4 + 4 * len(positions)
+        for i, p in enumerate(positions):
+            field_pos = base - 4 - 4 * i
+            body += struct.pack("<I", field_pos - p)
+        self._prepend(bytes(body))
+        return self.pos
+
+    def table(self, fields: dict[int, tuple]) -> int:
+        """fields: idx → ("u8"|"u16"|"u32"|"u64"|"i32"|"f64"|"bool",
+        value) for scalars, or ("ref", position) for
+        strings/vectors/subtables. Returns the table position."""
+        fmts = {"u8": ("B", 1), "bool": ("?", 1), "u16": ("H", 2),
+                "u32": ("I", 4), "i32": ("i", 4), "u64": ("Q", 8),
+                "f64": ("d", 8)}
+        # lay out fields after the 4-byte soffset, biggest first for
+        # tight alignment
+        order = sorted(
+            fields,
+            key=lambda i: -(4 if fields[i][0] == "ref"
+                            else fmts[fields[i][0]][1]),
+        )
+        off = 4
+        slots: dict[int, int] = {}
+        for i in order:
+            kind = fields[i][0]
+            size = 4 if kind == "ref" else fmts[kind][1]
+            off = (off + size - 1) // size * size
+            slots[i] = off
+            off += size
+        tbl_size = off
+        n_slots = (max(fields) + 1) if fields else 0
+        vt_size = 4 + 2 * n_slots
+        # prepend table body (fields filled below), then vtable BELOW
+        # it in prepend order → vtable at lower final address,
+        # soffset = table_addr − vtable_addr = vt_size > 0
+        self._align(8, tbl_size)          # largest scalar alignment
+        body = bytearray(tbl_size)
+        table_pos_after = self.pos + tbl_size   # position of table start
+        for i, (kind, val) in fields.items():
+            o = slots[i]
+            if kind == "ref":
+                field_pos = table_pos_after - o
+                struct.pack_into("<I", body, o, field_pos - val)
+            else:
+                struct.pack_into("<" + fmts[kind][0], body, o, val)
+        struct.pack_into("<i", body, 0, vt_size)
+        self._prepend(bytes(body))
+        tpos = self.pos
+        vt = bytearray(struct.pack("<HH", vt_size, tbl_size))
+        for i in range(n_slots):
+            vt += struct.pack("<H", slots.get(i, 0))
+        self._prepend(bytes(vt))
+        return tpos
+
+    def finish(self, root_pos: int) -> bytes:
+        self._align(self.minalign, 4)
+        self._prepend(struct.pack("<I", self.pos + 4 - root_pos))
+        return bytes(self.buf)
+
+
+_CT_OF_ARROW = {
+    pa.int8(): CT_BYTE, pa.uint8(): CT_UBYTE, pa.bool_(): CT_BOOL,
+    pa.int16(): CT_SHORT, pa.uint16(): CT_USHORT, pa.int32(): CT_INT,
+    pa.uint32(): CT_UINT, pa.int64(): CT_LONG, pa.uint64(): CT_ULONG,
+    pa.float32(): CT_FLOAT, pa.float64(): CT_DOUBLE,
+    pa.string(): CT_STRING, pa.binary(): CT_BINARY,
+}
+
+
+def _build_geometry(b: FBBuilder, wkb_buf: bytes) -> tuple[int, int]:
+    """WKB → (Geometry table position, FlatGeobuf geometry type)."""
+    from gdal_ray.geom import wkb as W
+
+    g = W.parse(wkb_buf)
+    t = g["type"]
+    if t == W.POINT:
+        xy = b.vector_scalar(np.asarray(g["coords"],
+                                        np.float64).reshape(-1))
+        return b.table({1: ("ref", xy), 6: ("u8", GEOM_POINT)}), GEOM_POINT
+    if t == W.LINESTRING:
+        xy = b.vector_scalar(np.asarray(g["coords"],
+                                        np.float64).reshape(-1))
+        return (b.table({1: ("ref", xy), 6: ("u8", GEOM_LINESTRING)}),
+                GEOM_LINESTRING)
+    if t == W.POLYGON:
+        rings = g["rings"]
+        flat = np.vstack(rings).astype(np.float64).reshape(-1)
+        fields: dict[int, tuple] = {6: ("u8", GEOM_POLYGON)}
+        if len(rings) > 1:
+            ends = np.cumsum([len(r) for r in rings]).astype(np.uint32)
+            fields[0] = ("ref", b.vector_scalar(ends))
+        fields[1] = ("ref", b.vector_scalar(flat))
+        return b.table(fields), GEOM_POLYGON
+    if t == W.MULTIPOLYGON:
+        parts = []
+        for part in g["parts"]:
+            rings = part["rings"]
+            flat = np.vstack(rings).astype(np.float64).reshape(-1)
+            f: dict[int, tuple] = {6: ("u8", GEOM_POLYGON)}
+            if len(rings) > 1:
+                ends = np.cumsum([len(r) for r in rings]).astype(
+                    np.uint32)
+                f[0] = ("ref", b.vector_scalar(ends))
+            f[1] = ("ref", b.vector_scalar(flat))
+            parts.append(b.table(f))
+        pv = b.vector_offsets(parts)
+        return (b.table({6: ("u8", GEOM_MULTIPOLYGON), 7: ("ref", pv)}),
+                GEOM_MULTIPOLYGON)
+    if t == W.MULTILINESTRING:
+        chains = [p["coords"] for p in g["parts"]]
+        flat = np.vstack(chains).astype(np.float64).reshape(-1)
+        ends = np.cumsum([len(c) for c in chains]).astype(np.uint32)
+        return (b.table({
+            0: ("ref", b.vector_scalar(ends)),
+            1: ("ref", b.vector_scalar(flat)),
+            6: ("u8", GEOM_MULTILINESTRING),
+        }), GEOM_MULTILINESTRING)
+    if t == W.MULTIPOINT:
+        pts = np.vstack([p["coords"] for p in g["parts"]]).astype(
+            np.float64)
+        return (b.table({
+            1: ("ref", b.vector_scalar(pts.reshape(-1))),
+            6: ("u8", GEOM_MULTIPOINT),
+        }), GEOM_MULTIPOINT)
+    raise NotImplementedError(f"FlatGeobuf write: geometry type {t}")
+
+
+def _encode_properties(row: dict, columns: list[FgbColumn]) -> bytes:
+    out = bytearray()
+    for ci, col in enumerate(columns):
+        v = row.get(col.name)
+        if v is None:
+            continue
+        out += struct.pack("<H", ci)
+        if col.type in _SCALAR_FMT:
+            fmt, _ = _SCALAR_FMT[col.type]
+            out += struct.pack("<" + fmt, v)
+        elif col.type == CT_BINARY:
+            out += struct.pack("<I", len(v)) + bytes(v)
+        else:
+            raw = str(v).encode("utf-8")
+            out += struct.pack("<I", len(raw)) + raw
+    return bytes(out)
+
+
+def write_flatgeobuf(table: pa.Table, path: str, name: str = "layer",
+                     geom_col: str = "geometry",
+                     crs_code: int = 0) -> None:
+    """Arrow table (attributes + WKB geometry) → indexless FlatGeobuf
+    (index_node_size = 0, the spec's streamed layout — readable by our
+    sequential path and any spec reader; the packed R-tree is a
+    read-side optimization this writer omits)."""
+    from gdal_ray.geom import wkb as W
+
+    columns = [
+        FgbColumn(f.name, _CT_OF_ARROW[f.type])
+        for f in table.schema if f.name != geom_col
+    ]
+    geoms = table[geom_col].to_pylist()
+    gtypes = set()
+    feats = []
+    env = [np.inf, np.inf, -np.inf, -np.inf]
+    rows = table.to_pylist()
+    for row in rows:
+        gbuf = row[geom_col]
+        if gbuf is not None:
+            minx, miny, maxx, maxy = W.bounds(gbuf)
+            env[0] = min(env[0], minx)
+            env[1] = min(env[1], miny)
+            env[2] = max(env[2], maxx)
+            env[3] = max(env[3], maxy)
+    out = bytearray(MAGIC)
+    # header
+    hb = FBBuilder()
+    col_pos = []
+    for c in columns:
+        npos = hb.string(c.name)
+        col_pos.append(hb.table({0: ("ref", npos), 1: ("u8", c.type)}))
+    cols_vec = hb.vector_offsets(col_pos) if col_pos else None
+    for g in geoms:
+        if g is not None:
+            gtypes.add(W.geometry_type(g) % 1000)
+    gtype = gtypes.pop() if len(gtypes) == 1 else 0
+    hfields: dict[int, tuple] = {
+        2: ("u8", gtype),
+        8: ("u64", len(rows)),
+        9: ("u16", 0),            # no index
+    }
+    hfields[0] = ("ref", hb.string(name))
+    if np.isfinite(env[0]):
+        hfields[1] = ("ref", hb.vector_scalar(np.array(env, np.float64)))
+    if cols_vec is not None:
+        hfields[7] = ("ref", cols_vec)
+    if crs_code:
+        org = hb.string("EPSG")
+        hfields[10] = ("ref", hb.table({0: ("ref", org),
+                                        1: ("i32", crs_code)}))
+    hdr_bytes = hb.finish(hb.table(hfields))
+    out += struct.pack("<I", len(hdr_bytes)) + hdr_bytes
+    # features
+    for row in rows:
+        fb = FBBuilder()
+        ffields: dict[int, tuple] = {}
+        props = _encode_properties(row, columns)
+        if props:
+            ffields[1] = ("ref", fb.vector_scalar(
+                np.frombuffer(props, np.uint8)))
+        if row[geom_col] is not None:
+            gpos, _ = _build_geometry(fb, row[geom_col])
+            ffields[0] = ("ref", gpos)
+        fbytes = fb.finish(fb.table(ffields))
+        out += struct.pack("<I", len(fbytes)) + fbytes
+    from gdal_ray.vsi import is_vsi, vsi_open
+
+    if is_vsi(path):
+        with vsi_open(path, "wb") as f:
+            f.write(bytes(out))
+    else:
+        with open(path + ".tmp", "wb") as f:
+            f.write(bytes(out))
+        os.replace(path + ".tmp", path)
+
