@@ -374,23 +374,43 @@ def read_flatgeobuf(
 ):
     """FlatGeobuf → Ray Dataset of (attributes…, geometry WKB).
 
-    With an index: leaf offsets shard the feature section into
-    independent byte ranges (parallel tasks; a ``bbox`` prunes via the
-    leaf envelopes before any feature bytes are parsed — the driver's
-    spatial-filter pushdown role, ogrflatgeobuflayer.cpp). Without an
-    index: one sequential scan task (the format is then a pure
-    size-prefixed stream)."""
+    The driver touches only the header + R-tree index (O(features /
+    node_size) bytes); feature BYTES never land on the driver for
+    plain files — each task opens the file and ``seek``-reads its own
+    offset list (the OS page cache coalesces). With an index the leaf
+    offsets shard the feature section directly and a ``bbox`` prunes
+    via the leaf envelopes before any feature bytes move (the spatial
+    -filter pushdown role, ogrflatgeobuflayer.cpp). Without an index,
+    offsets come from one cheap size-prefix walk (4 bytes per feature
+    read sequentially — no parsing), then the same sharded load runs.
+    VSI paths (in-memory/archive) are broadcast once via ``ray.put``.
+    """
     import ray
     import ray.data as rd
 
-    from gdal_ray.vsi import vsi_read_bytes
+    from gdal_ray.vsi import is_vsi, vsi_read_bytes
 
-    buf = vsi_read_bytes(path)
-    hdr = read_header(buf)
+    vsi_path = is_vsi(path)
+    if vsi_path:
+        buf = vsi_read_bytes(path)
+        head = buf
+    else:
+        with open(path, "rb") as f:
+            head = f.read(12)
+            hsize = struct.unpack_from("<I", head, 8)[0]
+            f.seek(0)
+            head = f.read(12 + hsize)
+    hdr = read_header(head if not vsi_path else buf)
     schema = pa.schema(_schema_fields(hdr))
 
     if hdr.index_size and hdr.features_count:
-        boxes, offsets = read_index(buf, hdr)
+        if vsi_path:
+            idx_bytes = buf
+        else:
+            with open(path, "rb") as f:
+                f.seek(0)
+                idx_bytes = f.read(hdr.header_end + hdr.index_size)
+        boxes, offsets = read_index(idx_bytes, hdr)
         keep = np.arange(hdr.features_count)
         if bbox is not None:
             minx, miny, maxx, maxy = bbox
@@ -400,32 +420,54 @@ def read_flatgeobuf(
             )
             keep = keep[m]
         offs = np.sort(offsets[keep].astype(np.int64)) + hdr.data_start
-        buf_ref = ray.put(buf)
+    else:
+        # size-prefix walk: offsets without parsing any feature
+        offs_list = []
+        if vsi_path:
+            pos = hdr.data_start
+            n = len(buf)
+            while pos + 4 <= n:
+                offs_list.append(pos)
+                (sz,) = struct.unpack_from("<I", buf, pos)
+                pos += 4 + sz
+        else:
+            with open(path, "rb") as f:
+                f.seek(0, 2)
+                n = f.tell()
+                pos = hdr.data_start
+                while pos + 4 <= n:
+                    offs_list.append(pos)
+                    f.seek(pos)
+                    (sz,) = struct.unpack("<I", f.read(4))
+                    pos += 4 + sz
+        offs = np.array(offs_list, np.int64)
 
-        def load(batch: pa.Table) -> pa.Table:
+    if len(offs) == 0:
+        return rd.from_arrow(schema.empty_table())
+
+    buf_ref = ray.put(buf) if vsi_path else None
+
+    def load(batch: pa.Table) -> pa.Table:
+        rows = []
+        if buf_ref is not None:
             data = ray.get(buf_ref)
-            rows = []
             for p in batch["pos"].to_pylist():
                 row, _ = parse_feature(data, int(p), hdr)
                 rows.append(row)
-            return pa.Table.from_pylist(rows, schema=schema)
+        else:
+            with open(path, "rb") as f:
+                for p in batch["pos"].to_pylist():
+                    f.seek(int(p))
+                    (sz,) = struct.unpack("<I", f.read(4))
+                    fbuf = struct.pack("<I", sz) + f.read(sz)
+                    row, _ = parse_feature(fbuf, 0, hdr)
+                    rows.append(row)
+        return pa.Table.from_pylist(rows, schema=schema)
 
-        pos_ds = rd.from_arrow(pa.table({"pos": pa.array(offs)}))
-        if len(offs) > rows_per_block:
-            pos_ds = pos_ds.repartition(
-                max(1, len(offs) // rows_per_block)
-            )
-        return pos_ds.map_batches(load, batch_format="pyarrow")
-
-    # no index: sequential size-prefixed stream (single scan task)
-    rows = []
-    pos = hdr.data_start
-    while pos + 4 <= len(buf):
-        row, pos = parse_feature(buf, pos, hdr)
-        rows.append(row)
-    if not rows:
-        return rd.from_arrow(schema.empty_table())
-    return rd.from_arrow(pa.Table.from_pylist(rows, schema=schema))
+    pos_ds = rd.from_arrow(pa.table({"pos": pa.array(offs)}))
+    if len(offs) > rows_per_block:
+        pos_ds = pos_ds.repartition(max(1, len(offs) // rows_per_block))
+    return pos_ds.map_batches(load, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- writer
