@@ -43,6 +43,7 @@ _T_SAMPLE_FMT = 339
 _T_EXTRA_SAMPLES = 338
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
 _T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
+_T_JPEG_TABLES = 347
 _T_GDAL_NODATA = 42113
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -373,6 +374,44 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
         # tiles are padded to full size; strips may be short
         full_h = bh if _T_TILE_OFF not in tags else bh
         expect = full_h * bw * ns * itemsize
+        if comp == 7:
+            # new-style JPEG-in-TIFF (frmts/gtiff JPEG codec role):
+            # each block is an abbreviated JPEG stream; tag 347
+            # (JPEGTables) carries a tables-only stream whose DQT/DHT
+            # segments are spliced in after the block's SOI. Decoded
+            # through the engine's own T.81 codec.
+            from gdal_ray.raster.jpeg import decode_jpeg
+
+            jt = tags.get(_T_JPEG_TABLES)
+            stream = bytes(raw)
+            if jt:
+                jtb = bytes(jt)
+                if jtb[:2] == b"\xff\xd8":
+                    jtb = jtb[2:]
+                if jtb[-2:] == b"\xff\xd9":
+                    jtb = jtb[:-2]
+                if stream[:2] == b"\xff\xd8" and jtb:
+                    stream = b"\xff\xd8" + jtb + stream[2:]
+            timg = decode_jpeg(stream)
+            if timg.ndim == 2:
+                timg = timg[..., None]
+            if timg.shape[2] != ns:
+                raise ValueError(
+                    f"JPEG-in-TIFF: {timg.shape[2]} JPEG components "
+                    f"for {ns} samples"
+                )
+            arr = np.zeros((full_h, bw, ns), dt.newbyteorder("="))
+            ch = min(full_h, timg.shape[0])
+            cw = min(bw, timg.shape[1])
+            arr[:ch, :cw] = timg[:ch, :cw]
+            vh = min(bh, h - y0)
+            vw = min(bw, w - x0)
+            if planar == 2:
+                bands[plane][y0 : y0 + vh, x0 : x0 + vw] = arr[:vh, :vw, 0]
+            else:
+                for b in range(spp):
+                    bands[b][y0 : y0 + vh, x0 : x0 + vw] = arr[:vh, :vw, b]
+            continue
         if comp in (8, 32946):
             raw = zlib.decompress(raw)
         elif comp == 5:

@@ -319,3 +319,50 @@ class TestLZWWidthBoundaries:
         assert gtiff._lzw_decode(gtiff._lzw_encode(blob), len(blob)) == blob
         rep = bytes(np.tile(np.arange(64, dtype=np.uint8), 5000))
         assert gtiff._lzw_decode(gtiff._lzw_encode(rep), len(rep)) == rep
+
+
+class TestJpegInTiff:
+    """New-style JPEG-in-TIFF (compression 7) through the engine's own
+    T.81 codec: JPEGTables (tag 347) splice + self-contained
+    tablesmode-zero strips + YCbCr 3-band + oversized last stripe +
+    irregular tiles. Checksums land within the float-IDCT vs
+    libjpeg-fixed-point rounding band (±10) of the autotest pins
+    (tiff_write.py:5942-5957, tiff_read.py:3974-3988)."""
+
+    @pytest.mark.parametrize("name,expected", [
+        ("byte_jpg_tablesmodezero.tif", 4743),
+        ("byte_jpg_unusual_jpegtable.tif", 4771),
+        ("tif_jpeg_too_big_last_stripe.tif", 4557),
+        ("tif_jpeg_ycbcr_too_big_last_stripe.tif", 4557),
+    ])
+    def test_reference_fixture_near_checksum(self, name, expected):
+        d = gtiff.decode_geotiff(
+            open(f"/root/reference/autotest/gcore/data/{name}",
+                 "rb").read()
+        )
+        assert abs(checksum_array(d["bands"][0]) - expected) <= 10, name
+
+    def test_lossy_content_close_to_original(self):
+        base = gtiff.decode_geotiff(
+            open("/root/reference/autotest/gcore/data/byte.tif",
+                 "rb").read()
+        )["bands"][0].astype(np.float64)
+        d = gtiff.decode_geotiff(
+            open("/root/reference/autotest/gcore/data/"
+                 "byte_jpg_tablesmodezero.tif", "rb").read()
+        )["bands"][0].astype(np.float64)
+        assert np.corrcoef(base.ravel(), d.ravel())[0, 1] > 0.9
+
+    def test_irregular_tiles(self):
+        d = gtiff.decode_geotiff(
+            open("/root/reference/autotest/gcore/data/"
+                 "irregular_tile_size_jpeg_in_tiff.tif", "rb").read()
+        )
+        assert d["bands"][0].shape == (256, 512)
+
+    def test_unsupported_component_counts_raise(self):
+        with pytest.raises(ValueError):
+            gtiff.decode_geotiff(
+                open("/root/reference/autotest/gcore/data/"
+                     "stefan_full_rgba_jpeg_contig.tif", "rb").read()
+            )
