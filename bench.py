@@ -283,7 +283,7 @@ def scaling() -> None:
         **primary,
     }
     if not os.environ.get("GRAFT_SCALE_LO"):
-        sat = measure(8, 32, attempts=1)
+        sat = measure(8, 32, attempts=2)
         out["saturated_pair_8_32"] = sat
         out["saturated_pair_hw_ceiling"] = 0.836  # from bench.py --ceiling
     print(json.dumps(out))
