@@ -217,3 +217,127 @@ def webp_decode_stage(ds, col: str = "media", out_col: str = "pixels",
         concurrency=concurrency,
         fn_constructor_kwargs={"col": col, "out_col": out_col},
     )
+
+
+def decode_wav(payload: bytes):
+    """PCM WAV (RIFF) → ((n_samples, channels) array, sample_rate).
+
+    Pure-stdlib RIFF walk: fmt chunk (PCM=1 u8/i16/i32, IEEE float=3
+    f32/f64, WAVE_FORMAT_EXTENSIBLE resolved via the SubFormat GUID's
+    leading u16), data chunk; other chunks skipped. Compressed WAV
+    (ADPCM/MP3-in-WAV) stays an honest boundary."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            fmt = body
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("WAV: missing fmt/data chunk")
+    audio_fmt, channels, rate, _br, _ba, bits = struct.unpack_from(
+        "<HHIIHH", fmt, 0)
+    if audio_fmt == 0xFFFE:  # extensible: real format in SubFormat
+        (audio_fmt,) = struct.unpack_from("<H", fmt, 24)
+    if audio_fmt == 1:       # integer PCM
+        dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
+    elif audio_fmt == 3:     # IEEE float
+        dt = {32: np.float32, 64: np.float64}.get(bits)
+    else:
+        raise NotImplementedError(
+            f"WAV codec {audio_fmt:#x} (only PCM/IEEE-float supported)"
+        )
+    if dt is None:
+        raise NotImplementedError(f"WAV: {bits}-bit samples")
+    arr = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder("<"))
+    n = len(arr) // channels
+    return arr[: n * channels].reshape(n, channels), int(rate)
+
+
+def encode_wav(samples: np.ndarray, rate: int) -> bytes:
+    """(n, channels) PCM/float array → WAV bytes (test-vector twin)."""
+    import struct
+
+    if samples.ndim == 1:
+        samples = samples[:, None]
+    dt = samples.dtype
+    if dt == np.float32:
+        audio_fmt, bits = 3, 32
+    elif dt == np.float64:
+        audio_fmt, bits = 3, 64
+    elif dt == np.int16:
+        audio_fmt, bits = 1, 16
+    elif dt == np.int32:
+        audio_fmt, bits = 1, 32
+    elif dt == np.uint8:
+        audio_fmt, bits = 1, 8
+    else:
+        raise ValueError(f"unsupported sample dtype {dt}")
+    ch = samples.shape[1]
+    data = np.ascontiguousarray(samples).astype(
+        dt.newbyteorder("<"), copy=False).tobytes()
+    fmt = struct.pack("<HHIIHH", audio_fmt, ch, rate,
+                      rate * ch * bits // 8, ch * bits // 8, bits)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+class WavAudioDecoder:
+    """Actor-pool audio decode stage (REAL for PCM/float WAV via the
+    engine's RIFF codec — the round-3 audio stub lifted for the base
+    format): media binary → flattened sample tensor + shape + rate +
+    RMS/peak feature columns, the audio analogue of ImageDecoder."""
+
+    def __init__(self, col: str = "media", out_col: str = "samples"):
+        self.col = col
+        self.out_col = out_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        shapes, flat, rates, rms, peak = [], [], [], [], []
+        for payload in batch[self.col].to_pylist():
+            s, r = decode_wav(payload)
+            f = s.astype(np.float64)
+            if s.dtype == np.uint8:
+                f = (f - 128.0) / 128.0
+            elif s.dtype == np.int16:
+                f = f / 32768.0
+            elif s.dtype == np.int32:
+                f = f / 2147483648.0
+            shapes.append(list(s.shape))
+            flat.append(s.tobytes())
+            rates.append(r)
+            rms.append(float(np.sqrt((f * f).mean())) if len(f) else 0.0)
+            peak.append(float(np.abs(f).max()) if len(f) else 0.0)
+        return (
+            batch
+            .append_column(f"{self.out_col}_shape",
+                           pa.array(shapes, pa.list_(pa.int32())))
+            .append_column(self.out_col, pa.array(flat, pa.binary()))
+            .append_column("sample_rate", pa.array(rates, pa.int32()))
+            .append_column("rms", pa.array(rms, pa.float64()))
+            .append_column("peak", pa.array(peak, pa.float64()))
+        )
+
+
+def wav_decode_stage(ds, col: str = "media", out_col: str = "samples",
+                     avg_item_bytes: int = 1024 * 1024,
+                     concurrency=(1, 4)):
+    """Dataset-level WAV decode: actor pool + byte-capped batches."""
+    return ds.map_batches(
+        WavAudioDecoder,
+        batch_format="pyarrow",
+        batch_size=media_batch_size(avg_item_bytes),
+        concurrency=concurrency,
+        fn_constructor_kwargs={"col": col, "out_col": out_col},
+    )

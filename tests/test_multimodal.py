@@ -101,3 +101,74 @@ class TestWebpDecodeStage:
             got = np.frombuffer(row["pixels"], np.uint8).reshape(
                 row["pixels_shape"])
             assert np.array_equal(got, imgs[row["id"]])
+
+
+class TestWavDecodeStage:
+    def test_roundtrip_formats(self):
+        from gdal_ray.stages.multimodal import decode_wav, encode_wav
+
+        rng = np.random.default_rng(5)
+        for dtype, ch in [(np.int16, 1), (np.int16, 2), (np.uint8, 1),
+                          (np.int32, 2), (np.float32, 1),
+                          (np.float64, 2)]:
+            if np.issubdtype(dtype, np.floating):
+                s = rng.standard_normal((500, ch)).astype(dtype)
+            else:
+                info = np.iinfo(dtype)
+                s = rng.integers(info.min, info.max, (500, ch),
+                                 dtype=dtype)
+            out, rate = decode_wav(encode_wav(s, 16000))
+            assert rate == 16000
+            assert np.array_equal(out, s), (dtype, ch)
+
+    def test_stdlib_wave_interop(self, tmp_path):
+        """Our reader decodes files written by the stdlib wave module
+        (an independent implementation of the same spec)."""
+        import wave
+
+        from gdal_ray.stages.multimodal import decode_wav
+
+        rng = np.random.default_rng(6)
+        s = rng.integers(-30000, 30000, (400, 2), dtype=np.int16)
+        p = str(tmp_path / "t.wav")
+        with wave.open(p, "wb") as w:
+            w.setnchannels(2)
+            w.setsampwidth(2)
+            w.setframerate(44100)
+            w.writeframes(s.tobytes())
+        out, rate = decode_wav(open(p, "rb").read())
+        assert rate == 44100 and np.array_equal(out, s)
+
+    def test_actor_pool_stage(self, ray_session):
+        import ray.data as rd
+
+        from gdal_ray.stages.multimodal import encode_wav, wav_decode_stage
+
+        rng = np.random.default_rng(7)
+        clips = [rng.integers(-1000, 1000, (256, 1), dtype=np.int16)
+                 for _ in range(3)]
+        t = pa.table({
+            "id": pa.array(range(3), pa.int64()),
+            "media": pa.array([encode_wav(c, 8000) for c in clips],
+                              pa.binary()),
+        })
+        out = wav_decode_stage(rd.from_arrow(t), concurrency=1) \
+            .to_pandas().sort_values("id")
+        for _, row in out.iterrows():
+            got = np.frombuffer(row["samples"], np.int16).reshape(
+                row["samples_shape"])
+            assert np.array_equal(got, clips[row["id"]])
+            assert row["sample_rate"] == 8000
+            assert 0 <= row["rms"] <= row["peak"] <= 1.0
+
+    def test_compressed_wav_is_boundary(self):
+        import struct
+
+        from gdal_ray.stages.multimodal import decode_wav
+
+        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+        body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", 4) + b"\0\0\0\0")
+        blob = b"RIFF" + struct.pack("<I", len(body)) + body
+        with pytest.raises(NotImplementedError):
+            decode_wav(blob)
