@@ -656,32 +656,104 @@ def _encode_properties(row: dict, columns: list[FgbColumn]) -> bytes:
     return bytes(out)
 
 
+def hilbert_sort_order(boxes: np.ndarray,
+                       extent: np.ndarray) -> np.ndarray:
+    """Feature order of the spec's packed Hilbert R-tree: 16-bit
+    Hilbert code of each bbox CENTER scaled over the layer extent with
+    hilbertMax = 2^16-1 and plain floor (flatgeobuf packedrtree
+    hilbertSort — same public-domain bit-twiddle curve as
+    geom.ops._hilbert_xy, different scaling than GDAL's
+    alg/hilbert.cpp round-and-reserve variant). The spec
+    implementation's comparator is DESCENDING (``ha > hb``) —
+    pinned against the leaf order of the reference-generated
+    testfgb/poly.fgb fixture."""
+    from gdal_ray.geom.ops import _hilbert_xy
+
+    hmax = (1 << 16) - 1
+    w = extent[2] - extent[0]
+    h = extent[3] - extent[1]
+    cx = (boxes[:, 0] + boxes[:, 2]) / 2.0
+    cy = (boxes[:, 1] + boxes[:, 3]) / 2.0
+    xi = (np.floor(hmax * (cx - extent[0]) / w).astype(np.uint32)
+          if w > 0 else np.zeros(len(boxes), np.uint32))
+    yi = (np.floor(hmax * (cy - extent[1]) / h).astype(np.uint32)
+          if h > 0 else np.zeros(len(boxes), np.uint32))
+    return np.argsort(-_hilbert_xy(xi, yi).astype(np.int64),
+                      kind="stable")
+
+
+def build_packed_rtree(boxes: np.ndarray, feat_offsets: np.ndarray,
+                       node_size: int) -> bytes:
+    """(n,4) leaf boxes in Hilbert order + feature byte offsets →
+    packed-R-tree bytes (spec generateNodes): flat node array, root
+    first, leaves last; internal node offset = flat index of its first
+    child node, leaf offset = feature byte offset from data start."""
+    n = len(boxes)
+    sizes = _tree_level_sizes(n, node_size)
+    num_nodes = sum(sizes)
+    level_starts = []          # flat start index per level, leaf first
+    acc = num_nodes
+    for s in sizes:
+        acc -= s
+        level_starts.append(acc)
+    data = np.zeros((num_nodes, 5), dtype="<f8")
+    off_view = data[:, 4].view(np.uint64)
+    leaf0 = level_starts[0]
+    data[leaf0:leaf0 + n, :4] = boxes
+    off_view[leaf0:leaf0 + n] = feat_offsets.astype(np.uint64)
+    for li in range(len(sizes) - 1):
+        start, end = level_starts[li], level_starts[li] + sizes[li]
+        wpos = level_starts[li + 1]
+        pos = start
+        while pos < end:
+            chunk = data[pos:min(pos + node_size, end), :4]
+            data[wpos, 0] = chunk[:, 0].min()
+            data[wpos, 1] = chunk[:, 1].min()
+            data[wpos, 2] = chunk[:, 2].max()
+            data[wpos, 3] = chunk[:, 3].max()
+            off_view[wpos] = pos
+            wpos += 1
+            pos += node_size
+    return data.tobytes()
+
+
 def write_flatgeobuf(table: pa.Table, path: str, name: str = "layer",
                      geom_col: str = "geometry",
-                     crs_code: int = 0) -> None:
-    """Arrow table (attributes + WKB geometry) → indexless FlatGeobuf
-    (index_node_size = 0, the spec's streamed layout — readable by our
-    sequential path and any spec reader; the packed R-tree is a
-    read-side optimization this writer omits)."""
+                     crs_code: int = 0,
+                     index_node_size: int = 0) -> None:
+    """Arrow table (attributes + WKB geometry) → FlatGeobuf.
+
+    ``index_node_size=0`` (default) is the spec's streamed indexless
+    layout. ``index_node_size>0`` (16 = spec default) Hilbert-sorts the
+    features and embeds the packed R-tree so any spec reader — ours
+    included — gets bbox pushdown; requires every row to carry a
+    geometry (the spec's node array has exactly one leaf per feature).
+    """
     from gdal_ray.geom import wkb as W
 
     columns = [
         FgbColumn(f.name, _CT_OF_ARROW[f.type])
         for f in table.schema if f.name != geom_col
     ]
-    geoms = table[geom_col].to_pylist()
-    gtypes = set()
-    feats = []
-    env = [np.inf, np.inf, -np.inf, -np.inf]
     rows = table.to_pylist()
-    for row in rows:
-        gbuf = row[geom_col]
+    geoms = [row[geom_col] for row in rows]
+    if index_node_size and any(g is None for g in geoms):
+        raise ValueError("indexed FlatGeobuf requires non-null "
+                         "geometry on every feature")
+    gtypes = set()
+    env = [np.inf, np.inf, -np.inf, -np.inf]
+    boxes = np.zeros((len(rows), 4), np.float64)
+    for i, gbuf in enumerate(geoms):
         if gbuf is not None:
-            minx, miny, maxx, maxy = W.bounds(gbuf)
-            env[0] = min(env[0], minx)
-            env[1] = min(env[1], miny)
-            env[2] = max(env[2], maxx)
-            env[3] = max(env[3], maxy)
+            boxes[i] = W.bounds(gbuf)
+            env[0] = min(env[0], boxes[i, 0])
+            env[1] = min(env[1], boxes[i, 1])
+            env[2] = max(env[2], boxes[i, 2])
+            env[3] = max(env[3], boxes[i, 3])
+    if index_node_size and len(rows):
+        order = hilbert_sort_order(boxes, np.array(env))
+        rows = [rows[i] for i in order]
+        boxes = boxes[order]
     out = bytearray(MAGIC)
     # header
     hb = FBBuilder()
@@ -697,7 +769,7 @@ def write_flatgeobuf(table: pa.Table, path: str, name: str = "layer",
     hfields: dict[int, tuple] = {
         2: ("u8", gtype),
         8: ("u64", len(rows)),
-        9: ("u16", 0),            # no index
+        9: ("u16", index_node_size if len(rows) else 0),
     }
     hfields[0] = ("ref", hb.string(name))
     if np.isfinite(env[0]):
@@ -710,8 +782,11 @@ def write_flatgeobuf(table: pa.Table, path: str, name: str = "layer",
                                         1: ("i32", crs_code)}))
     hdr_bytes = hb.finish(hb.table(hfields))
     out += struct.pack("<I", len(hdr_bytes)) + hdr_bytes
-    # features
-    for row in rows:
+    # features (serialized first so the index knows each byte offset)
+    feat_bufs = []
+    feat_offsets = np.zeros(len(rows), np.int64)
+    pos = 0
+    for i, row in enumerate(rows):
         fb = FBBuilder()
         ffields: dict[int, tuple] = {}
         props = _encode_properties(row, columns)
@@ -722,7 +797,13 @@ def write_flatgeobuf(table: pa.Table, path: str, name: str = "layer",
             gpos, _ = _build_geometry(fb, row[geom_col])
             ffields[0] = ("ref", gpos)
         fbytes = fb.finish(fb.table(ffields))
-        out += struct.pack("<I", len(fbytes)) + fbytes
+        feat_bufs.append(struct.pack("<I", len(fbytes)) + fbytes)
+        feat_offsets[i] = pos
+        pos += len(feat_bufs[-1])
+    if index_node_size and len(rows):
+        out += build_packed_rtree(boxes, feat_offsets, index_node_size)
+    for fb_ in feat_bufs:
+        out += fb_
     from gdal_ray.vsi import is_vsi, vsi_open
 
     if is_vsi(path):

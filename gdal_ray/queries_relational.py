@@ -147,21 +147,25 @@ FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
 
 
 def q_join_orders_customer(sf_dir: str):
-    """orders ⋈ customer via per-customer aggregate: pre-aggregate the
-    big side BEFORE the join so the shuffle carries one row per key."""
+    """orders ⋈ customer: pre-aggregate the big side to one row per
+    key, then BROADCAST-hash-join the dimension table (customer is
+    O(1/10) of orders by TPC-H construction — small side by design).
+    Round 4: replaces ``Dataset.join`` here, whose hash-shuffle
+    operator startup cost (~4.5 s flat from sf0.001 to sf0.1) dwarfed
+    the actual work; the large-large shuffle join remains the path in
+    ``semi_join_ds``/``q_semi_anti_join``."""
+    import pyarrow.parquet as pq
+
+    from gdal_ray.stages.join import broadcast_hash_join
+
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     per_cust = orders.groupby("o_custkey", num_partitions=8).aggregate(
         Sum("o_totalprice", alias_name="sum_spent"),
         Count(alias_name="n_orders"),
     )
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
-    joined = per_cust.join(
-        cust,
-        join_type="inner",
-        on=("o_custkey",),
-        right_on=("c_custkey",),
-        num_partitions=8,
-    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                         columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_hash_join(per_cust, cust, "o_custkey", "c_custkey")
     return joined.select_columns(
         ["o_custkey", "sum_spent", "n_orders", "c_mktsegment"]
     )

@@ -304,6 +304,42 @@ def broadcast_table(table: pa.Table) -> ray.ObjectRef:
     return ray.put(table)
 
 
+def broadcast_hash_join(left, small: pa.Table, left_on, right_on=None,
+                        join_type: str = "inner",
+                        max_broadcast_rows: int = 20_000_000):
+    """Equi join where one side fits in memory: ``ray.put`` the small
+    side ONCE, per-batch Acero hash join inside ``map_batches`` — no
+    all-to-all shuffle and no join-operator startup. This is the
+    100-TB shape for dimension-table joins (the reference's secondary
+    -layer lookup, ogr_gensql.cpp:1325): the big side streams; the
+    dimension table lives in the object store once per NODE (plasma
+    shared-memory — ``ray.get`` in the task is zero-copy), not once
+    per task or per batch.
+
+    ``join_type``: "inner" or "left outer" only — per-batch joins
+    can't implement right/full semantics (they need global unmatched
+    -row tracking across batches; use ``Dataset.join`` for those or
+    for large-large joins)."""
+    if join_type not in ("inner", "left outer"):
+        raise ValueError(f"broadcast_hash_join: {join_type!r} "
+                         "(per-batch join is inner/left outer only)")
+    if small.num_rows > max_broadcast_rows:
+        raise ValueError(
+            f"small side has {small.num_rows} rows > "
+            f"max_broadcast_rows={max_broadcast_rows}; use Dataset.join"
+        )
+    right_on = right_on or left_on
+    lkeys = [left_on] if isinstance(left_on, str) else list(left_on)
+    rkeys = [right_on] if isinstance(right_on, str) else list(right_on)
+    ref = ray.put(small)
+
+    def j(batch: pa.Table) -> pa.Table:
+        return batch.join(ray.get(ref), keys=lkeys, right_keys=rkeys,
+                          join_type=join_type)
+
+    return left.map_batches(j, batch_format="pyarrow")
+
+
 def pip_join(
     points,
     polygons,
