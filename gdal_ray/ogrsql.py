@@ -408,10 +408,17 @@ def _special_field(name: str, batch: pa.Table):
     from the ``geometry`` WKB column on demand."""
     up = name.upper()
     if up == "OGR_STYLE":
-        # feature style string (ogr/ogr_p.h:167-172): the engine's
-        # tables carry no style metadata, so every feature reports the
-        # unset style — NULL — exactly like the reference on styleless
-        # sources
+        # feature style string (ogr/ogr_p.h:167-172).  The reference's
+        # OGRFeature::GetStyleString() falls back to a FIELD named
+        # OGR_STYLE when no driver style is set
+        # (ogr/ogrfeature.cpp GetStyleString) — honor that; otherwise
+        # every feature reports the unset style (NULL), exactly like
+        # the reference on styleless sources.
+        for cn in batch.column_names:
+            if cn.upper() == "OGR_STYLE":
+                col = batch[cn]
+                return (col.cast(pa.string())
+                        if col.type != pa.string() else col)
         return pa.nulls(batch.num_rows, pa.string())
     if up not in ("OGR_GEOMETRY", "OGR_GEOM_WKT", "OGR_GEOM_AREA"):
         return None

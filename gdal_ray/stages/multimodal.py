@@ -163,8 +163,10 @@ class JpegImageDecoder(ImageDecoder):
     (gdal_ray.raster.jpeg: marker parse, Huffman, dequant, 8x8 IDCT,
     4:4:4/4:2:2/4:2:0 box upsampling, BT.601 YCbCr→RGB; baseline AND
     progressive SOF2 scans) — the r2 verdict's multimodal codec
-    boundary lifted.  The remaining honest stubs are lossy-VP8 WebP /
-    audio / video (lossless VP8L WebP decodes via WebpImageDecoder).
+    boundary lifted.  Remaining honest stubs: lossy-VP8 WebP,
+    compressed (non-PCM) audio, and non-MJPG video codecs — lossless
+    VP8L WebP (WebpImageDecoder), PCM/float WAV (WavAudioDecoder) and
+    MJPEG-in-AVI frame sampling (stages/video.py) are all real.
     Grayscale decodes to (H, W, 1), color to (H, W, 3)."""
 
     def __init__(self, col: str = "media", out_col: str = "pixels"):

@@ -172,3 +172,92 @@ class TestWavDecodeStage:
         blob = b"RIFF" + struct.pack("<I", len(body)) + body
         with pytest.raises(NotImplementedError):
             decode_wav(blob)
+
+
+class TestVideo:
+    """MJPEG-in-AVI container + frame-sampling stage
+    (gdal_ray/stages/video.py)."""
+
+    def _clip(self, n=6, w=48, h=32, fps=12.5):
+        from gdal_ray.raster.jpeg import encode_jpeg
+        from gdal_ray.stages.video import write_avi
+
+        frames, orig = [], []
+        for i in range(n):
+            y, x = np.mgrid[0:h, 0:w]
+            img = np.stack([(x * 4 + i * 10) % 256, (y * 6) % 256,
+                            ((x + y) * 3) % 256], -1).astype(np.uint8)
+            orig.append(img)
+            frames.append(encode_jpeg(img, quality=95))
+        return write_avi(frames, w, h, fps=fps), frames, orig
+
+    def test_container_roundtrip(self):
+        from gdal_ray.stages.video import parse_avi, read_avi_frames
+
+        avi, frames, _ = self._clip()
+        info = parse_avi(avi)
+        assert (info.width, info.height) == (48, 32)
+        assert info.fps == 12.5
+        assert info.handler == "MJPG"
+        assert info.n_frames == len(info.frames) == 6
+        got = read_avi_frames(avi, [0, 3, 5])
+        assert got == [frames[0], frames[3], frames[5]]
+
+    def test_idx1_entries(self):
+        import struct
+
+        avi, frames, _ = self._clip(n=3)
+        p = avi.find(b"idx1")
+        assert p > 0
+        (size,) = struct.unpack_from("<I", avi, p + 4)
+        assert size == 3 * 16
+        movi = avi.find(b"movi")
+        off_acc = 4
+        for i in range(3):
+            ckid, flags, off, sz = struct.unpack_from(
+                "<4sIII", avi, p + 8 + 16 * i)
+            assert ckid == b"00dc" and flags == 0x10
+            assert sz == len(frames[i])
+            # offset from 'movi' fourcc must land on the chunk header
+            assert avi[movi + off : movi + off + 4] == b"00dc"
+            off_acc += 8 + sz + (sz & 1)
+
+    def test_decode_parity_with_original(self):
+        from gdal_ray.raster.jpeg import decode_jpeg
+        from gdal_ray.stages.video import read_avi_frames
+
+        avi, _, orig = self._clip()
+        for i, jp in zip([0, 5], read_avi_frames(avi, [0, 5])):
+            dec = decode_jpeg(jp)
+            assert np.abs(dec.astype(int) - orig[i].astype(int)).max() <= 4
+
+    def test_sampler_stage(self, ray_session):
+        import ray.data as rd
+
+        from gdal_ray.stages.video import video_sample_stage
+
+        avi, _, _ = self._clip(n=10)
+        avi2, _, _ = self._clip(n=2)
+        ds = rd.from_arrow(pa.table({
+            "vid_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([avi, avi2], pa.binary()),
+        }))
+        out = video_sample_stage(ds, k=4).to_pandas().sort_values("vid_id")
+        assert list(out["frames_shape"].iloc[0]) == [4, 32, 48, 3]
+        assert list(out["frames_shape"].iloc[1]) == [2, 32, 48, 3]
+        assert list(out["frame_idx"].iloc[0]) == [0, 3, 6, 9]
+        assert list(out["frame_idx"].iloc[1]) == [0, 1]
+        assert out["n_frames"].tolist() == [10, 2]
+        assert out["fps"].tolist() == [12.5, 12.5]
+        raw = out["frames"].iloc[0]
+        assert len(raw) == 4 * 32 * 48 * 3
+
+    def test_non_mjpg_boundary(self):
+        import struct
+
+        from gdal_ray.stages.video import read_avi_frames
+
+        avi, _, _ = self._clip(n=2)
+        bad = avi.replace(b"vidsMJPG", b"vidscvid", 1)
+        with pytest.raises(NotImplementedError):
+            read_avi_frames(bad, [0])

@@ -323,6 +323,28 @@ class TestSTFunctions:
         ).to_pandas()
         assert df["s"].isna().all()
 
+    def test_ogr_style_field_fallback(self, ray_session):
+        """GetStyleString falls back to a field named OGR_STYLE
+        (ogr/ogrfeature.cpp) — the special field must surface it."""
+        import pyarrow as pa
+
+        from gdal_ray import ogrsql
+
+        def add_style(b: pa.Table) -> pa.Table:
+            ids = b["id"].to_pylist()
+            return b.append_column(
+                "OGR_STYLE",
+                pa.array([f"PEN(c:#FF000{i})" for i in ids]),
+            )
+
+        t = self._pts().map_batches(add_style, batch_format="pyarrow")
+        df = ogrsql.execute(
+            "SELECT id, OGR_STYLE AS s FROM t", {"t": t}
+        ).to_pandas().sort_values("id")
+        assert df["s"].tolist() == [
+            f"PEN(c:#FF000{i})" for i in df["id"]
+        ]
+
     def test_scalar_within_kernel(self):
         """Direct kernel checks incl. the strictly-interior rule: a
         point ON the boundary intersects but is not within."""
