@@ -322,3 +322,66 @@ class TestTextCleaning:
         assert got == [
             "https://example.com/Path/Page", "http://a.b/c", "https://x.y/z"
         ]
+
+
+class TestIVF:
+    """IVF ANN (stages/embed.py::ivf_topk) — the inverted-file scale
+    path beside LSH bucketing."""
+
+    DIM = 16
+    N_CENTROIDS = 8
+
+    def _clustered(self, n_per=60, n_clusters=4, seed=5):
+        import ray.data as rd
+
+        rng = np.random.RandomState(seed)
+        centers = rng.randn(n_clusters, self.DIM)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        vecs = np.repeat(centers, n_per, axis=0) \
+            + 0.05 * rng.randn(n_per * n_clusters, self.DIM)
+        ds = rd.from_arrow(pa.table({
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs],
+                                  pa.list_(pa.float32())),
+        }))
+        return ds, vecs, centers
+
+    def test_centroids_unit_and_deterministic(self):
+        rng = np.random.RandomState(0)
+        v = rng.randn(200, self.DIM)
+        c1 = embed.train_ivf_centroids(v, self.N_CENTROIDS, seed=7)
+        c2 = embed.train_ivf_centroids(v, self.N_CENTROIDS, seed=7)
+        assert c1.shape == (self.N_CENTROIDS, self.DIM)
+        assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+        assert np.array_equal(c1, c2)
+
+    def test_full_probe_equals_exact(self, ray_session):
+        ds, vecs, centers = self._clustered()
+        q = centers + 0.01
+        exact = embed.cosine_topk(ds, q, k=5).to_pandas() \
+            .sort_values(["query_id", "rank"]).reset_index(drop=True)
+        ivf = embed.ivf_topk(ds, q, k=5, n_centroids=self.N_CENTROIDS,
+                             nprobe=self.N_CENTROIDS) \
+            .to_pandas().sort_values(["query_id", "rank"]) \
+            .reset_index(drop=True)
+        assert ivf["vec_id"].tolist() == exact["vec_id"].tolist()
+        assert np.allclose(ivf["score"], exact["score"])
+
+    def test_low_probe_recall_on_clustered(self, ray_session):
+        ds, vecs, centers = self._clustered()
+        q = centers  # queries at the cluster centers
+        exact = embed.cosine_topk(ds, q, k=10).to_pandas()
+        def recall(nprobe):
+            ivf = embed.ivf_topk(ds, q, k=10,
+                                 n_centroids=self.N_CENTROIDS,
+                                 nprobe=nprobe).to_pandas()
+            hits = 0
+            for qi in range(len(q)):
+                want = set(exact[exact.query_id == qi]["vec_id"])
+                got = set(ivf[ivf.query_id == qi]["vec_id"])
+                hits += len(want & got)
+            return hits / (len(q) * 10)
+
+        r2, r3 = recall(2), recall(3)
+        assert r3 >= 0.9, (r2, r3)       # the classic nprobe trade
+        assert r2 >= 0.7 and r3 >= r2, (r2, r3)
