@@ -536,21 +536,40 @@ FROM part
 def q_asof_join(sf_dir: str):
     """Each event joined to the latest prior 'mark' of the same user
     (marks = the deterministic subset event_id % 10 == 0). Oracle:
-    DuckDB ASOF JOIN."""
-    from gdal_ray.stages.asof import asof_join
+    DuckDB ASOF JOIN.
+
+    Self-as-of fast path: both sides derive from ONE events scan, so
+    each batch emits its left rows AND its mark rows pre-tagged
+    (``asof_join_union``) — a branched ``Dataset.union`` here would
+    execute the shared parquet read twice."""
+    from gdal_ray.stages.asof import asof_join_union
 
     events = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "value"])
-    def mk_marks(t: pa.Table) -> pa.Table:
+
+    def tag_union(t: pa.Table) -> pa.Table:
         import numpy as np
+        import pyarrow.compute as _pc
 
+        n = t.num_rows
         eid = t["event_id"].to_numpy(zero_copy_only=False)
-        keep = pa.array(eid % 10 == 0)
-        f = t.filter(keep)
-        return pa.table(
-            {"user_id": f["user_id"], "ts": f["ts"], "mark_value": f["value"]}
-        )
+        left = pa.table({
+            "event_id": t["event_id"], "ts": t["ts"],
+            "user_id": t["user_id"], "value": t["value"],
+            "__side": pa.array(np.zeros(n, np.int8)),
+            "mark_value": pa.nulls(n, pa.float64()),
+        })
+        m = t.filter(pa.array(eid % 10 == 0))
+        k = m.num_rows
+        right = pa.table({
+            "event_id": pa.nulls(k, pa.int64()), "ts": m["ts"],
+            "user_id": m["user_id"],
+            "value": pa.nulls(k, pa.float64()),
+            "__side": pa.array(np.ones(k, np.int8)),
+            "mark_value": m["value"],
+        })
+        return pa.concat_tables([left, right])
 
-    marks = events.map_batches(mk_marks, batch_format="pyarrow")
+    both = events.map_batches(tag_union, batch_format="pyarrow")
     ev_schema = pa.schema(
         [
             ("event_id", pa.int64()),
@@ -566,9 +585,8 @@ def q_asof_join(sf_dir: str):
             ("mark_value", pa.float64()),
         ]
     )
-    out = asof_join(
-        events,
-        marks,
+    out = asof_join_union(
+        both,
         key="user_id",
         ts="ts",
         right_cols=["mark_value"],

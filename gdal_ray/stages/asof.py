@@ -125,6 +125,28 @@ def asof_join(
         batch_format="pyarrow",
     )
     both = lt.union(rt)
+    return asof_join_union(both, key, ts, right_cols, suffix,
+                           num_partitions, lbase0, rbase0)
+
+
+def asof_join_union(
+    both: rd.Dataset,
+    key: str,
+    ts: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_partitions: int = 8,
+    left_schema: pa.Schema | None = None,
+    right_schema: pa.Schema | None = None,
+):
+    """As-of join over a PRE-TAGGED union: ``both`` already carries
+    every left+right column (missing side columns null-padded) plus
+    ``__side`` (0 = left, 1 = right). The fast path when both sides
+    derive from ONE source (self-as-of: events vs their own marks) —
+    the caller emits the union in a single scan instead of Ray
+    executing the shared read twice, once per union branch."""
+    lbase0, rbase0 = left_schema, right_schema
+    lcols = set(lbase0.names)
 
     # canonical output schema: every group block must agree (empty
     # groups otherwise degrade int columns to float64 via pandas NaN)
@@ -161,6 +183,27 @@ def asof_join(
             cols.append(col)
         return pa.table(dict(zip(target.names, cols)))
 
-    return both.groupby(key, num_partitions=num_partitions).map_groups(
-        merge, batch_format="pandas"
+    # COARSE co-partitioning: shuffle on hash(key) % num_partitions,
+    # not on the raw key — map_groups fires its callback once per
+    # group, and per-KEY groups mean thousands of ~1 ms pandas calls
+    # (measured: the dominant cost at sf0.1, 6k users). One partition
+    # = one vectorized merge_asof(by=key) over every key it holds —
+    # identical semantics (merge_asof partitions by `by` internally,
+    # in C), ~num_partitions Python calls total. Skewed keys spread no
+    # worse than the raw-key groupby: one key still lives in one
+    # partition (the merge needs that), but small keys batch together.
+    def add_part(t: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            t[key].to_pandas(), index=False
+        ).to_numpy()
+        return t.append_column(
+            "__part", pa.array((h % num_partitions).astype("int64")))
+
+    both = both.map_batches(add_part, batch_format="pyarrow")
+
+    def merge_partition(g: pd.DataFrame) -> pa.Table:
+        return merge(g.drop(columns="__part"))
+
+    return both.groupby("__part", num_partitions=num_partitions).map_groups(
+        merge_partition, batch_format="pandas"
     )
