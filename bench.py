@@ -153,6 +153,7 @@ def run_queries() -> dict:
         "sql_st_funcs",
         "text_fingerprints",
         "stats_agg",
+        "html_extract",
     ]
     q = entrymod.queries()
     out = {}

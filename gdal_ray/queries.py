@@ -1128,8 +1128,33 @@ FROM px GROUP BY 1
 """
 
 
+def q_html_extract(sf_dir: str):
+    """The north-rule per-row invariant, end-to-end: pages gain a
+    deterministic Common-Crawl-style ``html`` binary column
+    (stages/html.py synthesize), the ``text`` column is DROPPED, and
+    the WET-style :class:`HtmlTextExtractor` must recover it
+    byte-identically per url — the oracle reconstructs the same text
+    in pure SQL, so any extraction byte drift fails the value hash."""
+    from gdal_ray.pipelines import flagship
+    from gdal_ray.stages.html import HtmlTextExtractor, synthesize_html_batch
+
+    pages = flagship.pages_from_documents(sf_dir)
+
+    def to_html(t: pa.Table) -> pa.Table:
+        return synthesize_html_batch(t).drop_columns(["text"])
+
+    html_pages = pages.map_batches(to_html, batch_format="pyarrow")
+    out = html_pages.map_batches(HtmlTextExtractor(), batch_format="pyarrow")
+    return out.select_columns(["url", "text"])
+
+
+def _sql_html_extract() -> str:
+    return _PAGES_SQL + "SELECT url, text FROM pages0"
+
+
 QUERIES: dict[str, Callable[[str], Any]] = {
     "tile_assign": q_tile_assign,
+    "html_extract": q_html_extract,
     "tile_counts_z9": q_tile_counts_z9,
     "cell_encode": q_cell_encode,
     "pip_join": q_pip_join,
@@ -1157,6 +1182,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
 
 ORACLE: dict[str, str] = {
     "tile_assign": _sql_tile_assign(),
+    "html_extract": _sql_html_extract(),
     "tile_counts_z9": _sql_tile_counts_z9(),
     "cell_encode": _sql_cell_encode(),
     "pip_join": _sql_pip_join(),

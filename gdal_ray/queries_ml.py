@@ -260,7 +260,12 @@ FROM f
 
 ML_QUERIES = {
     "embed_topk": (q_embed_topk, sql_embed_topk()),
-    "embed_neardup": (q_embed_neardup, sql_embed_neardup()),
+    # embed_neardup (the exact O(n²) driver-side baseline) is retired
+    # from the 50-slot registry: its oracle row was literally redundant
+    # with embed_neardup_lsh (same 22 pairs, same SQL) and the slot now
+    # carries html_extract (queries.py — the north-rule byte-identical
+    # text-extraction invariant). The exact baseline remains the pinned
+    # parity reference in tests/test_embed.py.
     "embed_neardup_lsh": (q_embed_neardup_lsh, sql_embed_neardup()),
     "near_dups": (q_near_dups, sql_near_dups()),
     "text_fingerprints": (q_text_fingerprints, None),
