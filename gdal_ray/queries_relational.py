@@ -159,10 +159,37 @@ def q_join_orders_customer(sf_dir: str):
     from gdal_ray.stages.join import broadcast_hash_join
 
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    per_cust = orders.groupby("o_custkey", num_partitions=8).aggregate(
-        Sum("o_totalprice", alias_name="sum_spent"),
-        Count(alias_name="n_orders"),
+
+    # per-batch partial rollup BEFORE the shuffle: the exchange carries
+    # one row per (batch, custkey) instead of one per order — O(keys)
+    # not O(rows), the combiner pattern the 100-TB target requires.
+    # Money sums in INT CENTS (the lineitem_agg pattern): integer
+    # addition is associative, so the result is bit-exact under any
+    # partial-sum grouping — float sums would drift by summation order.
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cents = pc.cast(
+            pc.round(pc.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        g = pa.table({"o_custkey": t["o_custkey"], "c": cents}).group_by(
+            "o_custkey"
+        ).aggregate([("c", "sum"), ([], "count_all")])
+        return g.rename_columns(["o_custkey", "s", "n"])
+
+    parts = orders.map_batches(partial, batch_format="pyarrow")
+    per_cust = parts.groupby("o_custkey", num_partitions=8).aggregate(
+        Sum("s", alias_name="cents"),
+        Sum("n", alias_name="n_orders"),
     )
+
+    def to_dollars(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        spent = pc.divide(pc.cast(t["cents"], pa.float64()), 100.0)
+        return t.drop_columns(["cents"]).append_column("sum_spent", spent)
+
+    per_cust = per_cust.map_batches(to_dollars, batch_format="pyarrow")
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     joined = broadcast_hash_join(per_cust, cust, "o_custkey", "c_custkey")
@@ -172,7 +199,9 @@ def q_join_orders_customer(sf_dir: str):
 
 
 SQL_JOIN_ORDERS_CUSTOMER = """
-SELECT o.o_custkey, SUM(o.o_totalprice) AS sum_spent,
+SELECT o.o_custkey,
+       CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS sum_spent,
        COUNT(*) AS n_orders, c.c_mktsegment
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY o.o_custkey, c.c_mktsegment
@@ -913,31 +942,67 @@ def q_stats_agg(sf_dir: str):
     aggregate (ogr/ogr_swq.h:67-75 lists both stddevs; Quantile is the
     distributed percentile aggregate; DuckDB quantile_cont's linear
     interpolation matches exactly). Merged from the round-3 stddev +
-    quantiles queries — same operator coverage, one registry slot."""
-    from ray.data.aggregate import Quantile, Std
+    quantiles queries — same operator coverage, one registry slot.
+
+    Round 4: both stats are computed from a per-batch VALUE HISTOGRAM
+    (``(flag, quantity) -> count`` partial) instead of Ray's built-in
+    ``Quantile`` aggregate, which ships every row through the shuffle
+    to sort values per group. A weighted histogram yields exact
+    quantile_cont and stddev for any distribution; the exchange is
+    O(distinct values per group), not O(rows) — l_quantity has 50
+    distinct values at any TPC-H scale. (For genuinely continuous
+    columns the histogram degrades to O(rows) and the t-digest sketch
+    in stages/sketch.py is the approximate scale path.)
+    """
+    import numpy as np
 
     ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
-    out = ds.groupby("l_returnflag", num_partitions=2).aggregate(
-        Std("l_quantity", ddof=0, alias_name="std_pop"),
-        Std("l_quantity", ddof=1, alias_name="std_samp"),
-        Quantile("l_quantity", q=0.5, alias_name="med_qty"),
-        Quantile("l_quantity", q=0.9, alias_name="p90_qty"),
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.group_by(["l_returnflag", "l_quantity"]).aggregate(
+            [([], "count_all")]
+        )
+        return g.rename_columns(["l_returnflag", "l_quantity", "w"])
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def finish(g):
+        import pandas as pd
+
+        flag = g["l_returnflag"].iloc[0]
+        h = g.groupby("l_quantity")["w"].sum().sort_index()
+        v = h.index.to_numpy(np.float64)
+        w = h.to_numpy(np.float64)
+        n = w.sum()
+        mean = float((w * v).sum() / n)
+        m2 = float((w * (v - mean) ** 2).sum())
+        cum = np.cumsum(w)
+
+        def qc(q: float) -> float:
+            # DuckDB quantile_cont: sorted 0-based position q*(n-1),
+            # lo + (hi - lo) * frac
+            pos = q * (n - 1)
+            lo_i = np.floor(pos)
+            frac = pos - lo_i
+            vlo = v[np.searchsorted(cum, lo_i + 1, side="left")]
+            if frac == 0.0:
+                return float(vlo)
+            vhi = v[np.searchsorted(cum, lo_i + 2, side="left")]
+            return float(vlo + (vhi - vlo) * frac)
+
+        return pd.DataFrame(
+            {
+                "l_returnflag": [flag],
+                "std_pop": [round(np.sqrt(m2 / n), 9)],
+                "std_samp": [round(np.sqrt(m2 / (n - 1)), 9)],
+                "med_qty": [qc(0.5)],
+                "p90_qty": [qc(0.9)],
+            }
+        )
+
+    return parts.groupby("l_returnflag", num_partitions=2).map_groups(
+        finish, batch_format="pandas"
     )
-
-    def _round_std(t: pa.Table) -> pa.Table:
-        # the Std merge order shifts by ~1e-14 when combined with the
-        # Quantile aggregate in one pass; ROUND(·, 9) on both sides
-        # (values ~14.4) absorbs it
-        import numpy as np
-
-        cols = {c: t[c] for c in t.column_names}
-        for c in ("std_pop", "std_samp"):
-            cols[c] = pa.array(
-                np.round(t[c].to_numpy(zero_copy_only=False), 9)
-            )
-        return pa.table(cols)
-
-    return out.map_batches(_round_std, batch_format="pyarrow")
 
 
 SQL_STATS_AGG = """
