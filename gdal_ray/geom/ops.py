@@ -381,6 +381,19 @@ def _rebuild(g: dict, f) -> bytes:
     raise ValueError(f"unsupported type {t}")
 
 
+def transform_wkb(buf: bytes, transformer) -> bytes:
+    """Reproject every coordinate of any supported geometry through a
+    proj Transformer (OGRGeometry::transform, ogrgeometry.cpp role —
+    the geometry-valued counterpart of stages.vector.reproject)."""
+    g = gwkb.parse(buf)
+
+    def f(c: np.ndarray) -> np.ndarray:
+        x, y = transformer.transform(c[:, 0], c[:, 1])
+        return np.column_stack([x, y])
+
+    return _rebuild(g, f)
+
+
 def promote_to_multi_wkb(buf: bytes) -> bytes:
     """Single → Multi geometry (set-geom-type promote,
     apps/gdalalg_vector_set_geom_type.cpp / ogr2ogr -nlt PROMOTE_TO_MULTI)."""

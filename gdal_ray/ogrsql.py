@@ -790,6 +790,36 @@ def _eval_st(fn, node, args, batch):
              for a, b in zip(ga, gb)],
             pa.float64(),
         )
+    if fn == "ST_TRANSFORM":
+        # ST_Transform(geom, dst_srid[, src_srid]) — WKB carries no
+        # SRID (unlike Spatialite EWKB), so the source defaults to
+        # EPSG:4326 unless given. Routed through the engine's EPSG
+        # registry (proj/epsg_db.py; reference role
+        # ogrsqliteexecutesql.cpp + ogrct.cpp).
+        from gdal_ray.geom.ops import transform_wkb
+        from gdal_ray.proj.transformer import Transformer
+
+        g, _ = _st_geoms(args[0], n)
+
+        def _srid(a) -> int:
+            return int(a.as_py() if isinstance(a, pa.Scalar) else a[0].as_py())
+
+        dst = _srid(args[1])
+        src = _srid(args[2]) if len(args) > 2 else 4326
+        tr = Transformer.from_crs(f"EPSG:{src}", f"EPSG:{dst}")
+        # vectorized fast path ONLY for all-point columns —
+        # decode_points silently yields NaN for non-point types
+        if all(b is None or W.geometry_type(b) % 1000 == 1 for b in g):
+            try:
+                x, y = W.decode_points(pa.array(g, pa.binary()))
+                xo, yo = tr.transform(x, y)
+                return W.encode_points(xo, yo)
+            except Exception:
+                pass
+        return pa.array(
+            [None if b is None else transform_wkb(b, tr) for b in g],
+            pa.binary(),
+        )
     if fn in ("ST_INTERSECTS", "ST_WITHIN", "ST_CONTAINS", "ST_TOUCHES",
               "ST_CROSSES", "ST_OVERLAPS"):
         ga, ca = _st_geoms(args[0], n)

@@ -907,7 +907,8 @@ def q_sql_st_funcs(sf_dir: str):
        ST_Within(ST_Point(lon, lat), ST_GeomFromText('{_ST_BOX}')) AS in_box,
        ST_Contains(ST_GeomFromText('{_ST_BOX}'), ST_Point(lon, lat)) AS has_pt,
        ROUND(ST_Area(ST_Buffer(ST_Point(lon / 180.0, lat / 90.0), 0.25, 8)), 9) AS barea,
-       ROUND(ST_Area(ST_Envelope(ST_Buffer(ST_Point(lon / 180.0, lat / 90.0), 0.25, 8))), 9) AS earea
+       ROUND(ST_Area(ST_Envelope(ST_Buffer(ST_Point(lon / 180.0, lat / 90.0), 0.25, 8))), 9) AS earea,
+       ST_X(ST_Transform(ST_Point(lon, lat), 3857)) AS mx
 FROM pages"""
     return ogrsql.execute(sql, {"pages": pages})
 
@@ -932,7 +933,8 @@ SELECT url,
         lat >= -60.00005 AND lat <= 70.00005) AS has_pt,
        ROUND(0.5 * 32.0 * 0.25 * 0.25 * sin(2.0*pi()/32.0), 9) AS barea,
        ROUND(((lon/180.0 + 0.25) - (lon/180.0 - 0.25))
-             * ((lat/90.0 + 0.25) - (lat/90.0 - 0.25)), 9) AS earea
+             * ((lat/90.0 + 0.25) - (lat/90.0 - 0.25)), 9) AS earea,
+       lon * pi() / 180.0 * 6378137.0 AS mx
 FROM pages
 """
     )

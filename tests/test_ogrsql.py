@@ -359,3 +359,54 @@ class TestSTFunctions:
         inner = polygon_wkb([[1, 1], [3, 1], [3, 3], [1, 3], [1, 1]])
         assert GS.within(inner, box) and GS.contains(box, inner)
         assert not GS.within(box, inner)
+
+
+class TestSTTransform:
+    """ST_Transform(geom, dst[, src]) through the EPSG registry
+    (reference role: Spatialite ST_Transform via ogrsqliteexecutesql.cpp
+    + ogrct.cpp)."""
+
+    def _pts(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table(
+            {"id": pa.array([1, 2], pa.int64()),
+             "lon": pa.array([0.0, 12.4924]),
+             "lat": pa.array([0.0, 41.8902])}
+        ))
+
+    def test_point_to_webmercator(self, ray_session):
+        import numpy as np
+
+        from gdal_ray import ogrsql
+
+        df = ogrsql.execute(
+            "SELECT id, ST_X(ST_Transform(ST_Point(lon, lat), 3857)) AS mx, "
+            "ST_Y(ST_Transform(ST_Point(lon, lat), 3857)) AS my FROM t",
+            {"t": self._pts()},
+        ).to_pandas().sort_values("id")
+        R = 6378137.0
+        lon = np.array([0.0, 12.4924]); lat = np.array([0.0, 41.8902])
+        np.testing.assert_allclose(
+            df["mx"].to_numpy(), lon * np.pi / 180.0 * R, rtol=0, atol=1e-9)
+        np.testing.assert_allclose(
+            df["my"].to_numpy(),
+            R * np.log(np.tan(np.pi / 4.0 + lat * np.pi / 360.0)),
+            rtol=1e-15)
+
+    def test_polygon_roundtrip_explicit_src(self, ray_session):
+        from gdal_ray import ogrsql
+
+        wkt = "POLYGON ((10 40, 20 40, 20 50, 10 50, 10 40))"
+        df = ogrsql.execute(
+            "SELECT ST_AsText(ST_Transform(ST_Transform("
+            f"ST_GeomFromText('{wkt}'), 3857), 4326, 3857)) AS w FROM t",
+            {"t": self._pts()},
+        ).to_pandas()
+        import re
+
+        nums = [float(v) for v in re.findall(r"-?\d+\.?\d*", df["w"].iloc[0])]
+        expect = [10, 40, 20, 40, 20, 50, 10, 50, 10, 40]
+        for got, exp in zip(nums, expect):
+            assert abs(got - exp) < 1e-9
