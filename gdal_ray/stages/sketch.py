@@ -29,8 +29,8 @@ _PRIME = np.uint64(0x9E3779B97F4A7C15)
 
 def _hash64(values: np.ndarray, seed: int = 0) -> np.ndarray:
     """Deterministic 64-bit mix (splitmix-style) of int64/uint64 input."""
-    x = values.astype(np.uint64) + np.uint64(seed) * _PRIME
     with np.errstate(over="ignore"):
+        x = values.astype(np.uint64) + np.uint64(seed) * _PRIME
         x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
         x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
         x = x ^ (x >> np.uint64(31))
