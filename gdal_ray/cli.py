@@ -362,7 +362,12 @@ def _raster_tool(cmd: str, args: list[str]) -> int:
         p.add_argument("--nodata", type=float, default=0.0)
     a = p.parse_args(args)
 
-    g = decode_geotiff(vsi_read_bytes(a.src))
+    if a.src.lower().endswith(".vrt"):
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        g = read_vrt_array(a.src)
+    else:
+        g = decode_geotiff(vsi_read_bytes(a.src))
     if cmd == "cog":
         write_cog(a.dst, g["bands"], g.get("crs", ""), g["geotransform"],
                   g.get("nodata"))
@@ -416,6 +421,11 @@ def main(argv=None) -> int:
         and argv[1] in ("translate", "warp", "cog")
     ):
         return _raster_tool(argv[1], argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "buildvrt":
+        from gdal_ray.raster.vrt import build_vrt
+
+        build_vrt(argv[3:], argv[2])
+        return 0
     if len(argv) == 3 and argv[1] == "info":
         import ray
 

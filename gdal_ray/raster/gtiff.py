@@ -319,6 +319,33 @@ def ifd_offsets(data: bytes) -> list[int]:
     return out
 
 
+def probe_geotiff(data: bytes) -> dict:
+    """Header-only probe: size / crs / geotransform / nodata / dtype /
+    band count WITHOUT decoding pixel blocks (the gdalbuildvrt scan
+    role, apps/gdalbuildvrt_lib.cpp source analysis — it too reads
+    only metadata)."""
+    bo, big = _tiff_layout(data)
+    tags = _read_ifd(data, bo, ifd_offsets(data)[0], big=big)
+    spp = tags.get(_T_SPP, (1,))[0]
+    bits = tags.get(_T_BITS, (8,) * spp)
+    fmt = tags.get(_T_SAMPLE_FMT, (1,) * spp)
+    nodata = None
+    if _T_GDAL_NODATA in tags:
+        try:
+            nodata = float(str(tags[_T_GDAL_NODATA]).strip())
+        except ValueError:
+            nodata = None
+    return {
+        "width": tags[_T_WIDTH][0],
+        "height": tags[_T_HEIGHT][0],
+        "bands": spp,
+        "dtype": str(_dtype_of(bits[0], fmt[0])),
+        "crs": _geo_from_keys(tags),
+        "geotransform": _geotransform(tags),
+        "nodata": nodata,
+    }
+
+
 def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
     """GeoTIFF bytes → {"bands": [2-D arrays], "crs", "geotransform",
     "nodata", "photometric"}. ``ifd_index`` selects an overview IFD
