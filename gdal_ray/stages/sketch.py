@@ -151,3 +151,116 @@ def reservoir_sample(ds, n: int, key_col: str, seed: int = 42):
     local_ds = ds.map_batches(local, batch_format="pyarrow")
     merged = local_ds.sort("__rs").limit(n)
     return merged.drop_columns(["__rs"])
+
+
+# ---------------------------------------------------------------------------
+# t-digest (mergeable approximate quantiles)
+
+
+class TDigest:
+    """Merging t-digest (Dunning & Ertl 2019, the MergingDigest
+    variant): centroids kept sorted by mean; a merge pass enforces the
+    scale-function size bound k1 (asin) so accuracy concentrates at
+    the tails. The APPROXIMATE scale path for quantiles over
+    continuous columns — the exact path is the value-histogram partial
+    in queries_relational.q_stats_agg, which degrades to O(rows)
+    exchange when every value is distinct."""
+
+    def __init__(self, delta: float = 200.0,
+                 means: np.ndarray | None = None,
+                 weights: np.ndarray | None = None) -> None:
+        self.delta = float(delta)
+        self.means = means if means is not None else np.empty(0, np.float64)
+        self.weights = (weights if weights is not None
+                        else np.empty(0, np.float64))
+
+    # -- scale function k1 and its inverse --------------------------------
+    def _k(self, q: np.ndarray) -> np.ndarray:
+        return self.delta / (2.0 * np.pi) * np.arcsin(
+            np.clip(2.0 * q - 1.0, -1.0, 1.0))
+
+    def add(self, values: np.ndarray,
+            weights: np.ndarray | None = None) -> "TDigest":
+        v = np.asarray(values, np.float64)
+        v = v[np.isfinite(v)]
+        if len(v) == 0:
+            return self
+        w = (np.ones(len(v)) if weights is None
+             else np.asarray(weights, np.float64))
+        self.means = np.concatenate([self.means, v])
+        self.weights = np.concatenate([self.weights, w])
+        self._compress()
+        return self
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        self.means = np.concatenate([self.means, other.means])
+        self.weights = np.concatenate([self.weights, other.weights])
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        """Fully vectorized compression: sort by mean, bucket each
+        point by floor(k1(q_left)) and fold each bucket to its
+        weighted mean (reduceat) — no per-centroid Python loop. k1's
+        range is ±delta/4, so ≤ delta/2 centroids survive; like any
+        t-digest, the result depends (within the accuracy bound) on
+        merge grouping."""
+        if len(self.means) <= 1:
+            return
+        order = np.argsort(self.means, kind="mergesort")
+        m, w = self.means[order], self.weights[order]
+        total = w.sum()
+        q_left = (np.cumsum(w) - w) / total
+        b = np.floor(self._k(q_left)).astype(np.int64)
+        new = np.empty(len(b), dtype=bool)
+        new[0] = True
+        new[1:] = b[1:] != b[:-1]
+        idx = np.flatnonzero(new)
+        wsum = np.add.reduceat(w, idx)
+        self.means = np.add.reduceat(m * w, idx) / wsum
+        self.weights = wsum
+
+    def quantile(self, q: float) -> float:
+        """Interpolated quantile (centroids treated as midpoints)."""
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        w = self.weights
+        total = w.sum()
+        target = q * total
+        # cumulative weight at each centroid midpoint
+        cum = np.cumsum(w) - w / 2.0
+        if target <= cum[0]:
+            return float(self.means[0])
+        if target >= cum[-1]:
+            return float(self.means[-1])
+        i = np.searchsorted(cum, target) - 1
+        frac = (target - cum[i]) / (cum[i + 1] - cum[i])
+        return float(self.means[i] + frac * (self.means[i + 1] - self.means[i]))
+
+    def serialize(self) -> bytes:
+        return np.concatenate([self.means, self.weights]).tobytes()
+
+    @classmethod
+    def deserialize(cls, data: bytes, delta: float = 200.0) -> "TDigest":
+        arr = np.frombuffer(data, np.float64)
+        n = len(arr) // 2
+        return cls(delta, arr[:n].copy(), arr[n:].copy())
+
+
+def approx_quantiles(ds, column: str, qs: list[float],
+                     delta: float = 200.0) -> list[float]:
+    """Distributed approximate quantiles: one t-digest per batch →
+    driver merge of O(delta)-centroid partials (the HLL shape — no
+    all-to-all, no row exchange)."""
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        t = TDigest(delta).add(
+            batch[column].to_numpy(zero_copy_only=False))
+        return pa.table({"td": pa.array([t.serialize()], pa.binary())})
+
+    acc = TDigest(delta)
+    for row in ds.map_batches(sketch, batch_format="pyarrow").take_all():
+        acc.merge(TDigest.deserialize(row["td"], delta))
+    return [acc.quantile(q) for q in qs]

@@ -98,3 +98,66 @@ def test_reservoir_sample_batch_size_invariant(ray_session):
         got[bs] = sorted(out["k"].tolist())
         assert len(out) == 40
     assert got[7] == got[250] == got[3000]
+
+
+class TestTDigest:
+    def test_accuracy_normal(self):
+        import numpy as np
+
+        from gdal_ray.stages.sketch import TDigest
+
+        rng = np.random.default_rng(1)
+        x = rng.normal(100, 15, 200_000)
+        t = TDigest(200.0)
+        for chunk in np.array_split(x, 40):
+            t.add(chunk)
+        for q in (0.01, 0.5, 0.99):
+            exact = np.quantile(x, q)
+            assert abs(t.quantile(q) - exact) / abs(exact) < 0.01, q
+        assert len(t.means) <= 200
+
+    def test_merge_matches_single(self):
+        import numpy as np
+
+        from gdal_ray.stages.sketch import TDigest
+
+        rng = np.random.default_rng(2)
+        x = rng.exponential(3.0, 100_000)
+        acc = TDigest(300.0)
+        for c in np.array_split(x, 16):
+            acc.merge(TDigest(300.0).add(c))
+        for q in (0.1, 0.5, 0.9, 0.99):
+            exact = np.quantile(x, q)
+            assert abs(acc.quantile(q) - exact) / abs(exact) < 0.02, q
+
+    def test_serialize_roundtrip_and_edges(self):
+        import numpy as np
+
+        from gdal_ray.stages.sketch import TDigest
+
+        t = TDigest(100.0).add(np.array([5.0]))
+        assert t.quantile(0.5) == 5.0
+        r = TDigest.deserialize(t.serialize(), 100.0)
+        assert r.quantile(0.99) == 5.0
+        assert np.isnan(TDigest(100.0).quantile(0.5))
+        # nan/inf inputs filtered
+        t2 = TDigest(100.0).add(np.array([np.nan, np.inf, 1.0, 3.0]))
+        assert 1.0 <= t2.quantile(0.5) <= 3.0
+
+    def test_distributed_approx_quantiles(self, ray_session):
+        import numpy as np
+        import pyarrow.parquet as pq
+
+        from gdal_ray.stages.sketch import approx_quantiles
+        import ray.data as rd
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/lineitem.parquet",
+                             columns=["l_extendedprice"])
+        got = approx_quantiles(ds, "l_extendedprice", [0.5, 0.9])
+        x = pq.read_table(f"{sf}/lineitem.parquet",
+                          columns=["l_extendedprice"])[
+            "l_extendedprice"].to_numpy()
+        for g, q in zip(got, (0.5, 0.9)):
+            exact = np.quantile(x, q)
+            assert abs(g - exact) / abs(exact) < 0.02, (q, g, exact)
