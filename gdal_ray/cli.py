@@ -413,6 +413,80 @@ def _raster_tool(cmd: str, args: list[str]) -> int:
     return 0
 
 
+def _dem_tool(args: list[str]) -> int:
+    """gdaldem role (apps/gdaldem_lib.cpp): slope / aspect /
+    hillshade / TPI / TRI / roughness / color-relief over GeoTIFF or
+    VRT input, kernels from raster/focal.py + raster/kernels.py."""
+    import argparse
+
+    import numpy as np
+
+    from gdal_ray.raster import focal
+    from gdal_ray.raster.gtiff import decode_geotiff, write_geotiff
+    from gdal_ray.vsi import vsi_read_bytes
+
+    p = argparse.ArgumentParser(prog="gdal_ray raster dem")
+    p.add_argument("mode", choices=[
+        "slope", "aspect", "hillshade", "tpi", "tri", "roughness",
+        "color-relief"])
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--zfactor", type=float, default=1.0)
+    p.add_argument("--azimuth", type=float, default=315.0)
+    p.add_argument("--altitude", type=float, default=45.0)
+    p.add_argument("--percent", action="store_true",
+                   help="slope in percent instead of degrees")
+    p.add_argument("--color-text",
+                   help="gdaldem color file: 'value r g b' per line")
+    p.add_argument("--exact-color", action="store_true")
+    a = p.parse_args(args)
+
+    if a.src.lower().endswith(".vrt"):
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        g = read_vrt_array(a.src)
+    else:
+        g = decode_geotiff(vsi_read_bytes(a.src))
+    arr = g["bands"][0].astype(np.float64)
+    gt = g["geotransform"]
+    ewres, nsres = abs(gt[1]), abs(gt[5])
+
+    if a.mode == "slope":
+        out = [focal.slope(arr, ewres, nsres, a.zfactor,
+                           "percent" if a.percent else "degree")]
+    elif a.mode == "aspect":
+        out = [focal.aspect(arr, ewres, nsres)]
+    elif a.mode == "hillshade":
+        out = [focal.hillshade(arr, ewres, nsres, a.azimuth,
+                               a.altitude, a.zfactor).astype(np.uint8)]
+    elif a.mode == "tpi":
+        out = [focal.tpi(arr)]
+    elif a.mode == "tri":
+        out = [focal.tri(arr)]
+    elif a.mode == "roughness":
+        out = [focal.roughness(arr)]
+    else:  # color-relief
+        from gdal_ray.raster.kernels import color_map
+
+        if not a.color_text:
+            print("color-relief requires --color-text", file=sys.stderr)
+            return 2
+        ramp = []
+        with open(a.color_text) as f:
+            for line in f:
+                parts = line.replace(",", " ").split()
+                if not parts or parts[0].startswith("#") \
+                        or parts[0] == "nv":
+                    continue
+                ramp.append((float(parts[0]),
+                             tuple(int(v) for v in parts[1:4])))
+        ramp.sort(key=lambda e: e[0])
+        rgb = color_map(arr, ramp, interpolate=not a.exact_color)
+        out = [rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]]
+    write_geotiff(a.dst, out, g.get("crs", ""), gt, None)
+    return 0
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if (
@@ -421,6 +495,8 @@ def main(argv=None) -> int:
         and argv[1] in ("translate", "warp", "cog")
     ):
         return _raster_tool(argv[1], argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "dem":
+        return _dem_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "buildvrt":
         from gdal_ray.raster.vrt import build_vrt
 

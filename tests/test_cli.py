@@ -97,3 +97,77 @@ def test_sql_step(ray_session, tmp_path):
     df = out.to_pandas() if hasattr(out, "to_pandas") else out
     assert df["a"].tolist() == [4, 3]
     assert df["b2"].tolist() == [80.0, 60.0]
+
+
+class TestDemCLI:
+    """gdaldem-role CLI (raster dem MODE src dst)."""
+
+    def _dem(self, tmp_path):
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import write_geotiff
+
+        y, x = np.mgrid[0:32, 0:32]
+        dem = (x * 2.0 + y * 1.0).astype(np.float32)
+        p = str(tmp_path / "dem.tif")
+        write_geotiff(p, [dem], crs="EPSG:32633",
+                      geotransform=(0.0, 10.0, 0.0, 0.0, 0.0, -10.0))
+        return p, dem
+
+    def _run(self, *args):
+        import subprocess
+        import sys
+
+        return subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", *args],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"},
+        )
+
+    def test_slope_plane(self, tmp_path):
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        p, dem = self._dem(tmp_path)
+        out = str(tmp_path / "slope.tif")
+        r = self._run("raster", "dem", "slope", p, out)
+        assert r.returncode == 0, r.stderr
+        g = decode_geotiff(open(out, "rb").read())
+        # plane dz/dx=2/10, dz/dy=1/10 -> slope = atan(sqrt(.04+.01))
+        want = np.degrees(np.arctan(np.sqrt(0.05)))
+        inner = g["bands"][0][1:-1, 1:-1]
+        np.testing.assert_allclose(inner, want, rtol=1e-6)
+
+    def test_color_relief(self, tmp_path):
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        p, dem = self._dem(tmp_path)
+        ct = tmp_path / "ramp.txt"
+        ct.write_text("0 0 0 255\n100 255 0 0\n# comment\nnv 0 0 0\n")
+        out = str(tmp_path / "cr.tif")
+        r = self._run("raster", "dem", "color-relief", p, out,
+                      "--color-text", str(ct))
+        assert r.returncode == 0, r.stderr
+        g = decode_geotiff(open(out, "rb").read())
+        assert len(g["bands"]) == 3
+        # value 50 -> halfway: r=128 (rint(127.5) banker's -> 128)
+        v = dem
+        mask = v == 50.0
+        assert mask.any()
+        red = g["bands"][0]
+        np.testing.assert_allclose(red[mask], 128, atol=1)
+
+    def test_hillshade_byte_range(self, tmp_path):
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        p, _ = self._dem(tmp_path)
+        out = str(tmp_path / "hs.tif")
+        r = self._run("raster", "dem", "hillshade", p, out,
+                      "--zfactor", "2.0")
+        assert r.returncode == 0, r.stderr
+        g = decode_geotiff(open(out, "rb").read())
+        b = g["bands"][0]
+        assert b.min() >= 1 and b.max() <= 255
