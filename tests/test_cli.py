@@ -171,3 +171,30 @@ class TestDemCLI:
         g = decode_geotiff(open(out, "rb").read())
         b = g["bands"][0]
         assert b.min() >= 1 and b.max() <= 255
+
+
+class TestJobEntry:
+    """ray-job-submit entrypoint (job_entry.py): end-to-end run +
+    resume skip via the lineage manifest."""
+
+    def test_run_and_resume(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        out = str(tmp_path / "job")
+        env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+               "HOME": "/tmp"}
+        cmd = [sys.executable, "/root/repo/job_entry.py",
+               "--input", "/root/testdata/sf0.001",
+               "--output", out, "--num-cpus", "4"]
+        r1 = subprocess.run(cmd, capture_output=True, env=env)
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        s1 = json.loads(r1.stdout.decode().strip().splitlines()[-1])
+        assert s1["rows"] == 500 and s1["partitions"] > 0
+        # resume: same manifest, nothing recomputed, same totals
+        r2 = subprocess.run(cmd, capture_output=True, env=env)
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        s2 = json.loads(r2.stdout.decode().strip().splitlines()[-1])
+        assert s2["rows"] == s1["rows"]
+        assert s2["partitions"] == s1["partitions"]
