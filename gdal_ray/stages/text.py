@@ -190,3 +190,78 @@ def canonical_url(batch: pa.Table, url_col: str = "url") -> pa.Table:
     joined = pc.binary_join_element_wise(lowered, pc.coalesce(rest, u), "")
     joined = pc.replace_substring_regex(joined, r"/$", "")
     return batch.append_column("url_canon", joined)
+
+
+def repetition_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    public MassiveText filtering recipe): per document,
+
+    - ``dup_line_frac``      — fraction of lines that are duplicates
+      of an earlier line,
+    - ``dup_line_char_frac`` — fraction of characters in those
+      duplicated lines,
+    - ``top2gram_frac``      — fraction of characters covered by the
+      most frequent word 2-gram,
+    - ``dup5gram_frac``      — fraction of characters covered by word
+      5-grams occurring more than once.
+
+    High values mark boilerplate/spam; MassiveText drops docs at
+    dup_line_frac > 0.30, top2gram_frac > 0.20, dup5gram_frac > 0.15.
+    Tokenization is whitespace (matching the engine's token counter).
+    Per-document loop is inherent (ragged token lists); the inner
+    counting is numpy/dict-based, no regex per n-gram.
+    """
+    texts = batch[text_col].to_pylist()
+    dl, dlc, t2, d5 = [], [], [], []
+    for t in texts:
+        t = t or ""
+        lines = t.split("\n")
+        seen: set = set()
+        dup_n = 0
+        dup_chars = 0
+        for ln in lines:
+            if ln in seen:
+                dup_n += 1
+                dup_chars += len(ln)
+            else:
+                seen.add(ln)
+        dl.append(dup_n / len(lines))
+        dlc.append(dup_chars / max(1, len(t)))
+        words = t.split()
+        nchars = max(1, sum(len(w) for w in words))
+        # top word-2-gram coverage
+        if len(words) >= 2:
+            counts: dict = {}
+            for i in range(len(words) - 1):
+                g = (words[i], words[i + 1])
+                counts[g] = counts.get(g, 0) + 1
+            g, c = max(counts.items(), key=lambda kv: (kv[1], kv[0]))
+            t2.append(c * (len(g[0]) + len(g[1])) / nchars)
+        else:
+            t2.append(0.0)
+        # chars inside word-5-grams that occur >1 time (each position
+        # counted once, Gopher's "fraction of characters contained in
+        # duplicated n-grams")
+        if len(words) >= 5:
+            counts5: dict = {}
+            for i in range(len(words) - 4):
+                g = tuple(words[i : i + 5])
+                counts5[g] = counts5.get(g, 0) + 1
+            covered = np.zeros(len(words), dtype=bool)
+            for i in range(len(words) - 4):
+                if counts5[tuple(words[i : i + 5])] > 1:
+                    covered[i : i + 5] = True
+            d5.append(
+                sum(len(w) for w, c in zip(words, covered) if c) / nchars
+            )
+        else:
+            d5.append(0.0)
+    return batch.append_column(
+        "dup_line_frac", pa.array(dl, pa.float64())
+    ).append_column(
+        "dup_line_char_frac", pa.array(dlc, pa.float64())
+    ).append_column(
+        "top2gram_frac", pa.array(t2, pa.float64())
+    ).append_column(
+        "dup5gram_frac", pa.array(d5, pa.float64())
+    )

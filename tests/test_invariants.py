@@ -227,3 +227,57 @@ class TestDatasetContracts:
         # consuming twice yields identical schema + count
         assert ds.count() == ds.count()
         assert flagship.flagship(sf_small).schema().names == s1
+
+
+class TestRepetitionStats:
+    """Gopher-style repetition quality signals (stages/text.py)."""
+
+    def _stats(self, text):
+        import pyarrow as pa
+
+        from gdal_ray.stages.text import repetition_stats
+
+        t = repetition_stats(pa.table({"text": [text]}))
+        return {c: t[c][0].as_py() for c in
+                ("dup_line_frac", "dup_line_char_frac",
+                 "top2gram_frac", "dup5gram_frac")}
+
+    def test_clean_text(self):
+        s = self._stats("alpha beta gamma delta epsilon zeta eta theta")
+        assert s["dup_line_frac"] == 0.0
+        assert s["dup5gram_frac"] == 0.0
+
+    def test_duplicate_lines(self):
+        s = self._stats("same line\nsame line\nsame line\nother")
+        assert abs(s["dup_line_frac"] - 0.5) < 1e-12
+        dup_chars = 2 * len("same line")
+        total = len("same line\nsame line\nsame line\nother")
+        assert abs(s["dup_line_char_frac"] - dup_chars / total) < 1e-12
+
+    def test_top2gram(self):
+        # "ab cd" appears 3x out of 5 bigram slots
+        s = self._stats("ab cd ab cd ab cd")
+        # chars covered: 3 * (2+2) = 12 of 12 total word chars
+        assert abs(s["top2gram_frac"] - 1.0) < 1e-12
+
+    def test_dup5gram_full_repeat(self):
+        words = "a b c d e " * 4
+        s = self._stats(words.strip())
+        assert s["dup5gram_frac"] == 1.0
+
+    def test_empty_and_short(self):
+        assert self._stats("")["top2gram_frac"] == 0.0
+        assert self._stats("one")["dup5gram_frac"] == 0.0
+
+    def test_batch_over_documents(self, ray_session):
+        import ray.data as rd
+
+        from gdal_ray.stages.text import repetition_stats
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+        out = ds.map_batches(repetition_stats,
+                             batch_format="pyarrow").to_pandas()
+        assert len(out) == 500
+        for c in ("dup_line_frac", "top2gram_frac", "dup5gram_frac"):
+            assert ((out[c] >= 0) & (out[c] <= 1)).all()
