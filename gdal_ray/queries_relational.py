@@ -577,7 +577,6 @@ def q_asof_join(sf_dir: str):
 
     def tag_union(t: pa.Table) -> pa.Table:
         import numpy as np
-        import pyarrow.compute as _pc
 
         n = t.num_rows
         eid = t["event_id"].to_numpy(zero_copy_only=False)
