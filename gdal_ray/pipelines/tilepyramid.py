@@ -250,3 +250,43 @@ def write_png_tiles(
         return pa.Table.from_pylist(out)
 
     return tiles_ds.map_batches(sink, batch_format="pyarrow")
+
+
+def write_pmtiles_pyramid(
+    tiles_ds: rd.Dataset,
+    path: str,
+    vmin: float,
+    vmax: float,
+    rgba: bool = True,
+) -> dict:
+    """Pyramid → ONE PMTiles v3 archive: tiles PNG-encode in parallel
+    (map_batches), then funnel through the clustered single-file
+    writer (gdal_ray.pmtiles — Hilbert order, content dedup; uniform
+    tiles like all-NaN ocean collapse to one stored blob)."""
+    from gdal_ray import pmtiles as pmt
+    from gdal_ray.raster import png as pngmod
+
+    span = float(vmax - vmin) or 1.0
+
+    def encode(batch: pa.Table) -> pa.Table:
+        out = []
+        for r in batch.to_pylist():
+            arr = np.frombuffer(r["data"], dtype=np.float32).reshape(
+                r["height"], r["width"])
+            finite = np.isfinite(arr)
+            grey = np.clip(
+                (np.where(finite, arr, vmin) - vmin) / span * 255.0,
+                0.0, 255.0).astype(np.uint8)
+            if rgba:
+                img = np.empty((*grey.shape, 4), dtype=np.uint8)
+                img[:, :, 0] = img[:, :, 1] = img[:, :, 2] = grey
+                img[:, :, 3] = np.where(finite, 255, 0).astype(np.uint8)
+            else:
+                img = grey
+            out.append({"z": int(r["z"]), "x": int(r["x"]),
+                        "y": int(r["y"]),
+                        "data": pngmod.encode_png(img)})
+        return pa.Table.from_pylist(out)
+
+    encoded = tiles_ds.map_batches(encode, batch_format="pyarrow")
+    return pmt.write_pmtiles(path, encoded, tile_type=pmt.TYPE_PNG)
