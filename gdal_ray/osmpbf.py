@@ -1,0 +1,548 @@
+"""OSM PBF driver — OpenStreetMap's protobuf planet format.
+
+Reference role: ogr/ogrsf_frmts/osm (OGR's OSM driver + osmconf.ini
+layer config); format per the public spec
+(wiki.openstreetmap.org/wiki/PBF_Format, osmformat.proto /
+fileformat.proto). From-scratch wire-level parse on the engine's own
+protobuf reader (gdal_ray.mvt helpers) — no protoc, no reference code.
+
+Two surfaces:
+
+- ELEMENTS (scale path): ``read_osm_elements(path)`` → Dataset of raw
+  nodes/ways/relations. Each PBF Blob is independently decodable, so
+  the driver scans ONLY the 4-byte BlobHeader chain (offsets +
+  lengths) and tasks pread + decode their blobs in parallel — the
+  planet-file shard shape (OGR instead streams one thread through an
+  interleaved node database).
+- LAYERS (OGR parity): ``osm_layers(path)`` reproduces the five OGR
+  layers (points, lines, multipolygons, multilinestrings,
+  other_relations) with osmconf.ini field lists, the HSTORE
+  ``other_tags`` encoding, the z_order computed attribute, and the
+  closed-ways-are-polygons rule — pinned feature-for-feature against
+  autotest/ogr/data/osm fixtures in tests/test_osmpbf.py.
+
+Way/relation geometry assembly needs node coordinates: here by id
+lookup against the decoded node table (broadcast for the in-memory
+path; ``assemble_way_lines`` shows the join+groupby Dataset shape for
+corpus scale).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray.geom import wkb as gwkb
+from gdal_ray.mvt import _fields, _read_varint
+
+MEMBER_NODE, MEMBER_WAY, MEMBER_RELATION = 0, 1, 2
+
+
+def _unzigzag(v: int) -> int:
+    return (v >> 1) ^ -(v & 1)
+
+
+def _packed_varints(buf: bytes) -> list[int]:
+    out = []
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        out.append(v)
+    return out
+
+
+def _packed_sint_delta(buf: bytes) -> list[int]:
+    out = []
+    cur = 0
+    pos = 0
+    while pos < len(buf):
+        v, pos = _read_varint(buf, pos)
+        cur += _unzigzag(v)
+        out.append(cur)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# file layer (fileformat.proto)
+
+
+def scan_blob_ranges(path: str) -> list[dict]:
+    """Driver-side header walk: (type, data offset, data length) per
+    blob — no blob payload is read here."""
+    from gdal_ray.vsi import vsi_open
+
+    out = []
+    with vsi_open(path, "rb") as f:
+        while True:
+            lenbuf = f.read(4)
+            if len(lenbuf) < 4:
+                break
+            hlen = int.from_bytes(lenbuf, "big")
+            hdr = f.read(hlen)
+            btype = ""
+            datasize = 0
+            for field, _w, v in _fields(hdr):
+                if field == 1:
+                    btype = v.decode()
+                elif field == 3:
+                    datasize = v
+            off = f.tell()
+            out.append({"type": btype, "offset": off, "length": datasize})
+            f.seek(off + datasize)
+    return out
+
+
+def _blob_payload(raw: bytes) -> bytes:
+    data = b""
+    for field, _w, v in _fields(raw):
+        if field == 1:          # raw
+            data = v
+        elif field == 3:        # zlib_data
+            data = zlib.decompress(v)
+    return data
+
+
+# ---------------------------------------------------------------------------
+# OSMData block (osmformat.proto)
+
+
+def _parse_block(data: bytes) -> dict:
+    """PrimitiveBlock → {"nodes": [...], "ways": [...], "relations":
+    [...]} with tags as (keys, vals) string lists."""
+    st: list[str] = []
+    groups: list[bytes] = []
+    gran, lat_off, lon_off = 100, 0, 0
+    for field, _w, v in _fields(data):
+        if field == 1:
+            st = [s.decode("utf-8")
+                  for f2, _w2, s in _fields(v) if f2 == 1]
+        elif field == 2:
+            groups.append(v)
+        elif field == 17:
+            gran = v
+        elif field == 19:
+            lat_off = v
+        elif field == 20:
+            lon_off = v
+
+    def coord(lat_i, lon_i):
+        return (1e-9 * (lat_off + gran * lat_i),
+                1e-9 * (lon_off + gran * lon_i))
+
+    nodes, ways, rels = [], [], []
+    for g in groups:
+        for field, _w, v in _fields(g):
+            if field == 1:      # Node
+                nid = lat_i = lon_i = 0
+                keys = vals = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        nid = _unzigzag(v2)
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        lat_i = _unzigzag(v2)
+                    elif f2 == 9:
+                        lon_i = _unzigzag(v2)
+                lat, lon = coord(lat_i, lon_i)
+                nodes.append((nid, lon, lat,
+                              [st[k] for k in keys], [st[k] for k in vals]))
+            elif field == 2:    # DenseNodes
+                ids = lats = lons = []
+                kv: list[int] = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        ids = _packed_sint_delta(v2)
+                    elif f2 == 8:
+                        lats = _packed_sint_delta(v2)
+                    elif f2 == 9:
+                        lons = _packed_sint_delta(v2)
+                    elif f2 == 10:
+                        kv = _packed_varints(v2)
+                ki = 0
+                for i, nid in enumerate(ids):
+                    keys, vals = [], []
+                    while ki < len(kv) and kv[ki] != 0:
+                        keys.append(st[kv[ki]])
+                        vals.append(st[kv[ki + 1]])
+                        ki += 2
+                    ki += 1  # the 0 separator
+                    lat, lon = coord(lats[i], lons[i])
+                    nodes.append((nid, lon, lat, keys, vals))
+            elif field == 3:    # Way
+                wid = 0
+                keys = vals = refs = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        wid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        refs = _packed_sint_delta(v2)
+                ways.append((wid, refs,
+                             [st[k] for k in keys], [st[k] for k in vals]))
+            elif field == 4:    # Relation
+                rid = 0
+                keys = vals = roles = mids = mtypes = []
+                for f2, _w2, v2 in _fields(v):
+                    if f2 == 1:
+                        rid = v2
+                    elif f2 == 2:
+                        keys = _packed_varints(v2)
+                    elif f2 == 3:
+                        vals = _packed_varints(v2)
+                    elif f2 == 8:
+                        roles = _packed_varints(v2)
+                    elif f2 == 9:
+                        mids = _packed_sint_delta(v2)
+                    elif f2 == 10:
+                        mtypes = _packed_varints(v2)
+                rels.append((rid, mids, mtypes,
+                             [st[r] for r in roles],
+                             [st[k] for k in keys], [st[k] for k in vals]))
+    return {"nodes": nodes, "ways": ways, "relations": rels}
+
+
+def parse_osm_pbf(path: str) -> dict:
+    """Whole-file single-process parse (fixtures / layer assembly)."""
+    from gdal_ray.vsi import vsi_open
+
+    out = {"nodes": [], "ways": [], "relations": []}
+    with vsi_open(path, "rb") as f:
+        data = f.read()
+    for r in scan_blob_ranges(path):
+        if r["type"] != "OSMData":
+            continue
+        block = _parse_block(
+            _blob_payload(data[r["offset"] : r["offset"] + r["length"]]))
+        for k in out:
+            out[k].extend(block[k])
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Ray elements reader (blob-sharded)
+
+
+def read_osm_elements(path: str):
+    """Dataset of raw elements, one decode task per OSMData blob:
+    kind (0 node / 1 way / 2 relation), id, lon/lat (nodes),
+    refs (ways), member_* (relations), tag keys/vals."""
+    import ray.data as rd
+
+    ranges = [r for r in scan_blob_ranges(path) if r["type"] == "OSMData"]
+
+    def decode(batch: pa.Table) -> pa.Table:
+        rows = []
+        with open(path, "rb") as f:
+            for r in batch.to_pylist():
+                f.seek(r["offset"])
+                block = _parse_block(_blob_payload(f.read(r["length"])))
+                for nid, lon, lat, k, v in block["nodes"]:
+                    rows.append({"kind": 0, "id": nid, "lon": lon,
+                                 "lat": lat, "refs": None,
+                                 "member_ids": None, "member_types": None,
+                                 "member_roles": None,
+                                 "tag_keys": k, "tag_vals": v})
+                for wid, refs, k, v in block["ways"]:
+                    rows.append({"kind": 1, "id": wid, "lon": None,
+                                 "lat": None, "refs": refs,
+                                 "member_ids": None, "member_types": None,
+                                 "member_roles": None,
+                                 "tag_keys": k, "tag_vals": v})
+                for rid, mids, mtypes, roles, k, v in block["relations"]:
+                    rows.append({"kind": 2, "id": rid, "lon": None,
+                                 "lat": None, "refs": None,
+                                 "member_ids": mids,
+                                 "member_types": mtypes,
+                                 "member_roles": roles,
+                                 "tag_keys": k, "tag_vals": v})
+        return pa.Table.from_pylist(rows, schema=_ELEMENT_SCHEMA)
+
+    return rd.from_items(ranges).map_batches(decode, batch_format="pyarrow")
+
+
+_ELEMENT_SCHEMA = pa.schema([
+    ("kind", pa.int8()), ("id", pa.int64()),
+    ("lon", pa.float64()), ("lat", pa.float64()),
+    ("refs", pa.list_(pa.int64())),
+    ("member_ids", pa.list_(pa.int64())),
+    ("member_types", pa.list_(pa.int8())),
+    ("member_roles", pa.list_(pa.string())),
+    ("tag_keys", pa.list_(pa.string())),
+    ("tag_vals", pa.list_(pa.string())),
+])
+
+
+def assemble_way_lines(elements):
+    """Distributed way-geometry assembly over the elements Dataset:
+    explode (way, seq, ref) → hash-join against the node table →
+    regroup by way id in ref order. The corpus-scale path (no node
+    table on any single machine); the layer builder below uses the
+    broadcast dict for fixture-sized inputs."""
+    import pandas as pd
+
+    nodes = elements.filter(lambda r: r["kind"] == 0) \
+        .select_columns(["id", "lon", "lat"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            if r["kind"] != 1:
+                continue
+            for i, ref in enumerate(r["refs"]):
+                rows.append({"way_id": r["id"], "seq": i, "id": ref})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("way_id", pa.int64()), ("seq", pa.int64()),
+             ("id", pa.int64())]))
+
+    refs = elements.map_batches(explode, batch_format="pyarrow")
+    joined = refs.join(nodes, join_type="inner", on=("id",),
+                       num_partitions=8)
+
+    def build(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("seq")
+        coords = np.column_stack([g["lon"].to_numpy(),
+                                  g["lat"].to_numpy()])
+        return pd.DataFrame({
+            "osm_id": [int(g["way_id"].iloc[0])],
+            "geometry": [gwkb.linestring_wkb(coords)],
+        })
+
+    return joined.groupby("way_id").map_groups(build, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# OGR layer parity (osmconf.ini defaults)
+
+_IGNORED_KEYS = frozenset(
+    "created_by converted_by source time ele attribution".split())
+#: tags filtered early on WAYS and when building relations (the osm
+#: driver's hard-coded early filter; osmconf.ini [general] note) —
+#: ``area`` still drives the closed-way rule before filtering
+_EARLY_FILTERED = frozenset(
+    "area created_by converted_by source time ele note todo fixme "
+    "FIXME attribution".split())
+_POINT_FIELDS = ["name", "barrier", "highway", "ref", "address",
+                 "is_in", "place", "man_made"]
+_LINE_FIELDS = ["name", "highway", "waterway", "aerialway", "barrier",
+                "man_made", "railway"]
+_MPOLY_FIELDS = ["name", "type", "aeroway", "amenity", "admin_level",
+                 "barrier", "boundary", "building", "craft", "geological",
+                 "historic", "land_area", "landuse", "leisure", "man_made",
+                 "military", "natural", "office", "place", "shop", "sport",
+                 "tourism"]
+_MLS_FIELDS = ["name", "type"]
+_CLOSED_WAY_POLY_KEYS = frozenset(
+    "aeroway amenity boundary building craft geological historic landuse "
+    "leisure military natural office place shop sport tourism".split())
+_Z_ORDER = {"minor": 3, "road": 3, "unclassified": 3, "residential": 3,
+            "tertiary_link": 4, "tertiary": 4, "secondary_link": 6,
+            "secondary": 6, "primary_link": 7, "primary": 7,
+            "trunk_link": 8, "trunk": 8, "motorway_link": 9, "motorway": 9}
+
+
+def _hstore(pairs: list[tuple[str, str]]) -> str | None:
+    if not pairs:
+        return None
+    esc = lambda s: s.replace("\\", "\\\\").replace('"', '\\"')  # noqa: E731
+    return ",".join(f'"{esc(k)}"=>"{esc(v)}"' for k, v in pairs)
+
+
+def _split_tags(keys, vals, fields, ignore=_IGNORED_KEYS):
+    """→ (field values dict, other_tags hstore) per osmconf: listed
+    attributes become columns, the rest collect into other_tags."""
+    if isinstance(keys, dict):
+        keys, vals = list(keys.keys()), list(keys.values())
+    named = dict.fromkeys(fields)
+    other = []
+    for k, v in zip(keys, vals):
+        if k in ignore:
+            continue
+        if k in named and named[k] is None:
+            named[k] = v
+        else:
+            other.append((k, v))
+    return named, _hstore(other)
+
+
+def _z_order(tags: dict) -> int:
+    z = _Z_ORDER.get(tags.get("highway") or "", 0)
+    all_t = tags
+    if (all_t.get("bridge") or "") in ("yes", "true", "1"):
+        z += 10
+    if (all_t.get("tunnel") or "") in ("yes", "true", "1"):
+        z -= 10
+    if all_t.get("railway") is not None:
+        z += 5
+    layer = all_t.get("layer")
+    if layer is not None:
+        try:
+            z += 10 * int(layer)
+        except ValueError:
+            pass
+    return z
+
+
+def osm_layers(path: str) -> dict[str, pa.Table]:
+    """The five OGR OSM layers from one parse (fixture-scale: node
+    coords held in a dict; the Dataset path is read_osm_elements +
+    assemble_way_lines)."""
+    el = parse_osm_pbf(path)
+    coords = {nid: (lon, lat) for nid, lon, lat, _k, _v in el["nodes"]}
+
+    def way_coords(refs):
+        pts = [coords[r] for r in refs if r in coords]
+        return np.array(pts, dtype=np.float64)
+
+    # --- points: nodes with at least one significant tag
+    pt_rows = []
+    for nid, lon, lat, k, v in el["nodes"]:
+        named, other = _split_tags(k, v, _POINT_FIELDS)
+        if all(val is None for val in named.values()) and other is None:
+            continue
+        pt_rows.append({"osm_id": str(nid), **named, "other_tags": other,
+                        "geometry": gwkb.point_wkb(lon, lat)})
+
+    # --- which ways are consumed by poly/route relations
+    rel_way_members: set[int] = set()
+    for rid, mids, mtypes, roles, k, v in el["relations"]:
+        tags = dict(zip(k, v))
+        if tags.get("type") in ("multipolygon", "boundary"):
+            rel_way_members.update(
+                m for m, t in zip(mids, mtypes) if t == MEMBER_WAY)
+
+    def is_area_way(refs, tags: dict) -> bool:
+        if len(refs) < 4 or refs[0] != refs[-1]:
+            return False
+        if tags.get("area") == "yes":
+            return True
+        if tags.get("highway") == "platform" or \
+                tags.get("public_transport") == "platform":
+            return True
+        return any(key in _CLOSED_WAY_POLY_KEYS for key in tags)
+
+    ln_rows, way_poly_rows = [], []
+    for wid, refs, k, v in el["ways"]:
+        raw_tags = dict(zip(k, v))
+        tags = {key: val for key, val in raw_tags.items()
+                if key not in _EARLY_FILTERED}
+        if not tags or wid in rel_way_members:
+            # untagged ways and ways consumed by multipolygon/boundary
+            # relations are not reported standalone
+            continue
+        pts = way_coords(refs)
+        if len(pts) < 2:
+            continue  # unresolvable refs (partial extract) — dropped
+        if is_area_way(refs, raw_tags):
+            named, other = _split_tags(tags, None, _MPOLY_FIELDS,
+                                       ignore=_EARLY_FILTERED)
+            way_poly_rows.append({
+                "osm_id": None, "osm_way_id": str(wid), **named,
+                "other_tags": other,
+                "geometry": gwkb.multipolygon_wkb([(pts, [])]),
+            })
+            continue
+        named, other = _split_tags(tags, None, _LINE_FIELDS,
+                                   ignore=_EARLY_FILTERED)
+        ln_rows.append({"osm_id": str(wid), **named,
+                        "z_order": _z_order(raw_tags), "other_tags": other,
+                        "geometry": gwkb.linestring_wkb(pts)})
+
+    ways_by_id = {wid: refs for wid, refs, _k, _v in el["ways"]}
+    way_tags_by_id = {wid: dict(zip(k, v))
+                      for wid, _refs, k, v in el["ways"]}
+
+    # --- relations
+    mp_rows, mls_rows, other_rows = [], [], []
+    for rid, mids, mtypes, roles, k, v in el["relations"]:
+        tags = dict(zip(k, v))
+        rtype = tags.get("type")
+        if rtype in ("multipolygon", "boundary"):
+            way_members = [(m, role) for m, t, role in
+                           zip(mids, mtypes, roles) if t == MEMBER_WAY]
+            if any(m not in ways_by_id for m, _r in way_members):
+                continue  # partial extract: member way absent — dropped
+            shells, holes = [], []
+            for m, role in way_members:
+                ring = way_coords(ways_by_id[m])
+                if len(ring) < 4:
+                    continue
+                (holes if role == "inner" else shells).append(ring)
+            if not shells:
+                continue
+            polys = [(shells[0], holes)] + [(s, []) for s in shells[1:]]
+            # old-style multipolygon: a relation carrying no tags
+            # beyond `type` inherits the OUTER way's tags
+            out_tags = {key: val for key, val in tags.items()
+                        if key not in _EARLY_FILTERED}
+            if set(out_tags) <= {"type"}:
+                for m, role in way_members:
+                    if role != "inner":
+                        for key, val in way_tags_by_id[m].items():
+                            if key not in _EARLY_FILTERED:
+                                out_tags.setdefault(key, val)
+            named, other = _split_tags(out_tags, None, _MPOLY_FIELDS,
+                                       ignore=_EARLY_FILTERED)
+            mp_rows.append({"osm_id": str(rid), "osm_way_id": None,
+                            **named, "other_tags": other,
+                            "geometry": gwkb.multipolygon_wkb(polys)})
+        elif rtype == "route":
+            parts = [way_coords(ways_by_id[m])
+                     for m, t in zip(mids, mtypes)
+                     if t == MEMBER_WAY and m in ways_by_id]
+            named, other = _split_tags(k, v, _MLS_FIELDS)
+            geom = (b"".join([])
+                    if not parts else _multilinestring_wkb(parts))
+            mls_rows.append({"osm_id": str(rid), **named,
+                             "other_tags": other, "geometry": geom})
+        else:
+            parts = []
+            for m, t in zip(mids, mtypes):
+                if t == MEMBER_NODE and m in coords:
+                    parts.append(gwkb.point_wkb(*coords[m]))
+                elif t == MEMBER_WAY and m in ways_by_id:
+                    parts.append(
+                        gwkb.linestring_wkb(way_coords(ways_by_id[m])))
+            if not parts and not tags:
+                continue
+            named, other = _split_tags(k, v, _MLS_FIELDS)
+            other_rows.append({"osm_id": str(rid), **named,
+                               "other_tags": other,
+                               "geometry":
+                               gwkb.geometrycollection_wkb(parts)})
+
+    mp_all = mp_rows + way_poly_rows
+
+    def table(rows, fields):
+        cols = ["osm_id"] + (["osm_way_id"] if rows and "osm_way_id"
+                             in rows[0] else []) + fields + \
+            (["z_order"] if rows and "z_order" in rows[0] else []) + \
+            ["other_tags", "geometry"]
+        arrays = {}
+        for c in cols:
+            typ = (pa.binary() if c == "geometry"
+                   else pa.int64() if c == "z_order" else pa.string())
+            arrays[c] = pa.array([r.get(c) for r in rows], typ)
+        return pa.table(arrays)
+
+    return {
+        "points": table(pt_rows, _POINT_FIELDS),
+        "lines": table(ln_rows, _LINE_FIELDS),
+        "multipolygons": table(mp_all, _MPOLY_FIELDS),
+        "multilinestrings": table(mls_rows, _MLS_FIELDS),
+        "other_relations": table(other_rows, _MLS_FIELDS),
+    }
+
+
+def _multilinestring_wkb(parts: list[np.ndarray]) -> bytes:
+    import struct
+
+    body = b"".join(gwkb.linestring_wkb(p) for p in parts)
+    return struct.pack("<BII", 1, 5, len(parts)) + body
