@@ -393,8 +393,9 @@ def _z_order(tags: dict) -> int:
 def osm_layers(path: str) -> dict[str, pa.Table]:
     """The five OGR OSM layers from one parse (fixture-scale: node
     coords held in a dict; the Dataset path is read_osm_elements +
-    assemble_way_lines)."""
-    el = parse_osm_pbf(path)
+    assemble_way_lines). Accepts .pbf and .osm XML."""
+    el = (parse_osm_xml(path) if path.lower().endswith(".osm")
+          else parse_osm_pbf(path))
     coords = {nid: (lon, lat) for nid, lon, lat, _k, _v in el["nodes"]}
 
     def way_coords(refs):
@@ -546,3 +547,48 @@ def _multilinestring_wkb(parts: list[np.ndarray]) -> bytes:
 
     body = b"".join(gwkb.linestring_wkb(p) for p in parts)
     return struct.pack("<BII", 1, 5, len(parts)) + body
+
+
+# ---------------------------------------------------------------------------
+# .osm XML sibling (same element model, same layer builder)
+
+
+def parse_osm_xml(path: str) -> dict:
+    """OSM XML → the parse_osm_pbf element dict (nodes/ways/relations
+    with (keys, vals) tag lists). stdlib ElementTree iterparse —
+    streaming, no whole-tree DOM."""
+    import xml.etree.ElementTree as ET
+
+    from gdal_ray.vsi import vsi_open
+
+    out = {"nodes": [], "ways": [], "relations": []}
+    tmap = {"node": MEMBER_NODE, "way": MEMBER_WAY,
+            "relation": MEMBER_RELATION}
+    with vsi_open(path, "rb") as f:
+        for _ev, el in ET.iterparse(f, events=("end",)):
+            tag = el.tag
+            if tag == "node":
+                k = [t.get("k") for t in el.findall("tag")]
+                v = [t.get("v") for t in el.findall("tag")]
+                out["nodes"].append((int(el.get("id")),
+                                     float(el.get("lon")),
+                                     float(el.get("lat")), k, v))
+            elif tag == "way":
+                refs = [int(n.get("ref")) for n in el.findall("nd")]
+                k = [t.get("k") for t in el.findall("tag")]
+                v = [t.get("v") for t in el.findall("tag")]
+                out["ways"].append((int(el.get("id")), refs, k, v))
+            elif tag == "relation":
+                mids, mtypes, roles = [], [], []
+                for m in el.findall("member"):
+                    mids.append(int(m.get("ref")))
+                    mtypes.append(tmap.get(m.get("type"), MEMBER_NODE))
+                    roles.append(m.get("role") or "")
+                k = [t.get("k") for t in el.findall("tag")]
+                v = [t.get("v") for t in el.findall("tag")]
+                out["relations"].append((int(el.get("id")), mids,
+                                         mtypes, roles, k, v))
+            else:
+                continue
+            el.clear()
+    return out

@@ -26,6 +26,7 @@ def _wkt(row):
     "test.pbf",
     "test_uncompressed_dense_true_nometadata.pbf",
     "test_uncompressed_dense_false.pbf",
+    "test.osm",  # the XML sibling (autotest test_ogr_osm_2)
 ])
 class TestOgrOsm1Parity:
     """The autotest test_ogr_osm_1 pins, on all three encodings
