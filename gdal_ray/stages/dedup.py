@@ -356,3 +356,65 @@ def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int | No
             break
         prev_sum = cur
     return labels
+
+
+def dedup_paragraphs(ds, text_col: str = "text", id_col: str = "doc_id",
+                     num_partitions: int = 8):
+    """Cross-document paragraph-level exact dedup (the C4/CCNet
+    recipe: a paragraph repeated anywhere in the corpus survives only
+    at its FIRST occurrence, ordered by (doc id, paragraph index);
+    empty paragraphs always survive — they are structure, not
+    content; a document whose every paragraph is removed drops out of
+    the corpus).
+
+    Shape: explode to (id, idx, paragraph) → groupby(paragraph fp)
+    keeps the minimal (id, idx) per fingerprint → groupby(id)
+    reassembles surviving paragraphs in order. Two key-hash shuffles,
+    no driver-side state; the paragraph text rides the shuffle once
+    per stage (at corpus scale, shuffle fp+ids only and rejoin against
+    the exploded table to halve the exchange)."""
+    import pandas as pd
+
+    from gdal_ray.stages.sketch import hash_any
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids, idxs, pars = [], [], []
+        for did, text in zip(t[id_col].to_pylist(),
+                             t[text_col].to_pylist()):
+            for i, par in enumerate((text or "").split("\n")):
+                ids.append(did)
+                idxs.append(i)
+                pars.append(par)
+        out = pa.table({
+            id_col: pa.array(ids, pa.int64()),
+            "__idx": pa.array(idxs, pa.int64()),
+            "__par": pa.array(pars, pa.string()),
+        })
+        fp = hash_any(out["__par"]).astype(np.int64)
+        return out.append_column("__fp", pa.array(fp))
+
+    pars = ds.map_batches(explode, batch_format="pyarrow")
+
+    def keep_first(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([id_col, "__idx"], kind="mergesort")
+        keep = np.zeros(len(g), dtype=bool)
+        seen: set = set()
+        for i, par in enumerate(g["__par"]):
+            if par == "" or par not in seen:
+                keep[i] = True
+                if par != "":
+                    seen.add(par)
+        return g[keep]
+
+    winners = pars.groupby("__fp", num_partitions=num_partitions) \
+        .map_groups(keep_first, batch_format="pandas")
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("__idx", kind="mergesort")
+        return pd.DataFrame({
+            id_col: [g[id_col].iloc[0]],
+            text_col: ["\n".join(g["__par"])],
+        })
+
+    return winners.groupby(id_col, num_partitions=num_partitions) \
+        .map_groups(reassemble, batch_format="pandas")

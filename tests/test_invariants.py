@@ -281,3 +281,65 @@ class TestRepetitionStats:
         assert len(out) == 500
         for c in ("dup_line_frac", "top2gram_frac", "dup5gram_frac"):
             assert ((out[c] >= 0) & (out[c] <= 1)).all()
+
+
+class TestParagraphDedup:
+    """C4/CCNet cross-document paragraph dedup (stages/dedup.py) —
+    verified against a DuckDB window-function oracle."""
+
+    def test_synthetic(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages.dedup import dedup_paragraphs
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "alpha\nshared boilerplate\nbeta",
+                "shared boilerplate\ngamma\n\ndelta",
+                "gamma\nshared boilerplate\nalpha",
+            ],
+        })
+        out = dedup_paragraphs(rd.from_arrow(docs)).to_pandas() \
+            .set_index("doc_id")["text"].to_dict()
+        # first occurrences: doc1 keeps everything; doc2 loses the
+        # boilerplate but keeps gamma + the empty line; doc3 loses
+        # every paragraph and drops out of the corpus entirely
+        assert out[1] == "alpha\nshared boilerplate\nbeta"
+        assert out[2] == "gamma\n\ndelta"
+        assert 3 not in out
+
+    def test_oracle_over_documents(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from gdal_ray.stages.dedup import dedup_paragraphs
+
+        sf = "/root/testdata/sf0.001"
+        ds = rd.read_parquet(f"{sf}/documents.parquet",
+                             columns=["doc_id", "text"])
+        got = dedup_paragraphs(ds).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+
+        con = duckdb.connect()
+        ora = con.execute(f"""
+            WITH pars AS (
+              SELECT doc_id, i AS idx,
+                     list_extract(string_split(text, chr(10)), i) AS par
+              FROM read_parquet('{sf}/documents.parquet'),
+                   UNNEST(generate_series(
+                     1, len(string_split(text, chr(10))))) AS t(i)
+            ), marked AS (
+              SELECT *, (par = '' OR ROW_NUMBER() OVER (
+                 PARTITION BY par ORDER BY doc_id, idx) = 1) AS keep
+              FROM pars
+            )
+            SELECT doc_id,
+                   string_agg(par, chr(10) ORDER BY idx) AS text
+            FROM marked WHERE keep GROUP BY doc_id ORDER BY doc_id
+        """).fetchdf()
+        assert len(got) == len(ora)
+        assert (got["doc_id"].to_numpy() == ora["doc_id"].to_numpy()).all()
+        assert (got["text"].fillna("").to_numpy()
+                == ora["text"].fillna("").to_numpy()).all()
