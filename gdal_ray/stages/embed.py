@@ -418,3 +418,129 @@ def embedding_near_dups(
         )
 
     return cand.map_batches(verify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# product quantization (memory-compressed ANN)
+
+
+def _kmeans_l2(x: np.ndarray, k: int, iters: int, rng) -> np.ndarray:
+    """Plain Lloyd k-means (L2) — deterministic seeded init, empty
+    cells re-seeded from worst-fit points."""
+    cents = x[rng.choice(len(x), size=min(k, len(x)), replace=False)]
+    if len(cents) < k:  # tiny sample: pad by repeating
+        cents = np.concatenate([cents] * (k // len(cents) + 1))[:k].copy()
+    for _ in range(iters):
+        d = ((x[:, None, :] - cents[None]) ** 2).sum(-1)   # (n, k)
+        assign = d.argmin(axis=1)
+        fit = d[np.arange(len(x)), assign]
+        new = np.zeros_like(cents)
+        np.add.at(new, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        empty = counts == 0
+        if empty.any():
+            worst = np.argsort(-fit)[: int(empty.sum())]
+            new[empty] = x[worst]
+            counts[empty] = 1.0
+        cents = new / counts[:, None]
+    return cents
+
+
+def train_pq_codebooks(vectors: np.ndarray, m: int = 8, ksub: int = 256,
+                       iters: int = 10, seed: int = 7) -> np.ndarray:
+    """Product-quantizer training (Jégou, Douze & Schmid 2011): split
+    the (unit-normalized) vectors into ``m`` contiguous subspaces and
+    k-means each independently. Returns (m, ksub, d/m) codebooks."""
+    v = vectors / np.maximum(
+        np.linalg.norm(vectors, axis=1, keepdims=True), 1e-12)
+    n, d = v.shape
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    rng = np.random.default_rng(seed)
+    return np.stack([
+        _kmeans_l2(v[:, j * dsub : (j + 1) * dsub], ksub, iters, rng)
+        for j in range(m)
+    ])
+
+
+def pq_encode(emb: np.ndarray, codebooks: np.ndarray) -> np.ndarray:
+    """(n, d) unit vectors → (n, m) uint8/uint16 codes (nearest
+    codeword per subspace, vectorized)."""
+    m, ksub, dsub = codebooks.shape
+    codes = np.empty((len(emb), m),
+                     dtype=np.uint8 if ksub <= 256 else np.uint16)
+    for j in range(m):
+        x = emb[:, j * dsub : (j + 1) * dsub]
+        c = codebooks[j]
+        d = (x * x).sum(1, keepdims=True) - 2.0 * (x @ c.T) \
+            + (c * c).sum(1)[None, :]
+        codes[:, j] = d.argmin(axis=1)
+    return codes
+
+
+def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
+            ksub: int = 256, sample_size: int = 4096, seed: int = 7,
+            rerank: int = 4,
+            vec_col: str = "embedding", id_col: str = "vec_id"):
+    """PQ ANN top-k via asymmetric distance computation: train on a
+    bounded sample (the only driver materialization), broadcast the
+    (m × ksub × d/m) codebooks + per-query inner-product LOOKUP
+    TABLES, then each batch encodes its vectors to m small codes and
+    scores every query with m table lookups per vector — no float
+    matmul against the corpus, ~d/m × 4 bytes compression if codes
+    were persisted. A ``rerank·k`` ADC shortlist is then re-scored
+    EXACTLY against the shortlist's float vectors (the IVFADC+R
+    refinement — O(rerank·k·d) per query per batch, not O(n·d)),
+    which recovers most of the quantization loss. Partial top-ks
+    merge through the exact path's reducer. The memory-bound scale
+    path beside LSH buckets (bucketed_cosine_topk) and IVF
+    (ivf_topk)."""
+    sample_tbl = pa.Table.from_pylist(ds.limit(sample_size).take_all())
+    sample = _stack_embeddings(sample_tbl, vec_col)
+    books = train_pq_codebooks(sample, m, ksub, seed=seed)
+    qn = queries / np.maximum(
+        np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    dsub = books.shape[2]
+    # per-query ADC tables: T[q, j, c] = q_sub · codeword
+    tables = np.einsum("qjd,jcd->qjc",
+                       qn.reshape(len(qn), m, dsub), books)
+    bref = ray.put(books)
+    tref = ray.put(tables)
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        books_ = ray.get(bref)
+        t = ray.get(tref)                        # (Q, m, ksub)
+        emb = _stack_embeddings(batch, vec_col)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        codes = pq_encode(emb / norms, books_)   # (B, m)
+        # scores[b, q] = sum_j t[q, j, codes[b, j]]
+        scores = np.zeros((len(codes), t.shape[0]))
+        for j in range(books_.shape[0]):
+            scores += t[:, j, codes[:, j]].T
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        en = emb / norms
+        out_q, out_id, out_s = [], [], []
+        for qi in range(t.shape[0]):
+            s = scores[:, qi]
+            rr = min(rerank * k, len(s))
+            short = np.argpartition(-s, rr - 1)[:rr]
+            # exact re-rank of the ADC shortlist (IVFADC+R)
+            exact = en[short] @ qn[qi]
+            kk = min(k, rr)
+            top = np.argpartition(-exact, kk - 1)[:kk]
+            part, es = short[top], exact[top]
+            order = np.lexsort((ids[part], -es))
+            out_q.extend([qi] * kk)
+            out_id.extend(ids[part][order].tolist())
+            out_s.extend(es[order].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            id_col: pa.array(out_id, pa.int64()),
+            "score": pa.array(out_s, pa.float64()),
+        })
+
+    local = ds.map_batches(local_topk, batch_format="pyarrow")
+    return local.groupby("query_id").map_groups(
+        _merge_topk(k, id_col), batch_format="pyarrow")

@@ -385,3 +385,63 @@ class TestIVF:
         r2, r3 = recall(2), recall(3)
         assert r3 >= 0.9, (r2, r3)       # the classic nprobe trade
         assert r2 >= 0.7 and r3 >= r2, (r2, r3)
+
+
+class TestPQ:
+    """Product quantization (stages/embed.py::pq_topk): training,
+    encode compression, and recall vs the exact path."""
+
+    def _clustered(self, n=600, d=16, seed=5):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(6, d))
+        x = np.repeat(centers, n // 6, axis=0) + 0.05 * rng.normal(
+            size=(n, d))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        return x
+
+    def test_encode_shape_and_determinism(self):
+        import numpy as np
+
+        from gdal_ray.stages.embed import pq_encode, train_pq_codebooks
+
+        x = self._clustered()
+        books = train_pq_codebooks(x, m=4, ksub=16)
+        assert books.shape == (4, 16, 4)
+        c1, c2 = pq_encode(x, books), pq_encode(x, books)
+        assert c1.dtype == np.uint8 and c1.shape == (len(x), 4)
+        assert (c1 == c2).all()
+        b2 = train_pq_codebooks(x, m=4, ksub=16)
+        assert (books == b2).all()  # seeded, deterministic
+
+    def test_recall_vs_exact(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages.embed import cosine_topk, pq_topk
+
+        rng = np.random.default_rng(5)
+        x = rng.normal(size=(600, 16))
+        x /= np.linalg.norm(x, axis=1, keepdims=True)
+        t = pa.table({
+            "vec_id": pa.array(np.arange(len(x)), pa.int64()),
+            "embedding": pa.array(x.tolist(),
+                                  pa.list_(pa.float32())),
+        })
+        ds = rd.from_arrow(t).repartition(4)
+        planted = [3, 250, 580]
+        q = x[planted] + 0.01 * rng.normal(size=(3, 16))
+        exact = cosine_topk(ds, q, k=10).to_pandas()
+        approx = pq_topk(ds, q, k=10, m=4, ksub=16,
+                         sample_size=600).to_pandas()
+        recalls = []
+        for qi in range(3):
+            sub = approx[approx["query_id"] == qi]
+            # the planted near-duplicate must rank first (exact
+            # re-rank of the ADC shortlist)
+            assert sub.iloc[0]["vec_id"] == planted[qi]
+            e = set(exact[exact["query_id"] == qi]["vec_id"])
+            recalls.append(len(e & set(sub["vec_id"])) / len(e))
+        assert np.mean(recalls) >= 0.9, recalls
