@@ -137,6 +137,12 @@ def build_pipeline(spec: str):
 
         source = lambda: kmlgpx.read_gpx(  # noqa: E731
             src_path, layer=src_args.get("layer") or "waypoints")
+    elif low.endswith((".pbf", ".osm")):
+        from gdal_ray import osmpbf
+
+        def source():  # one OGR-parity layer as a Dataset
+            layer = src_args.get("layer") or "points"
+            return rd.from_arrow(osmpbf.osm_layers(src_path)[layer])
     else:
         source = lambda: rd.read_parquet(  # noqa: E731
             src_path, columns=col_list

@@ -127,3 +127,29 @@ class TestRayPaths:
         assert got[1] == "LINESTRING (2 49, 3 50)"
         # way 6 has one unresolvable ref (900) — skipped, order kept
         assert got[6] == "LINESTRING (2 49, 3 49, 3 50, 2 50, 2 49)"
+
+
+class TestCLI:
+    def test_pipeline_read_osm_layer(self, tmp_path):
+        import glob
+        import subprocess
+        import sys
+
+        import pyarrow.parquet as pq
+
+        out = str(tmp_path / "lines.parquet")
+        spec = (f"read {FIX}/test.pbf --layer lines ! "
+                "select --cols osm_id,highway,z_order ! "
+                f"write {out}")
+        r = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "vector",
+             "pipeline", spec],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+                 "HOME": "/tmp"})
+        assert r.returncode == 0, r.stderr[-1500:]
+        rows = pq.read_table(glob.glob(out + "/*")[0]).to_pylist()
+        assert rows == [
+            {"osm_id": "1", "highway": "motorway", "z_order": 9},
+            {"osm_id": "6", "highway": None, "z_order": 0},
+        ]
