@@ -164,6 +164,12 @@ def parse_vrt(xml: bytes | str, base_dir: str = ".") -> dict:
                     "filename": fn, "band": sb,
                     "src_rect": src_rect, "dst_rect": dst_rect,
                     "nodata": float(nd_src) if nd_src else None,
+                    # ComplexSource linear rescale (frmts/vrt
+                    # ScaleOffset/ScaleRatio); SimpleSource: identity
+                    "scale_ratio": float(src.findtext("ScaleRatio")
+                                         or 1.0),
+                    "scale_offset": float(src.findtext("ScaleOffset")
+                                          or 0.0),
                 })
         bands.append({
             "band": int(band_el.get("band", len(bands) + 1)),
@@ -220,6 +226,8 @@ def read_vrt(path: str, tile_size: int = 256):
                 else None,
                 "nodata": src["nodata"] if src["nodata"] is not None
                 else band["nodata"],
+                "scale_ratio": src["scale_ratio"],
+                "scale_offset": src["scale_offset"],
             })
     W, H = layout["width"], layout["height"]
 
@@ -233,6 +241,14 @@ def read_vrt(path: str, tile_size: int = 256):
             sh, sw = arr.shape
             sx, sy, swr, shr = it["src_rect"] or (0, 0, sw, sh)
             win = np.ascontiguousarray(arr[sy : sy + shr, sx : sx + swr])
+            sr, so = it["scale_ratio"], it["scale_offset"]
+            if sr != 1.0 or so != 0.0:
+                # ComplexSource rescale; NODATA masks SOURCE values,
+                # so nodata pixels keep their sentinel (mosaic skips)
+                w64 = win.astype(np.float64) * sr + so
+                if it["nodata"] is not None:
+                    w64[win == it["nodata"]] = it["nodata"]
+                win = w64
             eff = _effective_gt(gt, (sx, sy, swr, shr),
                                 tuple(it["dst_rect"])
                                 if it["dst_rect"] else None, sw, sh)
@@ -331,6 +347,14 @@ def read_vrt_array(path: str) -> dict:
             eff = _effective_gt(gt, (sx, sy, swr, shr),
                                 s["dst_rect"], sw, sh)
             win = np.ascontiguousarray(arr[sy:sy + shr, sx:sx + swr])
+            sr, so = s["scale_ratio"], s["scale_offset"]
+            if sr != 1.0 or so != 0.0:
+                nd_s = s["nodata"] if s["nodata"] is not None \
+                    else band["nodata"]
+                w64 = win.astype(np.float64) * sr + so
+                if nd_s is not None:
+                    w64[win == nd_s] = nd_s
+                win = w64
             win_gt = (eff[0] + sx * eff[1], eff[1], 0.0,
                       eff[3] + sy * eff[5], 0.0, eff[5])
             srcs.append((win, win_gt))

@@ -145,3 +145,36 @@ class TestCLI:
         g = decode_geotiff(open(out, "rb").read())
         np.testing.assert_array_equal(
             g["bands"][0], a[4:12, 4:12].astype(np.float64))
+
+
+class TestComplexSource:
+    def test_scale_ratio_offset(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        src = np.arange(64, dtype=np.uint8).reshape(8, 8)
+        p = str(tmp_path / "s.tif")
+        write_geotiff(p, [src], crs="EPSG:4326",
+                      geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0))
+        xml = f"""<VRTDataset rasterXSize="8" rasterYSize="8">
+  <SRS>EPSG:4326</SRS>
+  <GeoTransform>0, 1, 0, 0, 0, -1</GeoTransform>
+  <VRTRasterBand dataType="Float64" band="1">
+    <ComplexSource>
+      <SourceFilename relativeToVRT="0">{p}</SourceFilename>
+      <SourceBand>1</SourceBand>
+      <ScaleRatio>2.5</ScaleRatio>
+      <ScaleOffset>100</ScaleOffset>
+    </ComplexSource>
+  </VRTRasterBand>
+</VRTDataset>"""
+        vp = str(tmp_path / "c.vrt")
+        with open(vp, "w") as f:
+            f.write(xml)
+        got = model.to_array(pa.Table.from_pylist(
+            read_vrt(vp, tile_size=8).take_all()), band=1)
+        np.testing.assert_allclose(got, src * 2.5 + 100.0)
+        # single-process path agrees
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        g = read_vrt_array(vp)
+        np.testing.assert_allclose(g["bands"][0], src * 2.5 + 100.0)
