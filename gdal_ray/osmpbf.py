@@ -592,3 +592,113 @@ def parse_osm_xml(path: str) -> dict:
                 continue
             el.clear()
     return out
+
+
+# ---------------------------------------------------------------------------
+# writer (fileformat/osmformat encode — enables roundtrip tests and
+# synthetic planet shards for scale benchmarks)
+
+
+def _varint(v: int) -> bytes:
+    out = bytearray()
+    while v >= 0x80:
+        out.append((v & 0x7F) | 0x80)
+        v >>= 7
+    out.append(v)
+    return bytes(out)
+
+
+def _zigzag(v: int) -> int:
+    return (v << 1) ^ (v >> 63) if v < 0 else v << 1
+
+
+def _field(num: int, wire: int, payload) -> bytes:
+    key = _varint((num << 3) | wire)
+    if wire == 0:
+        return key + _varint(payload)
+    return key + _varint(len(payload)) + payload
+
+
+def _packed_field(num: int, values) -> bytes:
+    body = b"".join(_varint(v) for v in values)
+    return _field(num, 2, body)
+
+
+def _packed_sint_delta_enc(values) -> bytes:
+    out = bytearray()
+    prev = 0
+    for v in values:
+        out += _varint(_zigzag(v - prev))
+        prev = v
+    return bytes(out)
+
+
+def write_osm_pbf(path: str, elements: dict, compress: bool = True,
+                  granularity: int = 100) -> None:
+    """Element dict (the parse_osm_pbf shape) → one OSMHeader blob +
+    one OSMData blob. Coordinates quantize to ``granularity``
+    nano-degrees (the format's default 1e-7°)."""
+    st: list[bytes] = [b""]  # index 0 reserved (dense kv separator)
+    sidx: dict[str, int] = {}
+
+    def s(x: str) -> int:
+        if x not in sidx:
+            sidx[x] = len(st)
+            st.append(x.encode("utf-8"))
+        return sidx[x]
+
+    group = bytearray()
+    nodes = elements.get("nodes", [])
+    if nodes:
+        ids = [n[0] for n in nodes]
+        lats = [round(n[2] * 1e9 / granularity) for n in nodes]
+        lons = [round(n[1] * 1e9 / granularity) for n in nodes]
+        kv: list[int] = []
+        for n in nodes:
+            for k, v in zip(n[3], n[4]):
+                kv += [s(k), s(v)]
+            kv.append(0)
+        dense = (_field(1, 2, _packed_sint_delta_enc(ids))
+                 + _field(8, 2, _packed_sint_delta_enc(lats))
+                 + _field(9, 2, _packed_sint_delta_enc(lons))
+                 + _packed_field(10, kv))
+        group += _field(2, 2, dense)
+    for wid, refs, k, v in elements.get("ways", []):
+        way = (_field(1, 0, wid)
+               + _packed_field(2, [s(x) for x in k])
+               + _packed_field(3, [s(x) for x in v])
+               + _field(8, 2, _packed_sint_delta_enc(refs)))
+        group += _field(3, 2, way)
+    for rid, mids, mtypes, roles, k, v in elements.get("relations", []):
+        rel = (_field(1, 0, rid)
+               + _packed_field(2, [s(x) for x in k])
+               + _packed_field(3, [s(x) for x in v])
+               + _packed_field(8, [s(r) for r in roles])
+               + _field(9, 2, _packed_sint_delta_enc(mids))
+               + _packed_field(10, list(mtypes)))
+        group += _field(4, 2, rel)
+
+    strtab = b"".join(_field(1, 2, b_) for b_ in st)
+    block = (_field(1, 2, strtab) + _field(2, 2, bytes(group))
+             + _field(17, 0, granularity))
+
+    def blob(type_: str, payload: bytes) -> bytes:
+        if compress:
+            body = (_field(2, 0, len(payload))
+                    + _field(3, 2, zlib.compress(payload)))
+        else:
+            body = _field(1, 2, payload)
+        hdr = (_field(1, 2, type_.encode())
+               + _field(3, 0, len(body)))
+        return len(hdr).to_bytes(4, "big") + hdr + body
+
+    header_block = (
+        _field(4, 2, b"OsmSchema-V0.6")      # required_features
+        + _field(4, 2, b"DenseNodes")
+        + _field(16, 2, b"gdal_ray")          # writingprogram
+    )
+
+    from gdal_ray.vsi import vsi_write_bytes
+
+    data = blob("OSMHeader", header_block) + blob("OSMData", bytes(block))
+    vsi_write_bytes(path, data)

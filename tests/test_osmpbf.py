@@ -153,3 +153,18 @@ class TestCLI:
             {"osm_id": "1", "highway": "motorway", "z_order": 9},
             {"osm_id": "6", "highway": None, "z_order": 0},
         ]
+
+
+class TestWriter:
+    @pytest.mark.parametrize("compress", [True, False])
+    def test_roundtrip(self, tmp_path, compress):
+        from gdal_ray.osmpbf import write_osm_pbf
+
+        el = parse_osm_pbf(f"{FIX}/test.pbf")
+        p = str(tmp_path / "rt.osm.pbf")
+        write_osm_pbf(p, el, compress=compress)
+        assert parse_osm_pbf(p) == el
+        # layer builder sees identical features through the roundtrip
+        a, b = osm_layers(f"{FIX}/test.pbf"), osm_layers(p)
+        for k in a:
+            assert a[k].equals(b[k]), k
