@@ -633,11 +633,8 @@ def _packed_sint_delta_enc(values) -> bytes:
     return bytes(out)
 
 
-def write_osm_pbf(path: str, elements: dict, compress: bool = True,
-                  granularity: int = 100) -> None:
-    """Element dict (the parse_osm_pbf shape) → one OSMHeader blob +
-    one OSMData blob. Coordinates quantize to ``granularity``
-    nano-degrees (the format's default 1e-7°)."""
+def _encode_block(elements: dict, granularity: int) -> bytes:
+    """One PrimitiveBlock from an element dict."""
     st: list[bytes] = [b""]  # index 0 reserved (dense kv separator)
     sidx: dict[str, int] = {}
 
@@ -679,8 +676,18 @@ def write_osm_pbf(path: str, elements: dict, compress: bool = True,
         group += _field(4, 2, rel)
 
     strtab = b"".join(_field(1, 2, b_) for b_ in st)
-    block = (_field(1, 2, strtab) + _field(2, 2, bytes(group))
-             + _field(17, 0, granularity))
+    return (_field(1, 2, strtab) + _field(2, 2, bytes(group))
+            + _field(17, 0, granularity))
+
+
+def write_osm_pbf(path: str, elements: dict, compress: bool = True,
+                  granularity: int = 100,
+                  elements_per_blob: int = 8000) -> None:
+    """Element dict (the parse_osm_pbf shape) → OSMHeader blob +
+    OSMData blobs of ≤``elements_per_blob`` elements each (the spec's
+    ~8k norm — one blob is the unit the sharded reader parallelizes
+    over). Coordinates quantize to ``granularity`` nano-degrees (the
+    format default 1e-7°)."""
 
     def blob(type_: str, payload: bytes) -> bytes:
         if compress:
@@ -700,5 +707,16 @@ def write_osm_pbf(path: str, elements: dict, compress: bool = True,
 
     from gdal_ray.vsi import vsi_write_bytes
 
-    data = blob("OSMHeader", header_block) + blob("OSMData", bytes(block))
-    vsi_write_bytes(path, data)
+    chunks = [blob("OSMHeader", header_block)]
+    nodes = elements.get("nodes", [])
+    ways = elements.get("ways", [])
+    rels = elements.get("relations", [])
+    pending = ([("nodes", n) for n in nodes]
+               + [("ways", w) for w in ways]
+               + [("relations", r) for r in rels])
+    for i in range(0, max(len(pending), 1), elements_per_blob):
+        part: dict = {"nodes": [], "ways": [], "relations": []}
+        for kind, e in pending[i : i + elements_per_blob]:
+            part[kind].append(e)
+        chunks.append(blob("OSMData", _encode_block(part, granularity)))
+    vsi_write_bytes(path, b"".join(chunks))

@@ -168,3 +168,16 @@ class TestWriter:
         a, b = osm_layers(f"{FIX}/test.pbf"), osm_layers(p)
         for k in a:
             assert a[k].equals(b[k]), k
+
+    def test_multi_blob_chunking(self, tmp_path, ray_session):
+        from gdal_ray.osmpbf import write_osm_pbf
+
+        el = parse_osm_pbf(f"{FIX}/test.pbf")
+        p = str(tmp_path / "chunked.osm.pbf")
+        write_osm_pbf(p, el, elements_per_blob=5)  # 22 elements -> 5 blobs
+        rs = [r for r in scan_blob_ranges(p) if r["type"] == "OSMData"]
+        assert len(rs) == 5
+        assert parse_osm_pbf(p) == el
+        # the sharded Ray reader sees the same elements across blobs
+        df = read_osm_elements(p).to_pandas()
+        assert len(df) == 22
