@@ -181,3 +181,42 @@ class TestWriter:
         # the sharded Ray reader sees the same elements across blobs
         df = read_osm_elements(p).to_pandas()
         assert len(df) == 22
+
+
+class TestScale:
+    @pytest.mark.skipif(
+        __import__("os").environ.get("GDAL_RAY_SLOW") != "1",
+        reason="synthetic planet shard; set GDAL_RAY_SLOW=1",
+    )
+    def test_planet_shard_sharded_read(self, ray_session, tmp_path):
+        """200k-node synthetic shard: the writer chunks into ~25
+        blobs and the sharded reader decodes them in parallel with
+        counts identical to the single-process parse."""
+        import time
+
+        from gdal_ray.osmpbf import write_osm_pbf
+
+        n = 200_000
+        rng = np.random.default_rng(11)
+        lon = rng.uniform(-180, 180, n)
+        lat = rng.uniform(-85, 85, n)
+        nodes = [(i + 1, float(lon[i]), float(lat[i]),
+                  (["highway"] if i % 100 == 0 else []),
+                  (["bus_stop"] if i % 100 == 0 else []))
+                 for i in range(n)]
+        ways = [(w + 1, list(range(w * 10 + 1, w * 10 + 6)),
+                 ["highway"], ["residential"]) for w in range(5000)]
+        p = str(tmp_path / "shard.osm.pbf")
+        write_osm_pbf(p, {"nodes": nodes, "ways": ways,
+                          "relations": []})
+        blobs = [r for r in scan_blob_ranges(p)
+                 if r["type"] == "OSMData"]
+        assert len(blobs) >= 20  # genuinely sharded
+        t0 = time.time()
+        df = read_osm_elements(p).to_pandas()
+        wall = time.time() - t0
+        assert (df["kind"] == 0).sum() == n
+        assert (df["kind"] == 1).sum() == 5000
+        el = parse_osm_pbf(p)
+        assert len(el["nodes"]) == n and len(el["ways"]) == 5000
+        print(f"planet shard: {len(blobs)} blobs, {wall:.1f}s sharded")
