@@ -493,6 +493,63 @@ def _dem_tool(args: list[str]) -> int:
     return 0
 
 
+def _contour_tool(args: list[str]) -> int:
+    """gdal_contour role (apps/gdal_contour_bin.cpp): iso-lines at
+    fixed levels or a regular interval → GeoJSON LineStrings with an
+    ``elev`` property (the reference's default attribute)."""
+    import argparse
+    import json
+
+    import numpy as np
+
+    from gdal_ray.raster.gtiff import decode_geotiff
+    from gdal_ray.raster.proximity import contour_segments, stitch_segments
+    from gdal_ray.vsi import vsi_read_bytes
+
+    p = argparse.ArgumentParser(prog="gdal_ray raster contour")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--levels", help="comma list, e.g. 10,20,30")
+    p.add_argument("--interval", type=float)
+    a = p.parse_args(args)
+
+    if a.src.lower().endswith(".vrt"):
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        g = read_vrt_array(a.src)
+    else:
+        g = decode_geotiff(vsi_read_bytes(a.src))
+    arr = g["bands"][0].astype(np.float64)
+    gt = g["geotransform"]
+    if a.levels:
+        levels = [float(v) for v in a.levels.split(",")]
+    elif a.interval:
+        lo = np.ceil(arr.min() / a.interval) * a.interval
+        levels = list(np.arange(lo, arr.max(), a.interval))
+    else:
+        print("contour requires --levels or --interval", file=sys.stderr)
+        return 2
+    features = []
+    for lev in levels:
+        for line in stitch_segments(contour_segments(arr, lev)):
+            # pixel-center coords → world (gt is axis-aligned)
+            wx = gt[0] + line[:, 0] * gt[1]
+            wy = gt[3] + line[:, 1] * gt[5]
+            features.append({
+                "type": "Feature",
+                "properties": {"elev": float(lev)},
+                "geometry": {
+                    "type": "LineString",
+                    "coordinates": [[float(x), float(y)]
+                                    for x, y in zip(wx, wy)],
+                },
+            })
+    with open(a.dst, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    print(f"wrote {len(features)} contour lines to {a.dst}")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if (
@@ -503,6 +560,8 @@ def main(argv=None) -> int:
         return _raster_tool(argv[1], argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "dem":
         return _dem_tool(argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "contour":
+        return _contour_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "buildvrt":
         from gdal_ray.raster.vrt import build_vrt
 

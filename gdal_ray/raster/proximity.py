@@ -181,3 +181,43 @@ def contour_lines(arr: np.ndarray, level: float, gt=None):
             out.append(np.column_stack([wx, wy]))
         return out
     return lines
+
+
+def stitch_segments(segs: np.ndarray, tol: float = 1e-9) -> list[np.ndarray]:
+    """Chain marching-squares segments into polylines by shared
+    endpoints (gdal_contour emits joined lines, not raw segments).
+    Greedy walk over an endpoint index; closed rings close exactly."""
+    if len(segs) == 0:
+        return []
+    key = lambda p: (round(p[0] / tol), round(p[1] / tol))  # noqa: E731
+    by_end: dict = {}
+    for i, (p0, p1) in enumerate(segs):
+        by_end.setdefault(key(p0), []).append((i, 0))
+        by_end.setdefault(key(p1), []).append((i, 1))
+    used = np.zeros(len(segs), dtype=bool)
+    lines = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        used[start] = True
+        chain = [tuple(segs[start][0]), tuple(segs[start][1])]
+        # extend forward then backward
+        for forward in (True, False):
+            while True:
+                tip = chain[-1] if forward else chain[0]
+                nxt = None
+                for i, end in by_end.get(key(tip), []):
+                    if not used[i]:
+                        nxt = (i, end)
+                        break
+                if nxt is None:
+                    break
+                i, end = nxt
+                used[i] = True
+                other = tuple(segs[i][1 - end])
+                if forward:
+                    chain.append(other)
+                else:
+                    chain.insert(0, other)
+        lines.append(np.array(chain))
+    return lines

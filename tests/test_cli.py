@@ -198,3 +198,38 @@ class TestJobEntry:
         s2 = json.loads(r2.stdout.decode().strip().splitlines()[-1])
         assert s2["rows"] == s1["rows"]
         assert s2["partitions"] == s1["partitions"]
+
+
+class TestContourCLI:
+    def test_radial_bowl_contours(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import write_geotiff
+
+        y, x = np.mgrid[0:32, 0:32]
+        dem = ((x - 16.0) ** 2 + (y - 16.0) ** 2).astype(np.float32)
+        p = str(tmp_path / "bowl.tif")
+        write_geotiff(p, [dem], crs="EPSG:32633",
+                      geotransform=(100.0, 2.0, 0.0, 500.0, 0.0, -2.0))
+        out = str(tmp_path / "c.geojson")
+        r = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "raster", "contour",
+             p, out, "--levels", "64,144"],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"})
+        assert r.returncode == 0, r.stderr
+        gj = json.load(open(out))
+        assert len(gj["features"]) == 2  # one closed ring per level
+        for f in gj["features"]:
+            coords = np.array(f["geometry"]["coordinates"])
+            # closed ring
+            assert (coords[0] == coords[-1]).all()
+            # radius in world units: level 64 -> r=8 px -> 16 m
+            r_px = np.sqrt(f["properties"]["elev"])
+            cx, cy = 100.0 + (16 + 0.5) * 2.0, 500.0 - (16 + 0.5) * 2.0
+            d = np.sqrt((coords[:, 0] - cx) ** 2 + (coords[:, 1] - cy) ** 2)
+            np.testing.assert_allclose(d, 2.0 * r_px, rtol=0.05)
