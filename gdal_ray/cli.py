@@ -270,6 +270,18 @@ def run_pipeline(spec: str):
             from gdal_ray import kmlgpx
 
             kmlgpx.write_kml(ds, arg)
+        elif low.endswith(".fgb"):
+            import pyarrow as pa
+
+            from gdal_ray import flatgeobuf
+
+            tbl = pa.concat_tables(
+                ds.iter_batches(batch_format="pyarrow", batch_size=None))
+            flatgeobuf.write_flatgeobuf(tbl, arg)
+        elif low.endswith((".arrow", ".feather")):
+            from gdal_ray import arrowipc
+
+            arrowipc.write_arrow_ipc(ds, arg)
         else:
             ds.write_parquet(arg)
         return arg, kind
@@ -562,6 +574,23 @@ def main(argv=None) -> int:
         return _dem_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "contour":
         return _contour_tool(argv[2:])
+    if len(argv) >= 4 and argv[0] == "vector" and argv[1] == "convert":
+        # ogr2ogr role: format conversion = read SRC ! write DST,
+        # any registered driver pair; extra tokens (e.g. --layer L)
+        # pass through to the read step
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        extra = " ".join(argv[4:])
+        run_pipeline(f"read {argv[2]} {extra} ! write {argv[3]}")
+        print(f"converted {argv[2]} -> {argv[3]}")
+        ray.shutdown()
+        return 0
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "buildvrt":
         from gdal_ray.raster.vrt import build_vrt
 

@@ -233,3 +233,34 @@ class TestContourCLI:
             cx, cy = 100.0 + (16 + 0.5) * 2.0, 500.0 - (16 + 0.5) * 2.0
             d = np.sqrt((coords[:, 0] - cx) ** 2 + (coords[:, 1] - cy) ** 2)
             np.testing.assert_allclose(d, 2.0 * r_px, rtol=0.05)
+
+
+class TestVectorConvert:
+    """ogr2ogr-role format conversion."""
+
+    def _run(self, *args):
+        import subprocess
+        import sys
+
+        return subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", *args],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+                 "HOME": "/tmp"})
+
+    def test_osm_to_fgb_to_geojson(self, tmp_path, ray_session):
+        import json
+
+        fgb = str(tmp_path / "pts.fgb")
+        r = self._run("vector", "convert",
+                      "/root/reference/autotest/ogr/data/osm/test.pbf",
+                      fgb, "--layer", "points")
+        assert r.returncode == 0, r.stderr[-1500:]
+        gj = str(tmp_path / "pts.geojson")
+        r2 = self._run("vector", "convert", fgb, gj)
+        assert r2.returncode == 0, r2.stderr[-1500:]
+        fc = json.load(open(gj))
+        assert len(fc["features"]) == 1
+        f = fc["features"][0]
+        assert f["properties"]["name"] == "Some interesting point"
+        assert f["geometry"]["coordinates"] == [3.0, 49.5]
