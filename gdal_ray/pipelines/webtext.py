@@ -1,0 +1,163 @@
+"""The canonical webtext curation pipeline — every training-data
+operator composed end-to-end, streaming (the C4/Gopher/RefinedWeb
+shape over the engine's stages):
+
+    pages(html) → extract text → language ID → quality + repetition
+    filters → benchmark decontamination → cross-document paragraph
+    dedup → MinHash-LSH near-dup removal → token stats → curated
+    corpus
+
+Each stage is a ``map_batches`` transform or one keyed shuffle;
+nothing materializes on the driver except the (small, bounded)
+benchmark hash set and the LSH duplicate-id set of the near-dup
+verifier. ``curate()`` returns the curated Dataset plus a per-stage
+row ledger so tests (and operators at 100 TB) can see exactly where
+documents were dropped.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def curate(
+    sf_dir: str,
+    bench_texts: list[str] | None = None,
+    min_quality: float = 0.2,
+    max_dup_line_frac: float = 0.30,
+    max_top2gram_frac: float = 0.20,
+    jaccard_threshold: float = 0.8,
+    count_stages: bool = True,
+):
+    """documents → synthesized pages (url/warc_ts/html) → curated
+    corpus. Returns (Dataset, ledger dict). ``count_stages=False``
+    skips the per-stage ``count()`` materializations (pure streaming —
+    the production mode; counts are for tests/audit)."""
+    from gdal_ray.pipelines import flagship
+    from gdal_ray.stages.decontam import (
+        build_contamination_index,
+        decontaminate,
+    )
+    from gdal_ray.stages.dedup import dedup_paragraphs
+    from gdal_ray.stages.html import HtmlTextExtractor, synthesize_html_batch
+    from gdal_ray.stages.text import (
+        LanguageID,
+        quality_score,
+        repetition_stats,
+    )
+
+    ledger: dict[str, int] = {}
+
+    def note(name: str, ds):
+        if count_stages:
+            ledger[name] = ds.count()
+        return ds
+
+    # 1. pages with an html payload; text column dropped — extraction
+    #    must recover it (the north-rule byte-identity contract)
+    pages = flagship.pages_from_documents(sf_dir)
+    pages = pages.map_batches(
+        lambda t: synthesize_html_batch(t).drop_columns(["text"]),
+        batch_format="pyarrow",
+    )
+    # carry a stable doc id for the dedup stages
+    def add_id(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # url suffix after the final '/' is the doc id by construction
+        ids = [int(u.rsplit("/", 1)[1]) for u in t["url"].to_pylist()]
+        return t.append_column("doc_id", pa.array(ids, pa.int64()))
+
+    pages = note("input", pages.map_batches(add_id, batch_format="pyarrow"))
+
+    # 2. extract text from html
+    docs = pages.map_batches(HtmlTextExtractor(), batch_format="pyarrow")
+
+    # 3. language ID (keeps the detected language as a column)
+    docs = docs.map_batches(LanguageID(), batch_size=None,
+                            batch_format="pyarrow")
+
+    # 4. quality + repetition filters (Gopher-style thresholds)
+    docs = docs.map_batches(quality_score, batch_format="pyarrow")
+    docs = docs.map_batches(repetition_stats, batch_format="pyarrow")
+
+    def keep_quality(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["quality"], min_quality),
+                pc.less_equal(t["dup_line_frac"], max_dup_line_frac),
+            ),
+            pc.less_equal(t["top2gram_frac"], max_top2gram_frac),
+        )
+        return t.filter(m)
+
+    docs = note("after_quality",
+                docs.map_batches(keep_quality, batch_format="pyarrow"))
+
+    # 5. benchmark decontamination (flag-and-drop)
+    if bench_texts:
+        idx = build_contamination_index(bench_texts)
+        docs = note("after_decontam",
+                    decontaminate(docs, idx, mode="drop"))
+
+    # 6. cross-document paragraph dedup (keeps doc_id + text)
+    deduped = dedup_paragraphs(
+        docs.select_columns(["doc_id", "text"]))
+    # re-attach the metadata columns by doc_id (broadcastable at test
+    # scale; at corpus scale this is the Dataset.join path)
+    meta = docs.drop_columns(["text"])
+    from gdal_ray.stages.join import broadcast_hash_join
+
+    meta_tbl = pa.concat_tables(
+        meta.iter_batches(batch_format="pyarrow", batch_size=None))
+    docs = note("after_paragraph_dedup",
+                broadcast_hash_join(deduped, meta_tbl,
+                                    "doc_id", "doc_id"))
+
+    # 7. MinHash-LSH near-duplicate removal: keep the smallest doc_id
+    #    of every verified near-dup pair
+    from gdal_ray.stages.dedup import near_duplicates
+
+    pairs = near_duplicates(
+        docs.select_columns(["doc_id", "text"]),
+        threshold=jaccard_threshold,
+    ).to_pandas()
+    drop_ids = set(
+        int(max(a, b)) for a, b in zip(pairs["a"], pairs["b"])
+    ) if len(pairs) else set()
+
+    if drop_ids:
+        import ray
+
+        dref = ray.put(np.array(sorted(drop_ids), dtype=np.int64))
+
+        def drop_dups(t: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            bad = _ray.get(dref)
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(bad, ids)
+            pos[pos == len(bad)] = len(bad) - 1
+            keep = bad[pos] != ids
+            return t.filter(pa.array(keep))
+
+        docs = docs.map_batches(drop_dups, batch_format="pyarrow")
+    docs = note("after_near_dup", docs)
+
+    # 8. token statistics on the curated corpus
+    def token_stats(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        if "n_tokens" in t.column_names:
+            # quality_score's count was pre-dedup; recompute on the
+            # curated text
+            t = t.drop_columns(["n_tokens"])
+        n_tokens = pc.list_value_length(
+            pc.split_pattern_regex(t["text"], r"\s+"))
+        return t.append_column("n_tokens", n_tokens)
+
+    return docs.map_batches(token_stats, batch_format="pyarrow"), ledger
