@@ -562,6 +562,60 @@ def _contour_tool(args: list[str]) -> int:
     return 0
 
 
+def _polygonize_tool(args: list[str]) -> int:
+    """gdal_polygonize role: connected same-value regions → GeoJSON
+    polygons with a DN property (the reference default field)."""
+    import argparse
+    import json
+
+    from gdal_ray.geom import wkt as WT
+    from gdal_ray.raster.gtiff import decode_geotiff
+    from gdal_ray.raster.polygonize import polygonize_array
+    from gdal_ray.vsi import vsi_read_bytes
+
+    p = argparse.ArgumentParser(prog="gdal_ray raster polygonize")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--connectivity", type=int, default=4,
+                   choices=(4, 8))
+    p.add_argument("--nodata", type=float,
+                   help="exclude this value (gdal_polygonize -nomask "
+                        "off behavior)")
+    a = p.parse_args(args)
+    if a.src.lower().endswith(".vrt"):
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        g = read_vrt_array(a.src)
+    else:
+        g = decode_geotiff(vsi_read_bytes(a.src))
+    nod = a.nodata if a.nodata is not None else g.get("nodata")
+    t = polygonize_array(g["bands"][0], g["geotransform"],
+                         a.connectivity, exclude=nod)
+    features = []
+    for r in t.to_pylist():
+        wkt = WT.to_wkt(r["geometry"])
+        features.append({
+            "type": "Feature",
+            "properties": {"DN": r["value"],
+                           "pixel_count": r["pixel_count"]},
+            "geometry": _wkt_to_geojson_polygon(wkt),
+        })
+    with open(a.dst, "w") as f:
+        json.dump({"type": "FeatureCollection", "features": features}, f)
+    print(f"wrote {len(features)} polygons to {a.dst}")
+    return 0
+
+
+def _wkt_to_geojson_polygon(wkt: str) -> dict:
+    from gdal_ray.geom import wkb as W
+    from gdal_ray.geom import wkt as WT
+
+    rings = W.polygon_rings(WT.from_wkt(wkt))
+    return {"type": "Polygon",
+            "coordinates": [[[float(x), float(y)] for x, y in r]
+                            for r in rings]}
+
+
 def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     if (
@@ -574,6 +628,8 @@ def main(argv=None) -> int:
         return _dem_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "contour":
         return _contour_tool(argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "polygonize":
+        return _polygonize_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "vector" and argv[1] == "convert":
         # ogr2ogr role: format conversion = read SRC ! write DST,
         # any registered driver pair; extra tokens (e.g. --layer L)

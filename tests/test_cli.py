@@ -264,3 +264,38 @@ class TestVectorConvert:
         f = fc["features"][0]
         assert f["properties"]["name"] == "Some interesting point"
         assert f["geometry"]["coordinates"] == [3.0, 49.5]
+
+
+class TestPolygonizeCLI:
+    def test_quadrants(self, tmp_path):
+        import json
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import write_geotiff
+
+        arr = np.zeros((16, 16), dtype=np.uint8)
+        arr[:8, 8:] = 1
+        arr[8:, :8] = 2
+        arr[8:, 8:] = 3
+        p = str(tmp_path / "q.tif")
+        write_geotiff(p, [arr], crs="EPSG:4326",
+                      geotransform=(0.0, 1.0, 0.0, 16.0, 0.0, -1.0))
+        out = str(tmp_path / "q.geojson")
+        r = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "raster",
+             "polygonize", p, out],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"})
+        assert r.returncode == 0, r.stderr
+        gj = json.load(open(out))
+        assert len(gj["features"]) == 4
+        dns = sorted(f["properties"]["DN"] for f in gj["features"])
+        assert dns == [0.0, 1.0, 2.0, 3.0]
+        for f in gj["features"]:
+            assert f["properties"]["pixel_count"] == 64
+            # ring coordinates are in world (gt-applied) space
+            ys = [pt[1] for pt in f["geometry"]["coordinates"][0]]
+            assert 0.0 <= min(ys) and max(ys) <= 16.0
