@@ -30,6 +30,7 @@ def curate(
     max_top2gram_frac: float = 0.20,
     jaccard_threshold: float = 0.8,
     count_stages: bool = True,
+    join_meta: str = "shuffle",
 ):
     """documents → synthesized pages (url/warc_ts/html) → curated
     corpus. Returns (Dataset, ledger dict). ``count_stages=False``
@@ -104,19 +105,26 @@ def curate(
         docs = note("after_decontam",
                     decontaminate(docs, idx, mode="drop"))
 
-    # 6. cross-document paragraph dedup (keeps doc_id + text)
+    # 6. cross-document paragraph dedup (keeps doc_id + text), then
+    #    re-attach the metadata columns by doc_id.
+    #    join_meta="shuffle" (default) = distributed hash join — the
+    #    corpus-scale shape; "broadcast" funnels the metadata table to
+    #    the driver and ships it once — faster on fixture-sized runs,
+    #    a driver materialization at scale.
     deduped = dedup_paragraphs(
         docs.select_columns(["doc_id", "text"]))
-    # re-attach the metadata columns by doc_id (broadcastable at test
-    # scale; at corpus scale this is the Dataset.join path)
     meta = docs.drop_columns(["text"])
-    from gdal_ray.stages.join import broadcast_hash_join
+    if join_meta == "broadcast":
+        from gdal_ray.stages.join import broadcast_hash_join
 
-    meta_tbl = pa.concat_tables(
-        meta.iter_batches(batch_format="pyarrow", batch_size=None))
-    docs = note("after_paragraph_dedup",
-                broadcast_hash_join(deduped, meta_tbl,
-                                    "doc_id", "doc_id"))
+        meta_tbl = pa.concat_tables(
+            meta.iter_batches(batch_format="pyarrow", batch_size=None))
+        joined = broadcast_hash_join(deduped, meta_tbl,
+                                     "doc_id", "doc_id")
+    else:
+        joined = deduped.join(meta, join_type="inner", on=("doc_id",),
+                              num_partitions=4)
+    docs = note("after_paragraph_dedup", joined)
 
     # 7. MinHash-LSH near-duplicate removal: keep the smallest doc_id
     #    of every verified near-dup pair
