@@ -562,6 +562,62 @@ def _contour_tool(args: list[str]) -> int:
     return 0
 
 
+def _calc_tool(args: list[str]) -> int:
+    """gdal_calc.py role: band algebra over lettered inputs —
+    ``raster calc "A*2 + B" out.tif -A a.tif -B b.tif [--ot t]``.
+    Expression safety via the AST-validated kernel
+    (raster/kernels.py::calc_expr)."""
+    import numpy as np
+
+    from gdal_ray.raster.gtiff import decode_geotiff, write_geotiff
+    from gdal_ray.raster.kernels import calc_expr
+    from gdal_ray.vsi import vsi_read_bytes
+
+    if len(args) < 4:
+        print("usage: raster calc EXPR DST -A a.tif [-B b.tif ...] "
+              "[--band N] [--ot dtype]", file=sys.stderr)
+        return 2
+    expr, dst = args[0], args[1]
+    inputs: dict[str, str] = {}
+    band = 1
+    ot = None
+    i = 2
+    while i < len(args):
+        tok = args[i]
+        if tok == "--band":
+            band = int(args[i + 1])
+            i += 2
+        elif tok == "--ot":
+            ot = args[i + 1]
+            i += 2
+        elif tok.startswith("-") and len(tok) == 2 and tok[1].isalpha():
+            inputs[tok[1]] = args[i + 1]
+            i += 2
+        else:
+            print(f"unexpected argument {tok!r}", file=sys.stderr)
+            return 2
+    if not inputs:
+        print("raster calc needs at least one -A input", file=sys.stderr)
+        return 2
+    arrays = {}
+    ref = None
+    for name, path in inputs.items():
+        if path.lower().endswith(".vrt"):
+            from gdal_ray.raster.vrt import read_vrt_array
+
+            g = read_vrt_array(path)
+        else:
+            g = decode_geotiff(vsi_read_bytes(path))
+        arrays[name] = g["bands"][band - 1].astype(np.float64)
+        ref = ref or g
+    out = calc_expr(expr, arrays)
+    if ot:
+        out = out.astype(ot)
+    write_geotiff(dst, [out], ref.get("crs", ""), ref["geotransform"],
+                  ref.get("nodata"))
+    return 0
+
+
 def _polygonize_tool(args: list[str]) -> int:
     """gdal_polygonize role: connected same-value regions → GeoJSON
     polygons with a DN property (the reference default field)."""
@@ -630,6 +686,8 @@ def main(argv=None) -> int:
         return _contour_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "polygonize":
         return _polygonize_tool(argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "calc":
+        return _calc_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "vector" and argv[1] == "convert":
         # ogr2ogr role: format conversion = read SRC ! write DST,
         # any registered driver pair; extra tokens (e.g. --layer L)

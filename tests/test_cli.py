@@ -299,3 +299,47 @@ class TestPolygonizeCLI:
             # ring coordinates are in world (gt-applied) space
             ys = [pt[1] for pt in f["geometry"]["coordinates"][0]]
             assert 0.0 <= min(ys) and max(ys) <= 16.0
+
+
+class TestCalcCLI:
+    def test_band_algebra(self, tmp_path):
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff, write_geotiff
+
+        a = np.arange(64, dtype=np.float32).reshape(8, 8)
+        b = np.full((8, 8), 10.0, dtype=np.float32)
+        pa_ = str(tmp_path / "a.tif")
+        pb = str(tmp_path / "b.tif")
+        gt = (0.0, 1.0, 0.0, 0.0, 0.0, -1.0)
+        write_geotiff(pa_, [a], crs="EPSG:4326", geotransform=gt)
+        write_geotiff(pb, [b], crs="EPSG:4326", geotransform=gt)
+        out = str(tmp_path / "o.tif")
+        env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"}
+        r = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "raster", "calc",
+             "A*2 + B", out, "-A", pa_, "-B", pb],
+            capture_output=True, env=env)
+        assert r.returncode == 0, r.stderr
+        g = decode_geotiff(open(out, "rb").read())
+        np.testing.assert_allclose(g["bands"][0], a * 2.0 + 10.0)
+
+    def test_expression_safety(self, tmp_path):
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import write_geotiff
+
+        p = str(tmp_path / "x.tif")
+        write_geotiff(p, [np.ones((4, 4), np.uint8)], crs="EPSG:4326")
+        r = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "raster", "calc",
+             "().__class__", str(tmp_path / "o.tif"), "-A", p],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"})
+        assert r.returncode != 0  # AST validation rejects the escape
