@@ -562,6 +562,81 @@ def _contour_tool(args: list[str]) -> int:
     return 0
 
 
+def _rasterize_tool(args: list[str]) -> int:
+    """gdal_rasterize role: vector features burned onto a new grid —
+    ``raster rasterize SRC DST --size W H --extent minx miny maxx maxy
+    [--attr FIELD | --burn V] [--add]``. SRC is any vector driver the
+    pipeline reads (geometry column = WKB)."""
+    import argparse
+
+    import numpy as np
+
+    from gdal_ray.raster.gtiff import write_geotiff
+    from gdal_ray.raster.rasterize import rasterize_array
+
+    p = argparse.ArgumentParser(prog="gdal_ray raster rasterize")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--size", nargs=2, type=int, required=True,
+                   metavar=("W", "H"))
+    p.add_argument("--extent", nargs=4, type=float, required=True,
+                   metavar=("MINX", "MINY", "MAXX", "MAXY"))
+    p.add_argument("--attr", help="burn this field's value per feature")
+    p.add_argument("--burn", type=float, default=1.0)
+    p.add_argument("--add", action="store_true")
+    p.add_argument("--layer")
+    a = p.parse_args(args)
+    w, h = a.size
+    minx, miny, maxx, maxy = a.extent
+    gt = (minx, (maxx - minx) / w, 0.0, maxy, 0.0, -(maxy - miny) / h)
+    extra = f" --layer {a.layer}" if a.layer else ""
+    source, _, _ = build_pipeline(f"read {a.src}{extra}")
+    rows = source().take_all()
+    shapes = []
+    for r in rows:
+        g = r.get("geometry")
+        if g is None:
+            continue
+        val = float(r[a.attr]) if a.attr else a.burn
+        shapes.append((g, val))
+    out = rasterize_array(shapes, w, h, gt,
+                          merge_alg="add" if a.add else "replace")
+    write_geotiff(a.dst, [out.astype(np.float32)], "", gt)
+    print(f"burned {len(shapes)} features onto {w}x{h} grid")
+    return 0
+
+
+def _proximity_tool(args: list[str]) -> int:
+    """gdal_proximity role: distance (in pixels or georeferenced
+    units) to the nearest target pixel, exact EDT."""
+    import argparse
+
+    import numpy as np
+
+    from gdal_ray.raster.gtiff import decode_geotiff, write_geotiff
+    from gdal_ray.raster.proximity import proximity_array
+    from gdal_ray.vsi import vsi_read_bytes
+
+    p = argparse.ArgumentParser(prog="gdal_ray raster proximity")
+    p.add_argument("src")
+    p.add_argument("dst")
+    p.add_argument("--values", help="comma target values (default: !=0)")
+    p.add_argument("--maxdist", type=float)
+    p.add_argument("--georef", action="store_true",
+                   help="distances in CRS units (default: pixels)")
+    a = p.parse_args(args)
+    g = decode_geotiff(vsi_read_bytes(a.src))
+    targets = ([float(v) for v in a.values.split(",")]
+               if a.values else None)
+    out = proximity_array(g["bands"][0], target_values=targets,
+                          max_distance=a.maxdist)
+    if a.georef:
+        out = out * abs(g["geotransform"][1])
+    write_geotiff(a.dst, [out.astype(np.float32)], g.get("crs", ""),
+                  g["geotransform"])
+    return 0
+
+
 def _calc_tool(args: list[str]) -> int:
     """gdal_calc.py role: band algebra over lettered inputs —
     ``raster calc "A*2 + B" out.tif -A a.tif -B b.tif [--ot t]``.
@@ -688,6 +763,20 @@ def main(argv=None) -> int:
         return _polygonize_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "calc":
         return _calc_tool(argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "rasterize":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        rc = _rasterize_tool(argv[2:])
+        ray.shutdown()
+        return rc
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "proximity":
+        return _proximity_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "vector" and argv[1] == "convert":
         # ogr2ogr role: format conversion = read SRC ! write DST,
         # any registered driver pair; extra tokens (e.g. --layer L)

@@ -343,3 +343,63 @@ class TestCalcCLI:
             capture_output=True,
             env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin"})
         assert r.returncode != 0  # AST validation rejects the escape
+
+
+class TestRasterizeProximityCLI:
+    def _run(self, *args):
+        import subprocess
+        import sys
+
+        return subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", *args],
+            capture_output=True,
+            env={"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+                 "HOME": "/tmp"})
+
+    def test_rasterize_geojson_square(self, tmp_path):
+        import json
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        gj = {
+            "type": "FeatureCollection",
+            "features": [{
+                "type": "Feature",
+                "properties": {"v": 7},
+                "geometry": {"type": "Polygon", "coordinates": [[
+                    [2, 2], [6, 2], [6, 6], [2, 6], [2, 2]]]},
+            }],
+        }
+        src = tmp_path / "sq.geojson"
+        src.write_text(json.dumps(gj))
+        out = str(tmp_path / "r.tif")
+        r = self._run("raster", "rasterize", str(src), out,
+                      "--size", "8", "8",
+                      "--extent", "0", "0", "8", "8", "--attr", "v")
+        assert r.returncode == 0, r.stderr[-1500:]
+        g = decode_geotiff(open(out, "rb").read())
+        a = g["bands"][0]
+        assert a[4, 4] == 7.0   # pixel center (4.5, 3.5) world in box
+        assert a[0, 0] == 0.0
+        # burned pixel count = 4x4 interior centers
+        assert (a == 7.0).sum() == 16
+
+    def test_proximity_distances(self, tmp_path):
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import decode_geotiff, write_geotiff
+
+        arr = np.zeros((9, 9), dtype=np.uint8)
+        arr[4, 4] = 1
+        p = str(tmp_path / "t.tif")
+        write_geotiff(p, [arr], crs="EPSG:32633",
+                      geotransform=(0.0, 10.0, 0.0, 0.0, 0.0, -10.0))
+        out = str(tmp_path / "d.tif")
+        r = self._run("raster", "proximity", p, out, "--georef")
+        assert r.returncode == 0, r.stderr[-1500:]
+        d = decode_geotiff(open(out, "rb").read())["bands"][0]
+        assert d[4, 4] == 0.0
+        assert abs(d[4, 0] - 40.0) < 1e-6     # 4 px * 10 m
+        assert abs(d[0, 0] - np.sqrt(32) * 10.0) < 1e-4
