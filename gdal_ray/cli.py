@@ -562,6 +562,48 @@ def _contour_tool(args: list[str]) -> int:
     return 0
 
 
+def _tile_tool(args: list[str]) -> int:
+    """gdal2tiles / `gdal raster tile` role: XYZ pyramid from a
+    GeoTIFF — z/x/y.png tree (default) or one .pmtiles archive."""
+    import argparse
+
+    import numpy as np
+
+    from gdal_ray.pipelines import tilepyramid as tp
+    from gdal_ray.raster.gtiff import decode_geotiff
+    from gdal_ray.vsi import vsi_read_bytes
+
+    p = argparse.ArgumentParser(prog="gdal_ray raster tile")
+    p.add_argument("src")
+    p.add_argument("dst", help="output directory, or a .pmtiles path")
+    p.add_argument("--zmin", type=int, required=True)
+    p.add_argument("--zmax", type=int, required=True)
+    p.add_argument("--vmin", type=float)
+    p.add_argument("--vmax", type=float)
+    a = p.parse_args(args)
+
+    if a.src.lower().endswith(".vrt"):
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        g = read_vrt_array(a.src)
+    else:
+        g = decode_geotiff(vsi_read_bytes(a.src))
+    band = g["bands"][0].astype(np.float32)
+    vmin = a.vmin if a.vmin is not None else float(np.nanmin(band))
+    vmax = a.vmax if a.vmax is not None else float(np.nanmax(band))
+    tiles = tp.raster_tile_pyramid(
+        band, g["geotransform"], g.get("crs", "") or "EPSG:3857",
+        zmin=a.zmin, zmax=a.zmax)
+    if a.dst.lower().endswith(".pmtiles"):
+        stats = tp.write_pmtiles_pyramid(tiles, a.dst, vmin, vmax)
+        print(f"wrote {stats['addressed']} tiles to {a.dst}")
+    else:
+        manifest = tp.write_png_tiles(tiles, a.dst, vmin, vmax)
+        n = manifest.count()
+        print(f"wrote {n} tiles under {a.dst}")
+    return 0
+
+
 def _rasterize_tool(args: list[str]) -> int:
     """gdal_rasterize role: vector features burned onto a new grid —
     ``raster rasterize SRC DST --size W H --extent minx miny maxx maxy
@@ -763,6 +805,18 @@ def main(argv=None) -> int:
         return _polygonize_tool(argv[2:])
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "calc":
         return _calc_tool(argv[2:])
+    if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "tile":
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False,
+                     ignore_reinit_error=True, logging_level="ERROR")
+        from ray.data import DataContext
+
+        DataContext.get_current().enable_progress_bars = False
+        rc = _tile_tool(argv[2:])
+        ray.shutdown()
+        return rc
     if len(argv) >= 4 and argv[0] == "raster" and argv[1] == "rasterize":
         import ray
 

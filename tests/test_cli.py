@@ -403,3 +403,44 @@ class TestRasterizeProximityCLI:
         assert d[4, 4] == 0.0
         assert abs(d[4, 0] - 40.0) < 1e-6     # 4 px * 10 m
         assert abs(d[0, 0] - np.sqrt(32) * 10.0) < 1e-4
+
+
+class TestTileCLI:
+    def test_pyramid_to_pmtiles_and_tree(self, tmp_path):
+        import os
+        import subprocess
+        import sys
+
+        import numpy as np
+
+        from gdal_ray.raster.gtiff import write_geotiff
+
+        M = 20037508.342789244
+        src = np.linspace(0, 100, 512 * 512,
+                          dtype=np.float32).reshape(512, 512)
+        gt = (-M, 2 * M / 512, 0.0, M, 0.0, -2 * M / 512)
+        p = str(tmp_path / "world.tif")
+        write_geotiff(p, [src], crs="EPSG:3857", geotransform=gt)
+        env = {"PYTHONPATH": "/root/repo", "PATH": "/usr/bin:/bin",
+               "HOME": "/tmp"}
+
+        pm = str(tmp_path / "w.pmtiles")
+        r = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "raster", "tile",
+             p, pm, "--zmin", "0", "--zmax", "1"],
+            capture_output=True, env=env)
+        assert r.returncode == 0, r.stderr[-1500:]
+        from gdal_ray.pmtiles import PMTilesReader
+
+        reader = PMTilesReader(pm)
+        assert reader.header["n_addressed"] == 5
+        assert reader.get_tile(0, 0, 0) is not None
+
+        tree = str(tmp_path / "tree")
+        r2 = subprocess.run(
+            [sys.executable, "-m", "gdal_ray.cli", "raster", "tile",
+             p, tree, "--zmin", "0", "--zmax", "1"],
+            capture_output=True, env=env)
+        assert r2.returncode == 0, r2.stderr[-1500:]
+        assert os.path.exists(os.path.join(tree, "0", "0", "0.png"))
+        assert os.path.exists(os.path.join(tree, "1", "1", "1.png"))
