@@ -380,12 +380,9 @@ def _raster_tool(cmd: str, args: list[str]) -> int:
         p.add_argument("--nodata", type=float, default=0.0)
     a = p.parse_args(args)
 
-    if a.src.lower().endswith(".vrt"):
-        from gdal_ray.raster.vrt import read_vrt_array
+    from gdal_ray.raster.aaigrid import load_raster
 
-        g = read_vrt_array(a.src)
-    else:
-        g = decode_geotiff(vsi_read_bytes(a.src))
+    g = load_raster(a.src)
     if cmd == "cog":
         write_cog(a.dst, g["bands"], g.get("crs", ""), g["geotransform"],
                   g.get("nodata"))
@@ -459,12 +456,9 @@ def _dem_tool(args: list[str]) -> int:
     p.add_argument("--exact-color", action="store_true")
     a = p.parse_args(args)
 
-    if a.src.lower().endswith(".vrt"):
-        from gdal_ray.raster.vrt import read_vrt_array
+    from gdal_ray.raster.aaigrid import load_raster
 
-        g = read_vrt_array(a.src)
-    else:
-        g = decode_geotiff(vsi_read_bytes(a.src))
+    g = load_raster(a.src)
     arr = g["bands"][0].astype(np.float64)
     gt = g["geotransform"]
     ewres, nsres = abs(gt[1]), abs(gt[5])
@@ -525,12 +519,9 @@ def _contour_tool(args: list[str]) -> int:
     p.add_argument("--interval", type=float)
     a = p.parse_args(args)
 
-    if a.src.lower().endswith(".vrt"):
-        from gdal_ray.raster.vrt import read_vrt_array
+    from gdal_ray.raster.aaigrid import load_raster
 
-        g = read_vrt_array(a.src)
-    else:
-        g = decode_geotiff(vsi_read_bytes(a.src))
+    g = load_raster(a.src)
     arr = g["bands"][0].astype(np.float64)
     gt = g["geotransform"]
     if a.levels:
@@ -582,12 +573,9 @@ def _tile_tool(args: list[str]) -> int:
     p.add_argument("--vmax", type=float)
     a = p.parse_args(args)
 
-    if a.src.lower().endswith(".vrt"):
-        from gdal_ray.raster.vrt import read_vrt_array
+    from gdal_ray.raster.aaigrid import load_raster
 
-        g = read_vrt_array(a.src)
-    else:
-        g = decode_geotiff(vsi_read_bytes(a.src))
+    g = load_raster(a.src)
     band = g["bands"][0].astype(np.float32)
     vmin = a.vmin if a.vmin is not None else float(np.nanmin(band))
     vmax = a.vmax if a.vmax is not None else float(np.nanmax(band))
@@ -755,12 +743,9 @@ def _polygonize_tool(args: list[str]) -> int:
                    help="exclude this value (gdal_polygonize -nomask "
                         "off behavior)")
     a = p.parse_args(args)
-    if a.src.lower().endswith(".vrt"):
-        from gdal_ray.raster.vrt import read_vrt_array
+    from gdal_ray.raster.aaigrid import load_raster
 
-        g = read_vrt_array(a.src)
-    else:
-        g = decode_geotiff(vsi_read_bytes(a.src))
+    g = load_raster(a.src)
     nod = a.nodata if a.nodata is not None else g.get("nodata")
     t = polygonize_array(g["bands"][0], g["geotransform"],
                          a.connectivity, exclude=nod)

@@ -1,0 +1,125 @@
+"""AAIGrid — Arc/Info ASCII Grid (.asc/.grd) read/write.
+
+Reference role: frmts/aaigrid (AAIGRID driver); format per the public
+ESRI ASCII raster spec. Header keywords are case-insensitive;
+``xllcorner``/``yllcorner`` give the lower-left CORNER while the
+``*llcenter`` variants give the lower-left cell CENTER (offset by
+cellsize/2); ``dx``/``dy`` replace ``cellsize`` for non-square cells;
+a comma may serve as the DECIMAL separator (European locale files —
+the reference's pixel_per_line_comma.asc fixture). Values are
+whitespace-separated in any line layout.
+
+Checksum parity with the reference driver is pinned in
+tests/test_aaigrid.py on its own fixtures (byte.tif.grd → 4672,
+pixel_per_line.asc → 1123).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_HEADER_KEYS = frozenset(
+    "ncols nrows xllcorner yllcorner xllcenter yllcenter cellsize "
+    "dx dy nodata_value".split())
+
+
+def _num(tok: str) -> float:
+    return float(tok.replace(",", "."))
+
+
+def decode_aaigrid(data: bytes | str) -> dict:
+    """→ decode_geotiff-shaped dict {"bands", "crs", "geotransform",
+    "nodata"}. Integer-valued grids load as int32 (the reference's
+    type inference); anything else float64."""
+    text = data.decode("ascii", "ignore") if isinstance(
+        data, (bytes, bytearray)) else data
+    tokens = text.split()
+    hdr: dict[str, float] = {}
+    i = 0
+    while i + 1 < len(tokens) and tokens[i].lower() in _HEADER_KEYS:
+        hdr[tokens[i].lower()] = _num(tokens[i + 1])
+        i += 2
+    ncols = int(hdr["ncols"])
+    nrows = int(hdr["nrows"])
+    dx = hdr.get("dx", hdr.get("cellsize", 1.0))
+    dy = hdr.get("dy", hdr.get("cellsize", 1.0))
+    if "xllcorner" in hdr:
+        x0 = hdr["xllcorner"]
+    else:
+        x0 = hdr.get("xllcenter", 0.0) - dx / 2.0
+    if "yllcorner" in hdr:
+        yll = hdr["yllcorner"]
+    else:
+        yll = hdr.get("yllcenter", 0.0) - dy / 2.0
+    gt = (x0, dx, 0.0, yll + nrows * dy, 0.0, -dy)
+    nodata = hdr.get("nodata_value")
+    vals = np.array([_num(t) for t in tokens[i : i + ncols * nrows]],
+                    dtype=np.float64)
+    if len(vals) != ncols * nrows:
+        raise ValueError(
+            f"AAIGrid: expected {ncols * nrows} values, got {len(vals)}")
+    arr = vals.reshape(nrows, ncols)
+    if np.all(np.isfinite(arr)) and np.all(arr == np.rint(arr)) and \
+            np.abs(arr).max() < 2**31:
+        arr = arr.astype(np.int32)
+    return {"bands": [arr], "crs": "", "geotransform": gt,
+            "nodata": nodata}
+
+
+def encode_aaigrid(arr: np.ndarray, gt, nodata: float | None = None,
+                   cellwise_precision: int = 6) -> bytes:
+    """One band → ESRI ASCII grid bytes (corner convention; square
+    cells required — the format has no rotation terms)."""
+    if gt[2] or gt[4]:
+        raise ValueError("AAIGrid cannot represent rotated grids")
+    if abs(abs(gt[1]) - abs(gt[5])) > 1e-12 * abs(gt[1]):
+        dx_dy = f"dx           {gt[1]!r}\ndy           {abs(gt[5])!r}\n"
+    else:
+        dx_dy = f"cellsize     {gt[1]!r}\n"
+    h, w = arr.shape
+    lines = [
+        f"ncols        {w}",
+        f"nrows        {h}",
+        f"xllcorner    {gt[0]!r}",
+        f"yllcorner    {gt[3] + h * gt[5]!r}",
+        dx_dy.rstrip("\n"),
+    ]
+    if nodata is not None:
+        lines.append(f"NODATA_value {nodata:g}")
+    integral = np.issubdtype(arr.dtype, np.integer)
+    for row in arr:
+        if integral:
+            lines.append(" ".join(str(int(v)) for v in row))
+        else:
+            lines.append(" ".join(
+                f"{v:.{cellwise_precision}g}" for v in row))
+    return ("\n".join(lines) + "\n").encode("ascii")
+
+
+def read_aaigrid(path: str) -> dict:
+    from gdal_ray.vsi import vsi_read_bytes
+
+    return decode_aaigrid(vsi_read_bytes(path))
+
+
+def write_aaigrid(path: str, arr: np.ndarray, gt,
+                  nodata: float | None = None) -> None:
+    from gdal_ray.vsi import vsi_write_bytes
+
+    vsi_write_bytes(path, encode_aaigrid(arr, gt, nodata))
+
+
+def load_raster(path: str) -> dict:
+    """Extension-dispatched single-raster load (the CLI loader):
+    .vrt → composed VRT, .asc/.grd → AAIGrid, else GeoTIFF."""
+    low = path.lower()
+    if low.endswith(".vrt"):
+        from gdal_ray.raster.vrt import read_vrt_array
+
+        return read_vrt_array(path)
+    if low.endswith((".asc", ".grd")):
+        return read_aaigrid(path)
+    from gdal_ray.raster.gtiff import decode_geotiff
+    from gdal_ray.vsi import vsi_read_bytes
+
+    return decode_geotiff(vsi_read_bytes(path))
