@@ -119,6 +119,10 @@ def load_raster(path: str) -> dict:
         return read_vrt_array(path)
     if low.endswith((".asc", ".grd")):
         return read_aaigrid(path)
+    if low.endswith((".img", ".dat")):
+        from gdal_ray.raster.envi import read_envi
+
+        return read_envi(path)
     from gdal_ray.raster.gtiff import decode_geotiff
     from gdal_ray.vsi import vsi_read_bytes
 
