@@ -123,6 +123,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.envi import read_envi
 
         return read_envi(path)
+    if low.endswith((".bil", ".bip", ".flt")):
+        from gdal_ray.raster.envi import read_ehdr
+
+        return read_ehdr(path)
     if low.endswith((".dt0", ".dt1", ".dt2")):
         from gdal_ray.raster.dted import read_dted
 

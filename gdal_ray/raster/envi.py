@@ -155,3 +155,75 @@ def write_envi(path: str, bands, gt=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
         hdr.append(f"data ignore value = {nodata:g}")
     base, _ = os.path.splitext(path)
     vsi_write_bytes(base + ".hdr", ("\n".join(hdr) + "\n").encode())
+
+
+# ---------------------------------------------------------------------------
+# EHdr — ESRI BIL/.hdr sibling (frmts/ehdr role)
+
+
+def read_ehdr(path: str) -> dict:
+    """ESRI .hdr-labelled raw raster (.bil/.bip/.bsq/.flt): the older
+    keyword set (NCOLS/NROWS/NBANDS/NBITS/BYTEORDER/PIXELTYPE,
+    ULXMAP/ULYMAP cell-CENTER anchors or xllcorner/cellsize). A .flt
+    payload is float32 by definition (reference test #3933); NBITS 32
+    without PIXELTYPE is float for .flt, int32 otherwise."""
+    import os as _os
+
+    from gdal_ray.vsi import vsi_read_bytes
+
+    base, ext = _os.path.splitext(path)
+    hdr_txt = vsi_read_bytes(base + ".hdr").decode("ascii", "ignore")
+    kv: dict[str, str] = {}
+    for line in hdr_txt.splitlines():
+        parts = line.split()
+        if len(parts) >= 2:
+            kv[parts[0].lower()] = parts[1]
+    w = int(kv["ncols"])
+    h = int(kv["nrows"])
+    nb = int(kv.get("nbands", "1"))
+    raw = vsi_read_bytes(path)
+    ptype = kv.get("pixeltype", "").upper()
+    is_flt = ext.lower() == ".flt"
+    if "nbits" in kv:
+        nbits = int(kv["nbits"])
+    elif len(raw) == w * h * nb * 4:
+        # reference #3933: no NBITS → infer float32 from the payload
+        # size (or from the .flt extension)
+        nbits = 32
+        is_flt = True
+    else:
+        nbits = 8
+    if ptype == "FLOAT" or (is_flt and nbits in (0, 32)):
+        dt = np.dtype("f4") if nbits != 64 else np.dtype("f8")
+    elif ptype == "SIGNEDINT":
+        dt = np.dtype(f"i{max(nbits, 8) // 8}")
+    else:
+        dt = np.dtype(f"u{max(nbits, 8) // 8}")
+    order = kv.get("byteorder", "i").lower()
+    dt = dt.newbyteorder(">" if order.startswith("m") else "<")
+    arr = np.frombuffer(raw, dtype=dt, count=w * h * nb)
+    layout = kv.get("layout", "bil").lower()
+    if layout == "bsq":
+        cube = arr.reshape(nb, h, w)
+    elif layout == "bip":
+        cube = arr.reshape(h, w, nb).transpose(2, 0, 1)
+    else:
+        cube = arr.reshape(h, nb, w).transpose(1, 0, 2)
+    bands = [np.ascontiguousarray(cube[b]).astype(dt.newbyteorder("="))
+             for b in range(nb)]
+    dx = float(kv.get("xdim", kv.get("cellsize", "1")))
+    dy = float(kv.get("ydim", kv.get("cellsize", "1")))
+    if "ulxmap" in kv:  # cell-CENTER of the upper-left pixel
+        x0 = float(kv["ulxmap"]) - dx / 2.0
+        y0 = float(kv["ulymap"]) + dy / 2.0
+    elif "xllcorner" in kv:
+        x0 = float(kv["xllcorner"])
+        y0 = float(kv["yllcorner"]) + h * dy
+    else:
+        x0, y0 = 0.0, 0.0
+    nodata = (float(kv["nodata"]) if "nodata" in kv
+              else float(kv["nodata_value"])
+              if "nodata_value" in kv else None)
+    return {"bands": bands, "crs": "",
+            "geotransform": (x0, dx, 0.0, y0, 0.0, -dy),
+            "nodata": nodata}

@@ -77,3 +77,26 @@ class TestCLI:
         g = decode_geotiff(open(out, "rb").read())
         np.testing.assert_array_equal(
             g["bands"][0], arr[2:6, 2:6].astype(np.float64))
+
+
+class TestEHdr:
+    """EHdr sibling (frmts/ehdr role) — reference-fixture pins."""
+
+    @pytest.mark.parametrize("fname", ["ehdr10.bil", "ehdr11.flt"])
+    def test_float_inference_checksums(self, fname):
+        from gdal_ray.raster.envi import read_ehdr
+
+        g = read_ehdr(
+            f"/root/reference/autotest/gdrivers/data/ehdr/{fname}")
+        assert checksum_array(g["bands"][0]) == 8202
+        # xllcorner convention: top = yll + nrows*cellsize
+        gt = g["geotransform"]
+        assert gt[1] == 2500.0 and gt[5] == -2500.0
+        assert abs(gt[3] - (2041811.701239 + 2 * 2500.0)) < 1e-6
+
+    def test_load_raster_dispatch(self):
+        from gdal_ray.raster.aaigrid import load_raster
+
+        g = load_raster(
+            "/root/reference/autotest/gdrivers/data/ehdr/ehdr11.flt")
+        assert checksum_array(g["bands"][0]) == 8202
