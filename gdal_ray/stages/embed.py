@@ -544,3 +544,79 @@ def pq_topk(ds, queries: np.ndarray, k: int = 10, m: int = 8,
     local = ds.map_batches(local_topk, batch_format="pyarrow")
     return local.groupby("query_id").map_groups(
         _merge_topk(k, id_col), batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means (full-corpus Lloyd — the SemDeDup clustering
+# primitive; train_ivf_centroids above is the bounded-sample variant)
+
+
+def kmeans_dataset(ds, k: int = 8, iters: int = 8, seed: int = 7,
+                   vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Lloyd's k-means over the WHOLE Dataset: each iteration is one
+    streamed pass — every batch emits per-centroid partial (sum,
+    count) rows and the driver folds the O(k·d) partials (the
+    mergeable-partial pattern; no all-to-all, no row exchange).
+    Centroids are broadcast per iteration via ``ray.put``. Returns
+    (centroids (k,d) array, Dataset of (id, cluster, sim)).
+
+    Deterministic given data and seed: partial sums are folded in
+    block order, so float addition regrouping stays within ~1 ulp —
+    assignments are argmax over well-separated scores in practice
+    (tests use separated blobs; ties would break toward the lower
+    centroid index)."""
+    import ray
+
+    init_tbl = pa.Table.from_pylist(ds.limit(4096).take_all())
+    sample = _stack_embeddings(init_tbl, vec_col)
+    cents = train_ivf_centroids(sample, k, iters=3, seed=seed)
+
+    for _ in range(iters):
+        cref = ray.put(cents)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            c = ray.get(cref)
+            emb = _stack_embeddings(batch, vec_col)
+            norms = np.linalg.norm(emb, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            en = emb / norms
+            assign = (en @ c.T).argmax(axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, assign, en)
+            counts = np.bincount(assign, minlength=len(c))
+            return pa.table({
+                "cluster": pa.array(np.arange(len(c)), pa.int64()),
+                "vsum": pa.array(sums.tolist(),
+                                 pa.list_(pa.float64())),
+                "n": pa.array(counts, pa.int64()),
+            })
+
+        acc = np.zeros_like(cents)
+        cnt = np.zeros(len(cents), dtype=np.int64)
+        for row in ds.map_batches(
+                partial, batch_format="pyarrow").take_all():
+            acc[row["cluster"]] += np.asarray(row["vsum"])
+            cnt[row["cluster"]] += row["n"]
+        nonempty = cnt > 0
+        new = cents.copy()
+        new[nonempty] = acc[nonempty] / np.maximum(
+            np.linalg.norm(acc[nonempty], axis=1, keepdims=True), 1e-12)
+        cents = new
+
+    cref = ray.put(cents)
+
+    def assign_final(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        emb = _stack_embeddings(batch, vec_col)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        en = emb / norms
+        sim = en @ c.T
+        a = sim.argmax(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a, pa.int64()),
+            "sim": pa.array(sim[np.arange(len(a)), a], pa.float64()),
+        })
+
+    return cents, ds.map_batches(assign_final, batch_format="pyarrow")

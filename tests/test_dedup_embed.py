@@ -445,3 +445,34 @@ class TestPQ:
             e = set(exact[exact["query_id"] == qi]["vec_id"])
             recalls.append(len(e & set(sub["vec_id"])) / len(e))
         assert np.mean(recalls) >= 0.9, recalls
+
+
+class TestKMeansDataset:
+    def test_recovers_blobs(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages.embed import kmeans_dataset
+
+        rng = np.random.default_rng(9)
+        centers = np.eye(4)  # 4 orthogonal unit blobs in R^4
+        x = np.repeat(centers, 100, axis=0) + 0.05 * rng.normal(
+            size=(400, 4))
+        t = pa.table({
+            "vec_id": pa.array(np.arange(400), pa.int64()),
+            "embedding": pa.array(x.tolist(), pa.list_(pa.float32())),
+        })
+        cents, assigned = kmeans_dataset(
+            rd.from_arrow(t).repartition(4), k=4, iters=5)
+        df = assigned.to_pandas()
+        # every true blob maps to exactly one cluster
+        for blob in range(4):
+            got = df[(df["vec_id"] >= blob * 100)
+                     & (df["vec_id"] < (blob + 1) * 100)]["cluster"]
+            assert got.nunique() == 1, blob
+        assert df["cluster"].nunique() == 4
+        assert (df["sim"] > 0.9).all()
+        # centroids are unit vectors near the blob axes
+        assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
+        assert cents.max(axis=1).min() > 0.95
