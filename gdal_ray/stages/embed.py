@@ -620,3 +620,59 @@ def kmeans_dataset(ds, k: int = 8, iters: int = 8, seed: int = 7,
         })
 
     return cents, ds.map_batches(assign_final, batch_format="pyarrow")
+
+
+def semdedup(ds, k: int = 8, threshold: float = 0.95, iters: int = 5,
+             seed: int = 7, vec_col: str = "embedding",
+             id_col: str = "vec_id"):
+    """SemDeDup (Abbas et al. 2023): semantic dedup by k-means
+    clustering then WITHIN-CLUSTER cosine pruning — two vectors in the
+    same cluster with similarity ≥ threshold are duplicates; the
+    lowest id survives. Returns a Dataset of survivors
+    (id, cluster, sim).
+
+    Shape: the k-means passes stream (kmeans_dataset); the prune is
+    one groupby(cluster) shuffle + per-cluster pairwise cosine —
+    quadratic only within a cluster, which is the algorithm's design
+    contract (pick k so clusters fit a worker; the paper uses
+    k ≈ n/10k)."""
+    import pandas as pd
+    import ray
+
+    cents, _ = kmeans_dataset(ds, k, iters=iters, seed=seed,
+                              vec_col=vec_col, id_col=id_col)
+    cref = ray.put(cents)
+
+    def assign_keep_vec(batch: pa.Table) -> pa.Table:
+        c = ray.get(cref)
+        emb = _stack_embeddings(batch, vec_col)
+        norms = np.linalg.norm(emb, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        en = emb / norms
+        sim = en @ c.T
+        a = sim.argmax(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            "cluster": pa.array(a, pa.int64()),
+            "sim": pa.array(sim[np.arange(len(a)), a], pa.float64()),
+            "__vec": pa.array(en.tolist(), pa.list_(pa.float64())),
+        })
+
+    assigned = ds.map_batches(assign_keep_vec, batch_format="pyarrow")
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        v = np.vstack(g["__vec"].to_numpy())
+        sim = v @ v.T
+        n = len(g)
+        keep = np.ones(n, dtype=bool)
+        for i in range(n):
+            if not keep[i]:
+                continue
+            dup = sim[i, i + 1:] >= threshold
+            keep[i + 1:][dup] = False
+        out = g[keep].drop(columns="__vec")
+        return out
+
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pandas")

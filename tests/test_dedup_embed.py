@@ -476,3 +476,41 @@ class TestKMeansDataset:
         # centroids are unit vectors near the blob axes
         assert np.allclose(np.linalg.norm(cents, axis=1), 1.0)
         assert cents.max(axis=1).min() > 0.95
+
+
+class TestSemDeDup:
+    def test_planted_semantic_dups_removed(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages.embed import semdedup
+
+        rng = np.random.default_rng(13)
+        centers = np.eye(4)
+        rows = []
+        vid = 0
+        for blob in range(4):
+            for j in range(30):
+                v = centers[blob] + 0.2 * rng.normal(size=4)
+                rows.append((vid, v / np.linalg.norm(v)))
+                vid += 1
+            # 5 exact semantic duplicates of the blob's first member
+            base = rows[blob * 35][1]
+            for j in range(5):
+                v = base + 1e-4 * rng.normal(size=4)
+                rows.append((vid, v / np.linalg.norm(v)))
+                vid += 1
+        t = pa.table({
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1].tolist() for r in rows],
+                                  pa.list_(pa.float32())),
+        })
+        kept = semdedup(rd.from_arrow(t).repartition(3), k=4,
+                        threshold=0.999).to_pandas()
+        # every planted duplicate pack collapsed to its base member
+        assert len(kept) <= len(rows) - 4 * 5
+        # survivors are unique ids, lowest-id-wins
+        for blob in range(4):
+            base_id = blob * 35
+            assert base_id in set(kept["vec_id"])
