@@ -325,16 +325,16 @@ def info_vector(path: str) -> str:
 
 
 def info_raster(path: str) -> str:
-    """gdalinfo role for GeoTIFF: size, bands, dtype, CRS, transform."""
-    from gdal_ray.raster.gtiff import decode_geotiff
-    from gdal_ray.vsi import vsi_read_bytes
+    """gdalinfo role: size, bands, dtype, CRS, transform — any
+    registered raster driver (GeoTIFF/VRT/AAIGrid/ENVI/EHdr/DTED)."""
+    from gdal_ray.raster.aaigrid import load_raster
 
-    g = decode_geotiff(vsi_read_bytes(path))
+    g = load_raster(path)
     bands = g["bands"]
     h, w = bands[0].shape
     gt = g["geotransform"]
     lines = [
-        f"Driver: GTiff (gdal_ray)",
+        "Driver: gdal_ray raster",
         f"Size is {w}, {h}",
         f"Bands: {len(bands)} ({bands[0].dtype})",
         f"Origin = ({gt[0]}, {gt[3]})",
