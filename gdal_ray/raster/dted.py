@@ -32,7 +32,13 @@ def _angle(field: bytes) -> float:
 
 def decode_dted(data: bytes) -> dict:
     if data[:4] != b"UHL1":
-        raise ValueError("not a DTED file (UHL1 missing)")
+        # optional NGA transmittal records (HDR1/VOL1 labels) precede
+        # UHL on tape-derived files — skip to the UHL like the
+        # reference driver does
+        at = data.find(b"UHL1", 0, 4096)
+        if at < 0:
+            raise ValueError("not a DTED file (UHL1 missing)")
+        data = data[at:]
     lon0 = _angle(data[4:12])
     lat0 = _angle(data[12:20])
     lon_step = int(data[20:24]) / 36000.0   # tenths of arcsec → deg

@@ -52,3 +52,12 @@ class TestRoundtrip:
 
         g = load_raster(f"{DATA}/n43.dt0")
         assert checksum_array(g["bands"][0]) == 49187
+
+
+class TestTransmittalHeader:
+    def test_dt1_with_hdr_label_opens(self):
+        # tape-derived files carry HDR1/VOL1 label records before UHL
+        # (autotest dted_11 just asserts the file opens)
+        g = read_dted(f"{DATA}/dted/w118n033_trunc.dt1")
+        assert g["bands"][0].shape[1] > 0
+        assert g["crs"] == "EPSG:4326"
