@@ -343,3 +343,66 @@ def wav_decode_stage(ds, col: str = "media", out_col: str = "samples",
         concurrency=concurrency,
         fn_constructor_kwargs={"col": col, "out_col": out_col},
     )
+
+
+def audio_features(samples: np.ndarray, rate: int,
+                   n_fft: int = 2048) -> dict:
+    """Deterministic spectral features of one clip (the audio
+    feature-extract stage of the multimodal contract): duration, RMS,
+    zero-crossing rate (crossings/sec), spectral centroid (Hz, mean
+    over n_fft frames via numpy rFFT) and spectral rolloff (85%).
+    Mono mix for multichannel."""
+    x = np.asarray(samples, dtype=np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = len(x)
+    if n == 0:
+        return {"duration_s": 0.0, "rms": 0.0, "zcr_hz": 0.0,
+                "spectral_centroid_hz": 0.0, "rolloff85_hz": 0.0}
+    dur = n / rate
+    rms = float(np.sqrt((x * x).mean()))
+    zc = int((np.signbit(x[1:]) != np.signbit(x[:-1])).sum())
+    zcr = zc / dur
+    # frame-averaged magnitude spectrum
+    nf = max(1, n // n_fft)
+    mags = np.zeros(n_fft // 2 + 1)
+    for f in range(nf):
+        seg = x[f * n_fft : (f + 1) * n_fft]
+        if len(seg) < n_fft:
+            seg = np.pad(seg, (0, n_fft - len(seg)))
+        mags += np.abs(np.fft.rfft(seg * np.hanning(n_fft)))
+    freqs = np.fft.rfftfreq(n_fft, 1.0 / rate)
+    tot = mags.sum()
+    if tot <= 0:
+        cent = roll = 0.0
+    else:
+        cent = float((freqs * mags).sum() / tot)
+        cum = np.cumsum(mags)
+        roll = float(freqs[np.searchsorted(cum, 0.85 * tot)])
+    return {"duration_s": dur, "rms": rms, "zcr_hz": zcr,
+            "spectral_centroid_hz": cent, "rolloff85_hz": roll}
+
+
+class AudioFeatureExtractor:
+    """``map_batches`` stage: WAV binary column → feature columns
+    (decode + features per clip; composes after or instead of
+    WavAudioDecoder — the actor-pool pattern is unnecessary since
+    there is no per-worker state to amortize)."""
+
+    def __init__(self, media_col: str = "media"):
+        self.media_col = media_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in ("duration_s", "rms", "zcr_hz",
+                                "spectral_centroid_hz", "rolloff85_hz")}
+        for payload in batch[self.media_col].to_pylist():
+            try:
+                samples, rate = decode_wav(payload)
+                feats = audio_features(samples, rate)
+            except Exception:
+                feats = {k: None for k in rows}
+            for k in rows:
+                rows[k].append(feats[k])
+        for k, v in rows.items():
+            batch = batch.append_column(k, pa.array(v, pa.float64()))
+        return batch

@@ -261,3 +261,63 @@ class TestVideo:
         bad = avi.replace(b"vidsMJPG", b"vidscvid", 1)
         with pytest.raises(NotImplementedError):
             read_avi_frames(bad, [0])
+
+
+class TestAudioFeatures:
+    """Spectral features with closed-form sine-wave oracles."""
+
+    def _sine(self, freq, sr=16000, secs=1.0):
+        import numpy as np
+
+        t = np.arange(int(sr * secs)) / sr
+        return np.sin(2 * np.pi * freq * t).astype(np.float32), sr
+
+    def test_sine_closed_forms(self):
+        import numpy as np
+
+        from gdal_ray.stages.multimodal import audio_features
+
+        x, sr = self._sine(440.0)
+        f = audio_features(x, sr)
+        assert abs(f["duration_s"] - 1.0) < 1e-9
+        assert abs(f["rms"] - 1 / np.sqrt(2)) < 1e-3
+        assert abs(f["zcr_hz"] - 2 * 440.0) < 5.0
+        assert abs(f["spectral_centroid_hz"] - 440.0) < 5.0
+        # a higher tone moves every spectral feature up
+        f2 = audio_features(*self._sine(2000.0))
+        assert f2["spectral_centroid_hz"] > 4 * f["spectral_centroid_hz"] / 5 + 1000
+        assert f2["rolloff85_hz"] > f["rolloff85_hz"]
+
+    def test_silence_and_empty(self):
+        import numpy as np
+
+        from gdal_ray.stages.multimodal import audio_features
+
+        f = audio_features(np.zeros(1000), 8000)
+        assert f["rms"] == 0.0 and f["spectral_centroid_hz"] == 0.0
+        f0 = audio_features(np.zeros(0), 8000)
+        assert f0["duration_s"] == 0.0
+
+    def test_stage_over_dataset(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.stages.multimodal import (
+            AudioFeatureExtractor,
+            encode_wav,
+        )
+
+        clips = []
+        for freq in (220.0, 880.0):
+            x, sr = self._sine(freq)
+            clips.append(encode_wav((x * 32767).astype(np.int16), sr))
+        clips.append(b"not a wav")
+        t = pa.table({"clip_id": pa.array([1, 2, 3], pa.int64()),
+                      "media": pa.array(clips, pa.binary())})
+        out = rd.from_arrow(t).map_batches(
+            AudioFeatureExtractor(), batch_format="pyarrow").to_pandas()
+        out = out.set_index("clip_id")
+        assert abs(out.loc[1, "zcr_hz"] - 440.0) < 5
+        assert abs(out.loc[2, "zcr_hz"] - 1760.0) < 10
+        assert out.loc[3, ["rms"]].isna().all()  # bad payload -> nulls
