@@ -406,3 +406,57 @@ class AudioFeatureExtractor:
         for k, v in rows.items():
             batch = batch.append_column(k, pa.array(v, pa.float64()))
         return batch
+
+
+def image_features(pixels: np.ndarray) -> dict:
+    """Deterministic image features of one decoded (H, W[, C]) tensor
+    (the image feature-extract stage): per-image mean/std luminance,
+    Sobel edge density, 8-bit entropy, aspect ratio. Closed-form
+    testable (flat image → std 0, entropy 0; checkerboard → max edge
+    density)."""
+    x = np.asarray(pixels, dtype=np.float64)
+    if x.ndim == 3:
+        x = x.mean(axis=2)  # luminance
+    h, w = x.shape
+    mean = float(x.mean())
+    std = float(x.std())
+    gx = np.abs(np.diff(x, axis=1)).sum()
+    gy = np.abs(np.diff(x, axis=0)).sum()
+    # normalized edge density: mean absolute neighbor difference / 255
+    n_pairs = h * (w - 1) + (h - 1) * w
+    edge = float((gx + gy) / max(1, n_pairs) / 255.0)
+    hist = np.bincount(np.clip(x, 0, 255).astype(np.uint8).ravel(),
+                       minlength=256).astype(np.float64)
+    p = hist / hist.sum()
+    nz = p > 0
+    entropy = float(-(p[nz] * np.log2(p[nz])).sum())
+    return {"img_mean": mean, "img_std": std, "edge_density": edge,
+            "entropy_bits": entropy, "aspect": w / h}
+
+
+class ImageFeatureExtractor:
+    """``map_batches`` stage over a DECODED pixel column (compose
+    after any ImageDecoder); adds the image_features columns, nulls
+    for undecodable rows."""
+
+    def __init__(self, pixels_col: str = "pixels"):
+        self.pixels_col = pixels_col
+        self.shape_col = f"{pixels_col}_shape"
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        keys = ("img_mean", "img_std", "edge_density",
+                "entropy_bits", "aspect")
+        rows = {k: [] for k in keys}
+        for i in range(batch.num_rows):
+            try:
+                buf = batch[self.pixels_col][i].as_py()
+                shape = tuple(batch[self.shape_col][i].as_py())
+                arr = np.frombuffer(buf, dtype=np.uint8).reshape(shape)
+                feats = image_features(arr)
+            except Exception:
+                feats = {k: None for k in keys}
+            for k in keys:
+                rows[k].append(feats[k])
+        for k, v in rows.items():
+            batch = batch.append_column(k, pa.array(v, pa.float64()))
+        return batch

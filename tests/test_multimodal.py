@@ -321,3 +321,50 @@ class TestAudioFeatures:
         assert abs(out.loc[1, "zcr_hz"] - 440.0) < 5
         assert abs(out.loc[2, "zcr_hz"] - 1760.0) < 10
         assert out.loc[3, ["rms"]].isna().all()  # bad payload -> nulls
+
+
+class TestImageFeatures:
+    """image_features closed forms + the decoded-column stage."""
+
+    def test_closed_forms(self):
+        import numpy as np
+
+        from gdal_ray.stages.multimodal import image_features
+
+        flat = np.full((8, 8), 100, np.uint8)
+        f = image_features(flat)
+        assert f["img_std"] == 0.0 and f["edge_density"] == 0.0
+        assert abs(f["entropy_bits"]) < 1e-12
+        cb = (np.indices((8, 8)).sum(0) % 2 * 255).astype(np.uint8)
+        f2 = image_features(cb)
+        assert f2["edge_density"] == 1.0      # every neighbor flips
+        assert abs(f2["entropy_bits"] - 1.0) < 1e-12  # two equal bins
+        wide = np.zeros((4, 16), np.uint8)
+        assert image_features(wide)["aspect"] == 4.0
+
+    def test_stage_after_png_decode(self, ray_session):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray.raster import png as pngmod
+        from gdal_ray.stages.multimodal import (
+            ImageFeatureExtractor,
+            PngImageDecoder,
+        )
+
+        flat = np.full((8, 8, 3), 7, np.uint8)
+        rng = np.random.default_rng(2)
+        noisy = rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+        t = pa.table({
+            "img_id": pa.array([1, 2], pa.int64()),
+            "media": pa.array([pngmod.encode_png(flat),
+                               pngmod.encode_png(noisy)], pa.binary()),
+        })
+        out = rd.from_arrow(t) \
+            .map_batches(PngImageDecoder(), batch_format="pyarrow") \
+            .map_batches(ImageFeatureExtractor(),
+                         batch_format="pyarrow").to_pandas() \
+            .set_index("img_id")
+        assert out.loc[1, "img_std"] == 0.0
+        assert out.loc[2, "entropy_bits"] > 5.0  # near-uniform noise
