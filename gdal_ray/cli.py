@@ -862,7 +862,15 @@ def main(argv=None) -> int:
         print(
             "usage: python -m gdal_ray.cli vector pipeline \"read ... ! ... \"\n"
             "       python -m gdal_ray.cli vector info PATH\n"
-            "       python -m gdal_ray.cli raster info PATH",
+            "       python -m gdal_ray.cli vector convert SRC DST [--layer L]\n"
+            "       python -m gdal_ray.cli raster info PATH\n"
+            "       python -m gdal_ray.cli raster translate|warp|cog SRC DST ...\n"
+            "       python -m gdal_ray.cli raster buildvrt OUT.vrt SRC...\n"
+            "       python -m gdal_ray.cli raster dem MODE SRC DST ...\n"
+            "       python -m gdal_ray.cli raster contour|polygonize SRC DST ...\n"
+            "       python -m gdal_ray.cli raster calc EXPR DST -A a.tif ...\n"
+            "       python -m gdal_ray.cli raster rasterize|proximity SRC DST ...\n"
+            "       python -m gdal_ray.cli raster tile SRC DST --zmin Z --zmax Z",
             file=sys.stderr,
         )
         return 2
