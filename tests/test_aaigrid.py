@@ -84,3 +84,21 @@ class TestCLI:
         want = np.degrees(np.arctan(0.3))
         np.testing.assert_allclose(g["bands"][0][1:-1, 1:-1], want,
                                    rtol=1e-6)
+
+
+class TestFuzzRoundtrip:
+    """Hypothesis: arbitrary grids survive the ASCII roundtrip."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    @settings(max_examples=30, deadline=None)
+    @given(hnp.arrays(np.int32, hnp.array_shapes(min_dims=2, max_dims=2,
+                                                 min_side=1, max_side=12),
+                      elements=st.integers(-10**6, 10**6)))
+    def test_int_grids(self, arr):
+        gt = (3.0, 0.5, 0.0, 9.0, 0.0, -0.5)
+        g = decode_aaigrid(encode_aaigrid(arr, gt))
+        np.testing.assert_array_equal(g["bands"][0], arr)
+        assert g["geotransform"] == gt

@@ -61,3 +61,16 @@ class TestTransmittalHeader:
         g = read_dted(f"{DATA}/dted/w118n033_trunc.dt1")
         assert g["bands"][0].shape[1] > 0
         assert g["crs"] == "EPSG:4326"
+
+
+class TestFuzzRoundtrip:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    @settings(max_examples=30, deadline=None)
+    @given(hnp.arrays(np.int16, (9, 6),
+                      elements=st.integers(-32767, 32767)))
+    def test_sign_magnitude_values(self, arr):
+        rt = decode_dted(encode_dted(arr, -10.0, 40.0, 30.0))
+        np.testing.assert_array_equal(rt["bands"][0], arr)

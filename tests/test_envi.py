@@ -100,3 +100,23 @@ class TestEHdr:
         g = load_raster(
             "/root/reference/autotest/gdrivers/data/ehdr/ehdr11.flt")
         assert checksum_array(g["bands"][0]) == 8202
+
+
+class TestFuzzRoundtrip:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    import hypothesis.extra.numpy as hnp
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        hnp.arrays(np.int16, (5, 7),
+                   elements=st.integers(-32768, 32767)),
+        st.sampled_from(["bsq", "bil", "bip"]),
+    )
+    def test_int16_any_interleave(self, tmp_path_factory, arr,
+                                  interleave):
+        p = str(tmp_path_factory.mktemp("envi") / "f.img")
+        write_envi(p, [arr, arr[::-1]], interleave=interleave)
+        g = read_envi(p)
+        np.testing.assert_array_equal(g["bands"][0], arr)
+        np.testing.assert_array_equal(g["bands"][1], arr[::-1])
