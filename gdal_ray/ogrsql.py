@@ -136,6 +136,12 @@ class IsNullExpr:
     negated: bool = False
 
 
+@dataclass
+class CaseExpr:
+    whens: list  # (condition expr, result expr)
+    default: object = None
+
+
 _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "STDDEV_POP",
               "STDDEV_SAMP"}
 _SCALAR_FUNCS = {"UPPER", "LOWER", "SUBSTR", "CONCAT", "LENGTH", "ABS", "ROUND"}
@@ -283,6 +289,38 @@ class _Parser:
                 self.expect("op", ")")
             self.expect("op", ")")
             return CastExpr(e, typ)
+        if t[0] in ("name", "kw") and t[1].upper() == "CASE":
+            # searched CASE (WHEN cond THEN ...) and simple CASE
+            # (CASE x WHEN v THEN ... — desugared to x = v)
+            self.next()
+
+            def word(w):
+                n = self.peek()
+                return n[0] in ("name", "kw") and n[1].upper() == w
+
+            operand = None
+            if not word("WHEN"):
+                operand = self.parse_expr()
+            whens = []
+            while word("WHEN"):
+                self.next()
+                cond = self.parse_expr()
+                if operand is not None:
+                    cond = Bin("=", operand, cond)
+                n = self.next()
+                if n[1].upper() != "THEN":
+                    raise ValueError(f"CASE: expected THEN, got {n}")
+                whens.append((cond, self.parse_expr()))
+            default = None
+            if word("ELSE"):
+                self.next()
+                default = self.parse_expr()
+            n = self.next()
+            if n[1].upper() != "END":
+                raise ValueError(f"CASE: expected END, got {n}")
+            if not whens:
+                raise ValueError("CASE needs at least one WHEN")
+            return CaseExpr(whens, default)
         if t[0] == "name":
             name = self.next()[1]
             if self.peek() == ("op", ".") and self.toks[self.i + 1][0] == "name":
@@ -524,11 +562,32 @@ def eval_expr(node, batch: pa.Table):
         v = eval_expr(node.operand, batch)
         res = pc.is_null(v)
         return pc.invert(res) if node.negated else res
+    if isinstance(node, CaseExpr):
+        # right-fold pc.if_else: later WHENs nest inside earlier ones
+        acc = (eval_expr(node.default, batch)
+               if node.default is not None else None)
+        for cond, res in reversed(node.whens):
+            # SQL: an UNKNOWN (null) condition does not match
+            c = pc.fill_null(eval_expr(cond, batch), False)
+            r = eval_expr(res, batch)
+            if acc is None:
+                rtype = r.type if hasattr(r, "type") else None
+                acc = pa.scalar(None, rtype) if rtype else pa.scalar(None)
+            acc = pc.if_else(c, r, acc)
+        return acc
     if isinstance(node, Func):
         fn = node.name
         if fn in _AGG_FUNCS:
             raise ValueError("aggregate in row context")
         args = [eval_expr(a, batch) for a in node.args]
+        if fn == "COALESCE":
+            return pc.coalesce(*args)
+        if fn == "NULLIF":
+            eq = pc.equal(args[0], args[1])
+            atype = args[0].type if hasattr(args[0], "type") else None
+            return pc.if_else(
+                eq, pa.scalar(None, atype) if atype else pa.scalar(None),
+                args[0])
         if fn == "UPPER":
             return pc.utf8_upper(args[0])
         if fn == "LOWER":

@@ -410,3 +410,53 @@ class TestSTTransform:
         expect = [10, 40, 20, 40, 20, 50, 10, 50, 10, 40]
         for got, exp in zip(nums, expect):
             assert abs(got - exp) < 1e-9
+
+
+class TestCaseCoalesce:
+    """CASE WHEN / COALESCE / NULLIF — value-checked against DuckDB."""
+
+    def _t(self):
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10.0, None, 30.0, 40.0]),
+            "tag": pa.array(["a", "b", None, "a"]),
+        })), pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int64()),
+            "v": pa.array([10.0, None, 30.0, 40.0]),
+            "tag": pa.array(["a", "b", None, "a"]),
+        })
+
+    def test_vs_duckdb(self, ray_session):
+        import duckdb
+
+        from gdal_ray import ogrsql
+
+        ds, tbl = self._t()
+        sql = ("SELECT id, "
+               "CASE WHEN v >= 30 THEN 'big' WHEN v >= 10 THEN 'small' "
+               "ELSE 'none' END AS bucket, "
+               "CASE tag WHEN 'a' THEN 1 ELSE 0 END AS is_a, "
+               "COALESCE(v, 0.0) AS v0, "
+               "NULLIF(tag, 'b') AS tag_nb "
+               "FROM t")
+        got = ogrsql.execute(sql, {"t": ds}).to_pandas() \
+            .sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(sql).fetchdf()
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_case_in_where(self, ray_session):
+        from gdal_ray import ogrsql
+
+        ds, _ = self._t()
+        out = ogrsql.execute(
+            "SELECT id FROM t WHERE "
+            "CASE WHEN tag = 'a' THEN 1 ELSE 0 END = 1",
+            {"t": ds}).to_pandas()
+        assert sorted(out["id"]) == [1, 4]
