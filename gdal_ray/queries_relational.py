@@ -379,12 +379,32 @@ def q_dedup_exact(sf_dir: str):
     from gdal_ray.stages.text import fingerprint64
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    fp = ds.map_batches(fingerprint64, batch_format="pyarrow").select_columns(
-        ["doc_id", "fingerprint"]
-    )
-    return fp.groupby("fingerprint", num_partitions=8).aggregate(
-        Min("doc_id", alias_name="keep_doc_id")
-    ).select_columns(["keep_doc_id"])
+
+    # per-batch partial min + coarse hash(fp)%8 co-partition: ~8
+    # vectorized pandas combines instead of a per-key sort-based
+    # aggregate; integer MIN is order-independent, so exactness is
+    # unconditional
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        t = fingerprint64(t)
+        g = t.select(["fingerprint", "doc_id"]).group_by(
+            "fingerprint").aggregate([("doc_id", "min")])
+        g = g.rename_columns(["fingerprint", "doc_id"])
+        h = pd.util.hash_pandas_object(
+            g["fingerprint"].to_pandas(), index=False).to_numpy()
+        return g.append_column(
+            "__part", pa.array((h % 8).astype("int64")))
+
+    parts = ds.map_batches(partial, batch_format="pyarrow")
+
+    def combine(g):
+        out = g.groupby("fingerprint", sort=False)["doc_id"].min() \
+            .reset_index(name="keep_doc_id")
+        return out[["keep_doc_id"]]
+
+    return parts.groupby("__part", num_partitions=8).map_groups(
+        combine, batch_format="pandas")
 
 
 SQL_DEDUP_EXACT = """
