@@ -119,6 +119,10 @@ def load_raster(path: str) -> dict:
         return read_vrt_array(path)
     if low.endswith((".asc", ".grd")):
         return read_aaigrid(path)
+    if low.endswith(".xyz"):
+        from gdal_ray.vsi import vsi_read_bytes
+
+        return decode_xyz(vsi_read_bytes(path))
     if low.endswith((".img", ".dat")):
         from gdal_ray.raster.envi import read_envi
 
@@ -135,3 +139,68 @@ def load_raster(path: str) -> dict:
     from gdal_ray.vsi import vsi_read_bytes
 
     return decode_geotiff(vsi_read_bytes(path))
+
+
+# ---------------------------------------------------------------------------
+# XYZ — ASCII "x y z" grid (frmts/xyz role)
+
+
+def decode_xyz(data: bytes | str) -> dict:
+    """Whitespace/comma/semicolon-separated x y z lines → raster.
+    The grid must be regular (the reference driver's contract);
+    row/column order is inferred, not assumed. Values at cell
+    CENTERS — corner geotransform is shifted by half a cell."""
+    text = data.decode("ascii", "ignore") if isinstance(
+        data, (bytes, bytearray)) else data
+    xs, ys, zs = [], [], []
+    for line in text.splitlines():
+        line = line.replace(",", " ").replace(";", " ").strip()
+        if not line:
+            continue
+        parts = line.split()
+        try:
+            x, y, z = float(parts[0]), float(parts[1]), float(parts[2])
+        except (ValueError, IndexError):
+            continue  # header line
+        xs.append(x)
+        ys.append(y)
+        zs.append(z)
+    x = np.asarray(xs)
+    y = np.asarray(ys)
+    z = np.asarray(zs)
+    ux = np.unique(x)
+    uy = np.unique(y)
+    w, h = len(ux), len(uy)
+    if w * h != len(z):
+        raise ValueError(
+            f"XYZ: irregular grid ({w}x{h} != {len(z)} points)")
+    dx = float(np.diff(ux).mean()) if w > 1 else 1.0
+    dy = float(np.diff(uy).mean()) if h > 1 else 1.0
+    if w > 1 and not np.allclose(np.diff(ux), dx, rtol=1e-6):
+        raise ValueError("XYZ: non-uniform x spacing")
+    col = np.searchsorted(ux, x)
+    row = np.searchsorted(uy, y)
+    arr = np.full((h, w), np.nan)
+    arr[h - 1 - row, col] = z  # row 0 = north
+    if np.all(np.isfinite(arr)) and np.all(arr == np.rint(arr)) and \
+            np.abs(arr).max() < 2**31:
+        arr = arr.astype(np.int32)
+    gt = (float(ux[0]) - dx / 2.0, dx, 0.0,
+          float(uy[-1]) + dy / 2.0, 0.0, -dy)
+    return {"bands": [arr], "crs": "", "geotransform": gt,
+            "nodata": None}
+
+
+def encode_xyz(arr: np.ndarray, gt) -> bytes:
+    """Grid → x y z lines at cell centers, row-major from the north
+    (the reference writer's order)."""
+    h, w = arr.shape
+    lines = []
+    for r in range(h):
+        yc = gt[3] + (r + 0.5) * gt[5]
+        for c in range(w):
+            xc = gt[0] + (c + 0.5) * gt[1]
+            v = arr[r, c]
+            vs = str(int(v)) if float(v).is_integer() else repr(float(v))
+            lines.append(f"{xc!r} {yc!r} {vs}")
+    return ("\n".join(lines) + "\n").encode("ascii")

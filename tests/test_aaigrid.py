@@ -102,3 +102,33 @@ class TestFuzzRoundtrip:
         g = decode_aaigrid(encode_aaigrid(arr, gt))
         np.testing.assert_array_equal(g["bands"][0], arr)
         assert g["geotransform"] == gt
+
+
+class TestXYZ:
+    """XYZ ASCII grid (frmts/xyz role): byte.tif cross-driver
+    checksum pin (the reference's test_xyz_1 CreateCopy contract) +
+    geotransform recovery."""
+
+    def test_byte_tif_roundtrip(self):
+        from gdal_ray.raster.aaigrid import decode_xyz, encode_xyz
+        from gdal_ray.raster.gtiff import decode_geotiff
+
+        g = decode_geotiff(open(
+            "/root/reference/autotest/gcore/data/byte.tif", "rb").read())
+        rt = decode_xyz(encode_xyz(g["bands"][0], g["geotransform"]))
+        assert checksum_array(rt["bands"][0]) == 4672
+        np.testing.assert_allclose(rt["geotransform"],
+                                   g["geotransform"])
+
+    def test_irregular_grid_rejected(self):
+        from gdal_ray.raster.aaigrid import decode_xyz
+
+        with pytest.raises(ValueError):
+            decode_xyz("0 0 1\n1 0 2\n0 1 3\n")  # 2x2 minus a corner
+
+    def test_header_lines_skipped(self):
+        from gdal_ray.raster.aaigrid import decode_xyz
+
+        g = decode_xyz("X Y Z\n0 0 5\n1 0 6\n0 1 7\n1 1 8\n")
+        np.testing.assert_array_equal(g["bands"][0],
+                                      [[7, 8], [5, 6]])
