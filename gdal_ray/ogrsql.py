@@ -609,6 +609,51 @@ def eval_expr(node, batch: pa.Table):
         if fn == "ROUND":
             nd = int(node.args[1].value) if len(node.args) > 1 else 0
             return pc.round(args[0], nd)
+        if fn == "SQRT":
+            return pc.sqrt(args[0])
+        if fn in ("POW", "POWER"):
+            return pc.power(args[0], args[1])
+        if fn == "EXP":
+            return pc.exp(args[0])
+        if fn in ("LN", "LOG"):
+            return pc.ln(args[0])
+        if fn == "LOG10":
+            return pc.log10(args[0])
+        if fn == "SIN":
+            return pc.sin(args[0])
+        if fn == "COS":
+            return pc.cos(args[0])
+        if fn == "TAN":
+            return pc.tan(args[0])
+        if fn == "ATAN":
+            return pc.atan(args[0])
+        if fn == "ATAN2":
+            return pc.atan2(args[0], args[1])
+        if fn == "FLOOR":
+            return pc.floor(args[0])
+        if fn in ("CEIL", "CEILING"):
+            return pc.ceil(args[0])
+        if fn == "SIGN":
+            return pc.sign(args[0])
+        if fn == "MOD":
+            q = pc.floor(pc.divide(pc.cast(args[0], pa.float64()),
+                                   pc.cast(args[1], pa.float64())))
+            return pc.subtract(
+                pc.cast(args[0], pa.float64()),
+                pc.multiply(q, pc.cast(args[1], pa.float64())))
+        if fn == "PI":
+            import math
+
+            return pa.scalar(math.pi)
+        if fn == "TRIM":
+            return pc.utf8_trim_whitespace(args[0])
+        if fn == "LTRIM":
+            return pc.utf8_ltrim_whitespace(args[0])
+        if fn == "RTRIM":
+            return pc.utf8_rtrim_whitespace(args[0])
+        if fn == "REPLACE":
+            return pc.replace_substring(
+                args[0], node.args[1].value, node.args[2].value)
         if fn == "HSTORE_GET_VALUE":
             # reference swq HSTORE_GET_VALUE: 'k=>v, ...' lookup,
             # NULL when the key is absent (ogr/swq_op_general.cpp)

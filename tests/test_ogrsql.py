@@ -460,3 +460,33 @@ class TestCaseCoalesce:
             "CASE WHEN tag = 'a' THEN 1 ELSE 0 END = 1",
             {"t": ds}).to_pandas()
         assert sorted(out["id"]) == [1, 4]
+
+
+class TestMathStringFuncs:
+    """SQLite-dialect-style scalar functions — DuckDB value parity."""
+
+    def test_vs_duckdb(self, ray_session):
+        import duckdb
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray import ogrsql
+
+        tbl = pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "v": pa.array([4.0, 9.0, 2.25]),
+            "s": pa.array(["  pad  ", "a-b-a", "xyz"]),
+        })
+        sql = ("SELECT id, SQRT(v) AS r, POWER(v, 2) AS p, "
+               "FLOOR(v) AS fl, CEIL(v) AS ce, SIGN(v - 5) AS sg, "
+               "MOD(CAST(v AS INTEGER), 2) AS m, "
+               "ROUND(SIN(v) + COS(v) + ATAN2(v, 2.0), 9) AS trig, "
+               "TRIM(s) AS st, REPLACE(s, '-', '_') AS sr "
+               "FROM t")
+        got = ogrsql.execute(sql, {"t": rd.from_arrow(tbl)}) \
+            .to_pandas().sort_values("id").reset_index(drop=True)
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(sql).fetchdf()
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
