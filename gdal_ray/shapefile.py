@@ -323,3 +323,160 @@ def read_shapefile(paths, geom_col: str = "geometry"):
         return pa.concat_tables(tables, promote_options="default")
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# writer (.shp + .shx + .dbf) — XY Point/PolyLine/Polygon/MultiPoint
+
+
+_WRITE_CODES = {"point": 1, "line": 3, "polygon": 5, "multipoint": 8}
+
+
+def _shape_record(geom: bytes | None):
+    """WKB → (shape type code, record body bytes) in XY."""
+    if geom is None:
+        return SHAPE_NULL, b""
+    g = W.parse(geom)
+    t = g["type"]
+
+    def bbox(pts: np.ndarray) -> bytes:
+        return struct.pack("<4d", pts[:, 0].min(), pts[:, 1].min(),
+                           pts[:, 0].max(), pts[:, 1].max())
+
+    if t == W.POINT:
+        c = g["coords"][0]
+        return 1, struct.pack("<2d", float(c[0]), float(c[1]))
+    if t in (W.LINESTRING, W.MULTILINESTRING):
+        parts = ([g["coords"]] if t == W.LINESTRING
+                 else [p["coords"] for p in g["parts"]])
+        return 3, _poly_body(parts)
+    if t in (W.POLYGON, W.MULTIPOLYGON):
+        rings: list[np.ndarray] = []
+        polys = [g] if t == W.POLYGON else g["parts"]
+        for p in polys:
+            for i, r in enumerate(p["rings"]):
+                r = np.asarray(r, dtype=np.float64)
+                # spec winding: CW outer, CCW holes
+                cw = _ring_is_cw(r)
+                if (i == 0 and not cw) or (i > 0 and cw):
+                    r = r[::-1]
+                rings.append(r)
+        return 5, _poly_body(rings)
+    if t == W.MULTIPOINT:
+        pts = np.vstack([p["coords"] for p in g["parts"]])
+        body = bbox(pts) + struct.pack("<i", len(pts))
+        body += np.ascontiguousarray(pts[:, :2]).tobytes()
+        return 8, body
+    raise ValueError(f"shapefile writer: unsupported WKB type {t}")
+
+
+def _poly_body(parts: list[np.ndarray]) -> bytes:
+    allp = np.vstack(parts)
+    body = struct.pack("<4d", allp[:, 0].min(), allp[:, 1].min(),
+                       allp[:, 0].max(), allp[:, 1].max())
+    body += struct.pack("<2i", len(parts), sum(len(p) for p in parts))
+    off = 0
+    for p in parts:
+        body += struct.pack("<i", off)
+        off += len(p)
+    for p in parts:
+        body += np.ascontiguousarray(
+            np.asarray(p, np.float64)[:, :2]).tobytes()
+    return body
+
+
+def write_shapefile(table: pa.Table, shp_path: str,
+                    geom_col: str = "geometry",
+                    crs_wkt: str | None = None) -> None:
+    """pa.Table → .shp/.shx/.dbf triple (+ .prj when crs_wkt given).
+    Attribute mapping: int → N(18), float → N(24,9) fixed-point text,
+    string → C(254); the dBASE III layout the reader parses."""
+    import os
+
+    geoms = table[geom_col].to_pylist()
+    recs = [_shape_record(g) for g in geoms]
+    codes = {c for c, _b in recs if c != SHAPE_NULL}
+    if len(codes) > 1:
+        raise ValueError(f"mixed shape types {codes} in one shapefile")
+    shp_type = codes.pop() if codes else 1
+
+    # --- .shp + .shx
+    shp_body = bytearray()
+    shx_body = bytearray()
+    minx = miny = np.inf
+    maxx = maxy = -np.inf
+    for i, (code, body) in enumerate(recs):
+        content = struct.pack("<i", code) + body
+        off_words = (100 + len(shp_body)) // 2
+        shx_body += struct.pack(">2i", off_words, len(content) // 2)
+        shp_body += struct.pack(">2i", i + 1, len(content) // 2)
+        shp_body += content
+        if code in (3, 5, 8):
+            bx = struct.unpack("<4d", body[:32])
+            minx, miny = min(minx, bx[0]), min(miny, bx[1])
+            maxx, maxy = max(maxx, bx[2]), max(maxy, bx[3])
+        elif code == 1:
+            x, y = struct.unpack("<2d", body)
+            minx, miny = min(minx, x), min(miny, y)
+            maxx, maxy = max(maxx, x), max(maxy, y)
+    if not np.isfinite(minx):
+        minx = miny = maxx = maxy = 0.0
+
+    def header(total_words: int) -> bytes:
+        h = struct.pack(">i", 9994) + b"\0" * 20
+        h += struct.pack(">i", total_words)
+        h += struct.pack("<2i", 1000, shp_type)
+        h += struct.pack("<4d", minx, miny, maxx, maxy)
+        h += struct.pack("<4d", 0, 0, 0, 0)  # Z/M ranges
+        return h
+
+    from gdal_ray.vsi import vsi_write_bytes
+
+    vsi_write_bytes(shp_path,
+                    header((100 + len(shp_body)) // 2) + bytes(shp_body))
+    base = os.path.splitext(shp_path)[0]
+    vsi_write_bytes(base + ".shx",
+                    header((100 + len(shx_body)) // 2) + bytes(shx_body))
+
+    # --- .dbf (dBASE III)
+    fields = []
+    for name in table.column_names:
+        if name == geom_col:
+            continue
+        col = table[name]
+        if pa.types.is_integer(col.type):
+            fields.append((name[:10], b"N", 18, 0))
+        elif pa.types.is_floating(col.type):
+            fields.append((name[:10], b"N", 24, 9))
+        else:
+            fields.append((name[:10], b"C", 254, 0))
+    n = table.num_rows
+    hdr_len = 32 + 32 * len(fields) + 1
+    rec_len = 1 + sum(f[2] for f in fields)
+    dbf = bytearray()
+    dbf += struct.pack("<B3BIHH20x", 3, 24, 1, 1, n, hdr_len, rec_len)
+    for name, typ, length, dec in fields:
+        fd = bytearray(32)
+        fd[0:len(name.encode())] = name.encode()[:10]
+        fd[11] = typ[0]
+        fd[16] = length
+        fd[17] = dec
+        dbf += fd
+    dbf += b"\x0d"
+    for i in range(n):
+        dbf += b" "
+        for (name, typ, length, dec) in fields:
+            v = table[name][i].as_py()
+            if v is None:
+                s = b" " * length
+            elif typ == b"N":
+                txt = (f"{v:.{dec}f}" if dec else str(int(v)))
+                s = txt.rjust(length).encode("ascii")[:length]
+            else:
+                s = str(v).encode("utf-8", "replace")[:length].ljust(
+                    length)
+            dbf += s
+    dbf += b"\x1a"
+    vsi_write_bytes(base + ".dbf", bytes(dbf))
+    if crs_wkt:
+        vsi_write_bytes(base + ".prj", crs_wkt.encode())
