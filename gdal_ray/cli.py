@@ -278,6 +278,14 @@ def run_pipeline(spec: str):
             tbl = pa.concat_tables(
                 ds.iter_batches(batch_format="pyarrow", batch_size=None))
             flatgeobuf.write_flatgeobuf(tbl, arg)
+        elif low.endswith(".shp"):
+            import pyarrow as pa
+
+            from gdal_ray import shapefile
+
+            tbl = pa.concat_tables(
+                ds.iter_batches(batch_format="pyarrow", batch_size=None))
+            shapefile.write_shapefile(tbl, arg)
         elif low.endswith((".arrow", ".feather")):
             from gdal_ray import arrowipc
 
