@@ -33,8 +33,9 @@ def curate(
 ):
     """documents → synthesized pages (url/warc_ts/html) → curated
     corpus. Returns (Dataset, ledger dict). ``count_stages=False``
-    skips the per-stage ``count()`` materializations (pure streaming —
-    the production mode; counts are for tests/audit)."""
+    skips the per-stage ``count()`` calls (each count re-executes the
+    lazy lineage prefix — audit/tests only; production streams once).
+    """
     from gdal_ray.pipelines import flagship
     from gdal_ray.stages.decontam import (
         build_contamination_index,

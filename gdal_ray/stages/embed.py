@@ -1,17 +1,21 @@
-"""Embedding similarity search: brute-force cosine top-k (exact
-baseline) + LSH-bucketed variant (scale path).
+"""Embedding operators: similarity search, clustering, semantic dedup.
 
-Shapes:
-- ``cosine_topk``: query matrix broadcast via ``ray.put``; each batch
-  computes a (B×Q) normalized dot (numpy matmul), emits per-query
-  LOCAL top-k rows, then ``groupby(query_id).map_groups`` merges to
-  the global top-k — total shuffle = O(#batches · Q · k) rows, never
-  the full corpus.
-- ``SignLSHIndexer``: random-hyperplane 32-bit signatures as a bucket
-  column; candidate search restricted to matching buckets (IVF-style
-  scale path; exactness traded for bucket recall — documented).
-- ``embedding_near_dups``: near-duplicate vectors by cosine ≥ t via
-  LSH band buckets + exact verify.
+The ANN family (all merge through one deterministic top-k reducer):
+- ``cosine_topk`` — exact baseline: queries broadcast via ``ray.put``,
+  per-batch (B×Q) matmul, per-query local top-k, groupby merge —
+  shuffle is O(#batches · Q · k) rows, never the corpus.
+- ``bucketed_cosine_topk`` — sign-LSH single-probe buckets.
+- ``ivf_topk`` — inverted file: bounded-sample spherical k-means,
+  nprobe-cell masked scan.
+- ``pq_topk`` — product quantization: broadcast ADC tables, m lookups
+  per vector, exact re-rank of the shortlist (IVFADC+R).
+
+Dedup / clustering:
+- ``embedding_near_dups`` — banded LSH candidates + exact verify.
+- ``kmeans_dataset`` — full-corpus Lloyd via streamed per-centroid
+  partial sums (no row shuffle).
+- ``semdedup`` — cluster-then-prune semantic dedup (within-cluster
+  cosine, lowest id survives).
 """
 
 from __future__ import annotations
