@@ -214,7 +214,8 @@ def _parse_header(h: bytes) -> dict:
 
 def write_pmtiles(path: str, tiles, tile_type: int = TYPE_PNG,
                   metadata: bytes = b"{}",
-                  max_root_entries: int = 16384) -> dict:
+                  max_root_entries: int = 16384,
+                  tile_compression: int = COMP_NONE) -> dict:
     """Write an archive from ``tiles``: an iterable of
     ``(z, x, y, bytes)`` OR a ``ray.data.Dataset`` with columns
     ``z, x, y, data``. A Dataset is sorted by tile id DISTRIBUTED and
@@ -255,6 +256,8 @@ def write_pmtiles(path: str, tiles, tile_type: int = TYPE_PNG,
             n_addressed += 1
             z = tileid_to_zxy(tid)[0]
             zmin, zmax = min(zmin, z), max(zmax, z)
+            if tile_compression == COMP_GZIP:
+                data = gzip.compress(data, mtime=0)
             hkey = hashlib.sha1(data).digest()
             if hkey in by_hash:
                 off, ln = by_hash[hkey]
@@ -300,7 +303,7 @@ def write_pmtiles(path: str, tiles, tile_type: int = TYPE_PNG,
         "data_off": data_off, "data_len": data_len,
         "n_addressed": n_addressed, "n_entries": len(entries),
         "n_contents": len(by_hash),
-        "tile_type": tile_type, "tile_compression": COMP_NONE,
+        "tile_type": tile_type, "tile_compression": tile_compression,
         "min_zoom": zmin if n_addressed else 0,
         "max_zoom": zmax if n_addressed else 0,
     })
@@ -381,7 +384,10 @@ class PMTilesReader:
             e = self._find(self._leaf_cache[e[1]], tid)
             if e is None or e[3] == 0:
                 return None
-        return self._pread(self.header["data_off"] + e[1], e[2])
+        data = self._pread(self.header["data_off"] + e[1], e[2])
+        if self.header["tile_compression"] == COMP_GZIP:
+            data = gzip.decompress(data)
+        return data
 
     def entries(self) -> list[tuple[int, int, int, int]]:
         """Flattened (tile_id, offset, length, run) tile entries."""
@@ -406,12 +412,16 @@ def read_pmtiles(path: str):
     ents = [{"tid": e[0], "off": e[1], "len": e[2], "run": e[3]}
             for e in r.entries()]
 
+    comp = r.header["tile_compression"]
+
     def fetch(batch: pa.Table) -> pa.Table:
         rows = []
         with open(path, "rb") as f:
             for e in batch.to_pylist():
                 f.seek(data_off + e["off"])
                 data = f.read(e["len"])
+                if comp == COMP_GZIP:
+                    data = gzip.decompress(data)
                 for k in range(e["run"]):
                     z, x, y = tileid_to_zxy(e["tid"] + k)
                     rows.append({"z": z, "x": x, "y": y, "data": data})

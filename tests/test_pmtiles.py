@@ -147,3 +147,22 @@ class TestPyramidSink:
         data = r.get_tile(1, 0, 0)
         img = pngmod.decode_png(data)
         assert img.shape[2] == 4 and img.shape[0] == 256
+
+
+class TestTileCompression:
+    def test_gzip_tiles_roundtrip(self, tmp_path, ray_session):
+        from gdal_ray.pmtiles import COMP_GZIP
+
+        tiles = [(z, x, y, f"t{z}{x}{y}".encode() * 50)
+                 for z in range(2) for x in range(1 << z)
+                 for y in range(1 << z)]
+        p = str(tmp_path / "gz.pmtiles")
+        write_pmtiles(p, tiles, tile_compression=COMP_GZIP)
+        r = PMTilesReader(p)
+        assert r.header["tile_compression"] == COMP_GZIP
+        for z, x, y, data in tiles:
+            assert r.get_tile(z, x, y) == data
+        got = read_pmtiles(p).to_pandas()
+        want = {(z, x, y): d for z, x, y, d in tiles}
+        for _, row in got.iterrows():
+            assert want[(row["z"], row["x"], row["y"])] == row["data"]
