@@ -720,3 +720,57 @@ def write_osm_pbf(path: str, elements: dict, compress: bool = True,
             part[kind].append(e)
         chunks.append(blob("OSMData", _encode_block(part, granularity)))
     vsi_write_bytes(path, b"".join(chunks))
+
+
+def assemble_way_geometries(elements):
+    """Distributed way GEOMETRIES: the line assembly above, joined
+    back to the way tag table so closed ways satisfying the
+    closed-ways-are-polygons rule emit POLYGON WKB (everything else
+    LINESTRING). All Dataset ops — explode/join/regroup + one more
+    hash join on way id; no node table on any single machine."""
+    import pyarrow.compute as _pc
+
+    lines = assemble_way_lines(elements)
+
+    def way_meta(t: pa.Table) -> pa.Table:
+        rows = []
+        for r in t.to_pylist():
+            if r["kind"] != 1:
+                continue
+            refs = r["refs"]
+            tags = dict(zip(r["tag_keys"], r["tag_vals"]))
+            closed = len(refs) >= 4 and refs[0] == refs[-1]
+            is_area = closed and (
+                tags.get("area") == "yes"
+                or tags.get("highway") == "platform"
+                or tags.get("public_transport") == "platform"
+                or any(k in _CLOSED_WAY_POLY_KEYS for k in tags)
+            )
+            rows.append({"osm_id": r["id"], "is_area": is_area})
+        return pa.Table.from_pylist(rows, schema=pa.schema(
+            [("osm_id", pa.int64()), ("is_area", pa.bool_())]))
+
+    meta = elements.map_batches(way_meta, batch_format="pyarrow")
+    joined = lines.join(meta, join_type="inner", on=("osm_id",),
+                        num_partitions=4)
+
+    def finish(t: pa.Table) -> pa.Table:
+        geoms = []
+        for g, area in zip(t["geometry"].to_pylist(),
+                           t["is_area"].to_pylist()):
+            if not area:
+                geoms.append(g)
+                continue
+            node = gwkb.parse(g)
+            ring = np.asarray(node["coords"], dtype=np.float64)
+            if len(ring) >= 4 and (ring[0] == ring[-1]).all():
+                geoms.append(gwkb.polygon_wkb(ring))
+            else:
+                geoms.append(g)  # refs lost to a partial extract
+        return pa.table({
+            "osm_id": t["osm_id"],
+            "is_polygon": t["is_area"],
+            "geometry": pa.array(geoms, pa.binary()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

@@ -220,3 +220,21 @@ class TestScale:
         el = parse_osm_pbf(p)
         assert len(el["nodes"]) == n and len(el["ways"]) == 5000
         print(f"planet shard: {len(blobs)} blobs, {wall:.1f}s sharded")
+
+    def test_distributed_geometry_assembly(self, ray_session):
+        from gdal_ray.osmpbf import assemble_way_geometries
+
+        ds = read_osm_elements(f"{FIX}/test.pbf")
+        out = assemble_way_geometries(ds).to_pandas()
+        got = {int(r["osm_id"]): (bool(r["is_polygon"]),
+                                  WT.to_wkt(r["geometry"]))
+               for _, r in out.iterrows()}
+        # way 1 is a plain line
+        assert got[1] == (False, "LINESTRING (2 49, 3 50)")
+        # way 8 (closed + area=yes) becomes a polygon — identical ring
+        # to the layer builder's standalone polygon
+        assert got[8][0] is True
+        assert got[8][1] == \
+            "POLYGON ((2 49, 3 49, 3 50, 2 50, 2 49))"
+        # way 6 closed but NOT an area way -> stays a line
+        assert got[6][0] is False
