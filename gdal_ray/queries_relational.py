@@ -72,12 +72,25 @@ def q_lineitem_agg(sf_dir: str):
             }
         )
 
-    ds = ds.map_batches(prep, batch_format="pyarrow")
-    agg = ds.groupby(["l_returnflag", "l_linestatus"], num_partitions=4).aggregate(
-        Sum("qty_i", alias_name="qty_sum"),
-        Sum("rev_e4", alias_name="rev_sum"),
-        Sum("disc_c", alias_name="disc_sum"),
-        Count(alias_name="n_rows"),
+    # pre-aggregate inside the SAME batch pass (6 groups per batch):
+    # the exchange carries O(groups × blocks) partial rows, not the
+    # 600k-row table — integer sums stay bit-exact under regrouping
+    def prep_partial(t: pa.Table) -> pa.Table:
+        g = prep(t).group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty_i", "sum"), ("rev_e4", "sum"), ("disc_c", "sum"),
+             ([], "count_all")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "q", "r", "d", "n"])
+
+    parts = ds.map_batches(prep_partial, batch_format="pyarrow")
+    agg = parts.groupby(
+        ["l_returnflag", "l_linestatus"], num_partitions=2
+    ).aggregate(
+        Sum("q", alias_name="qty_sum"),
+        Sum("r", alias_name="rev_sum"),
+        Sum("d", alias_name="disc_sum"),
+        Sum("n", alias_name="n_rows"),
     )
 
     def finish(t: pa.Table) -> pa.Table:
