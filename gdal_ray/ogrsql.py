@@ -142,6 +142,19 @@ class CaseExpr:
     default: object = None
 
 
+@dataclass
+class WindowExpr:
+    """``func(...) OVER (PARTITION BY cols ORDER BY cols)`` (round 5).
+
+    The reference's OGR SQL grammar has no window functions
+    (ogr/ogr_swq.h); the SQLite dialect executes them via SQLite's
+    window support (ogrsqliteexecutesql.cpp role). Here they compile
+    onto stages/window.py's coarse-hash-partitioned grouped pass."""
+    func: object  # Func
+    partition_by: list  # [col name]
+    order_by: list  # [(col name, desc)]
+
+
 _AGG_FUNCS = {"COUNT", "SUM", "MIN", "MAX", "AVG", "STDDEV_POP",
               "STDDEV_SAMP"}
 _SCALAR_FUNCS = {"UPPER", "LOWER", "SUBSTR", "CONCAT", "LENGTH", "ABS", "ROUND"}
@@ -331,22 +344,64 @@ class _Parser:
                 fn = name.upper()
                 if fn == "COUNT" and self.accept("op", "*"):
                     self.expect("op", ")")
-                    return Func("COUNT", [], star=True)
-                args = []
-                if not self.accept("op", ")"):
-                    args.append(self.parse_expr())
-                    while self.accept("op", ","):
+                    func = Func("COUNT", [], star=True)
+                else:
+                    args = []
+                    if not self.accept("op", ")"):
                         args.append(self.parse_expr())
-                    self.expect("op", ")")
-                return Func(fn, args)
+                        while self.accept("op", ","):
+                            args.append(self.parse_expr())
+                        self.expect("op", ")")
+                    func = Func(fn, args)
+                nxt = self.peek()
+                if nxt[0] == "name" and nxt[1].upper() == "OVER":
+                    self.next()
+                    return self._over(func)
+                return func
             return Col(name)
         raise ValueError(f"SQL parse error at {t}")
+
+    def _colname(self):
+        """A possibly-qualified column name (``c`` or ``t.c``)."""
+        name = self.next()[1]
+        if self.peek() == ("op", ".") and self.toks[self.i + 1][0] == "name":
+            self.next()
+            name = name + "." + self.next()[1]
+        return name
+
+    def _over(self, func):
+        """``OVER ( [PARTITION BY c, ...] [ORDER BY c [DESC], ...] )``"""
+        self.expect("op", "(")
+        partition = []
+        nxt = self.peek()
+        if nxt[0] == "name" and nxt[1].upper() == "PARTITION":
+            self.next()
+            self.expect("kw", "BY")
+            while True:
+                partition.append(self._colname())
+                if not self.accept("op", ","):
+                    break
+        order = []
+        if self.accept("kw", "ORDER"):
+            self.expect("kw", "BY")
+            while True:
+                name = self._colname()
+                desc = False
+                if self.accept("kw", "DESC"):
+                    desc = True
+                else:
+                    self.accept("kw", "ASC")
+                order.append((name, desc))
+                if not self.accept("op", ","):
+                    break
+        self.expect("op", ")")
+        return WindowExpr(func, partition, order)
 
 
 @dataclass
 class Select:
     columns: list  # (expr, alias or None)
-    table: str
+    table: object  # str (name / CTE name) or a nested Select (subquery)
     table_alias: str | None = None
     joins: list = field(default_factory=list)  # (table, alias, kind, lcol, rcol)
     where: object = None
@@ -356,10 +411,48 @@ class Select:
     limit: int | None = None
     offset: int = 0
     distinct: bool = False
+    ctes: list = field(default_factory=list)  # [(name, Select)]
 
 
 def parse_select(sql: str) -> Select:
+    """Parse a statement: ``[WITH name AS (SELECT …), …] SELECT …``.
+
+    CTEs and FROM/JOIN subqueries (round 5 — reference role:
+    ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp, which hands both
+    to SQLite). WITH is recognized at the top level only; a CTE body
+    may itself use FROM-subqueries and earlier CTEs."""
     p = _Parser(_tokenize(sql))
+    ctes = []
+    nxt = p.peek()
+    if nxt[0] == "name" and nxt[1].upper() == "WITH":
+        p.next()
+        while True:
+            name = p.next()[1]
+            p.expect("kw", "AS")
+            p.expect("op", "(")
+            sub = _parse_select_body(p)
+            p.expect("op", ")")
+            ctes.append((name, sub))
+            if not p.accept("op", ","):
+                break
+    sel = _parse_select_body(p)
+    sel.ctes = ctes
+    if p.peek()[0] != "end":
+        raise ValueError(f"SQL: trailing tokens at {p.peek()}")
+    return sel
+
+
+def _parse_table_ref(p: _Parser):
+    """A FROM/JOIN operand: bare table name or ``( SELECT … )``."""
+    if p.peek() == ("op", "("):
+        p.next()
+        sub = _parse_select_body(p)
+        p.expect("op", ")")
+        return sub
+    return p.next()[1]
+
+
+def _parse_select_body(p: _Parser) -> Select:
     p.expect("kw", "SELECT")
     distinct = p.accept("kw", "DISTINCT")
     cols = []
@@ -377,7 +470,7 @@ def parse_select(sql: str) -> Select:
             if not p.accept("op", ","):
                 break
     p.expect("kw", "FROM")
-    table = p.next()[1]
+    table = _parse_table_ref(p)
     alias = p.next()[1] if p.peek()[0] == "name" else None
     sel = Select(cols, table, table_alias=alias, distinct=distinct)
     while p.peek() in (("kw", "JOIN"), ("kw", "INNER"), ("kw", "LEFT")):
@@ -387,7 +480,7 @@ def parse_select(sql: str) -> Select:
         else:
             p.accept("kw", "INNER")
         p.expect("kw", "JOIN")
-        jt = p.next()[1]
+        jt = _parse_table_ref(p)
         ja = p.next()[1] if p.peek()[0] == "name" else None
         p.expect("kw", "ON")
         lhs = p.parse_expr()
@@ -400,7 +493,7 @@ def parse_select(sql: str) -> Select:
     if p.accept("kw", "GROUP"):
         p.expect("kw", "BY")
         while True:
-            sel.group_by.append(p.next()[1])
+            sel.group_by.append(p._colname())
             if not p.accept("op", ","):
                 break
     if p.accept("kw", "HAVING"):
@@ -408,7 +501,7 @@ def parse_select(sql: str) -> Select:
     if p.accept("kw", "ORDER"):
         p.expect("kw", "BY")
         while True:
-            name = p.next()[1]
+            name = p._colname()
             desc = False
             if p.accept("kw", "DESC"):
                 desc = True
@@ -421,8 +514,6 @@ def parse_select(sql: str) -> Select:
         sel.limit = int(p.next()[1])
         if p.accept("kw", "OFFSET"):
             sel.offset = int(p.next()[1])
-    if p.peek()[0] != "end":
-        raise ValueError(f"SQL: trailing tokens at {p.peek()}")
     return sel
 
 
@@ -991,11 +1082,26 @@ def _expr_name(node, k: int) -> str:
 
 
 def _has_agg(node) -> bool:
+    if isinstance(node, WindowExpr):
+        # SUM(...) OVER (...) is a window, not an aggregation
+        return False
     if isinstance(node, Func):
         return node.name in _AGG_FUNCS or any(_has_agg(a) for a in node.args)
     for attr in ("left", "right", "operand", "lo", "hi"):
         child = getattr(node, attr, None)
         if child is not None and _has_agg(child):
+            return True
+    return False
+
+
+def _has_window(node) -> bool:
+    if isinstance(node, WindowExpr):
+        return True
+    if isinstance(node, Func):
+        return any(_has_window(a) for a in node.args)
+    for attr in ("left", "right", "operand", "lo", "hi"):
+        child = getattr(node, attr, None)
+        if child is not None and _has_window(child):
             return True
     return False
 
@@ -1011,24 +1117,120 @@ def _strip_quals(node):
             setattr(node, attr, _strip_quals(child))
     if isinstance(node, Func):
         node.args = [_strip_quals(a) for a in node.args]
+    if isinstance(node, WindowExpr):
+        node.func = _strip_quals(node.func)
+        node.partition_by = [c.split(".", 1)[1] if "." in c else c
+                             for c in node.partition_by]
+        node.order_by = [(c.split(".", 1)[1] if "." in c else c, d)
+                         for c, d in node.order_by]
     return node
+
+
+_CUM_AGGS = {"SUM": "cumsum", "MIN": "cummin", "MAX": "cummax"}
+
+
+def _window_spec_tuple(e: WindowExpr, out: str):
+    fn = e.func.name
+    if fn == "ROW_NUMBER":
+        return ("row_number", None, out)
+    if fn in ("RANK", "DENSE_RANK"):
+        return (fn.lower(), None, out)
+    if fn in ("LAG", "LEAD"):
+        args = e.func.args
+        if not args or not isinstance(args[0], Col):
+            raise ValueError(f"{fn} needs a column argument")
+        off = 1
+        if len(args) > 1:
+            if not isinstance(args[1], Lit):
+                raise ValueError(f"{fn} offset must be a literal")
+            off = int(args[1].value)
+        return (fn.lower(), args[0].name, out, off)
+    if fn in _CUM_AGGS:
+        # aggregate OVER with ORDER BY: the ANSI default frame is
+        # UNBOUNDED PRECEDING..CURRENT ROW — a running aggregate
+        if not e.func.args or not isinstance(e.func.args[0], Col):
+            raise ValueError(f"{fn} OVER needs a column argument")
+        return (_CUM_AGGS[fn], e.func.args[0].name, out)
+    raise ValueError(f"unsupported window function {fn}")
+
+
+def _compile_windows(ds, sel):
+    """Compute every top-level windowed select column via
+    stages/window.py (coarse hash(partition)%P shuffle + one
+    vectorized grouped pass per partition), replacing its expression
+    with the appended output column. One shuffle per distinct
+    (PARTITION BY, ORDER BY) spec; specs are deduplicated so
+    ``ROW_NUMBER`` and ``LAG`` over the same window share a pass."""
+    specs = {}
+    new_cols = []
+    changed = False
+    for k, (e, alias) in enumerate(sel.columns):
+        if isinstance(e, WindowExpr):
+            name = alias or _expr_name(e, k)
+            if not e.partition_by:
+                raise ValueError(
+                    "OVER requires PARTITION BY (global windows would "
+                    "serialize the dataset through one worker)")
+            if not e.order_by:
+                raise ValueError("OVER requires ORDER BY")
+            key = (tuple(e.partition_by), tuple(e.order_by))
+            specs.setdefault(key, []).append(_window_spec_tuple(e, name))
+            new_cols.append((Col(name), name))
+            changed = True
+        elif _has_window(e):
+            raise ValueError(
+                "window expressions must be top-level select columns")
+        else:
+            new_cols.append((e, alias))
+    if not changed:
+        return ds, sel
+    from gdal_ray.stages.window import window as _window
+
+    for (part, order), funcs in specs.items():
+        ds = _window(ds, list(part), [c for c, _d in order], funcs,
+                     descending=[d for _c, d in order])
+    sel.columns = new_cols
+    return ds, sel
 
 
 def execute(sql: str, tables: dict):
     """Run a SELECT over Ray Datasets: ``tables`` maps name →
     ray.data.Dataset. Returns a Dataset. Single-equality INNER/LEFT
     JOINs are compiled onto Dataset.join (hash join); non-key column
-    names must be distinct across the joined tables."""
+    names must be distinct across the joined tables.
+
+    Round 5: ``WITH name AS (SELECT …)`` CTEs, FROM/JOIN subqueries
+    (each compiles recursively to a Dataset sub-plan — a CTE is just
+    a named sub-plan added to the table map, evaluated lazily like
+    every Dataset), and window functions ``ROW_NUMBER()/RANK()/
+    DENSE_RANK()/LAG()/LEAD()/SUM()/MIN()/MAX() OVER (PARTITION BY …
+    ORDER BY …)`` compiled onto stages/window.py (reference role:
+    the SQLite dialect's pass-through, ogrsqliteexecutesql.cpp)."""
+    sel = parse_select(sql)
+    return _compile(sel, tables)
+
+
+def _compile(sel: Select, tables: dict):
     from ray.data.aggregate import Count, Max, Mean, Min, Std, Sum
 
-    sel = parse_select(sql)
-    if sel.table not in tables:
+    if sel.ctes:
+        tables = dict(tables)
+        for name, sub in sel.ctes:
+            # each CTE sees the tables plus every earlier CTE
+            tables[name] = _compile(sub, tables)
+    if isinstance(sel.table, Select):
+        ds = _compile(sel.table, tables)
+    elif sel.table not in tables:
         raise ValueError(f"unknown table {sel.table}")
-    ds = tables[sel.table]
+    else:
+        ds = tables[sel.table]
     for jt, _ja, kind, lcol, rcol in sel.joins:
-        if jt not in tables:
+        if isinstance(jt, Select):
+            right = _compile(jt, tables)
+        elif jt not in tables:
             raise ValueError(f"unknown join table {jt}")
-        right = tables[jt]
+        else:
+            right = tables[jt]
         lc = lcol.split(".")[-1]
         rc = rcol.split(".")[-1]
         if lc not in ds.schema().names:
@@ -1037,12 +1239,21 @@ def execute(sql: str, tables: dict):
             right, join_type=kind, num_partitions=4, on=(lc,),
             right_on=(rc,),
         )
-    if sel.joins:
+    if sel.joins or sel.table_alias or isinstance(sel.table, Select):
         sel.columns = [(_strip_quals(e), a) for e, a in sel.columns]
         if sel.where is not None:
             sel.where = _strip_quals(sel.where)
+        sel.group_by = [c.split(".", 1)[1] if "." in c else c
+                        for c in sel.group_by]
+        sel.order_by = [(c.split(".", 1)[1] if "." in c else c, d)
+                        for c, d in sel.order_by]
 
     if sel.where is not None:
+        if _has_window(sel.where):
+            raise ValueError(
+                "window expressions are not allowed in WHERE — filter "
+                "in an outer query (SELECT … FROM (SELECT …, "
+                "ROW_NUMBER() OVER (…) AS rn FROM t) WHERE rn <= k)")
         where = sel.where
 
         def flt(batch: pa.Table) -> pa.Table:
@@ -1052,6 +1263,8 @@ def execute(sql: str, tables: dict):
             return batch.filter(mask)
 
         ds = ds.map_batches(flt, batch_format="pyarrow")
+
+    ds, sel = _compile_windows(ds, sel)
 
     has_agg = any(_has_agg(e) for e, _a in sel.columns)
     if sel.group_by or has_agg:

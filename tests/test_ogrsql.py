@@ -490,3 +490,121 @@ class TestMathStringFuncs:
         con.register("t", tbl)
         want = con.execute(sql).fetchdf()
         pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+class TestSubqueriesCtesWindows:
+    """Round 5: WITH / FROM-subqueries / window functions — every
+    statement value-checked against DuckDB running the SAME SQL
+    (reference role: the SQLite dialect hands these to SQLite,
+    ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp)."""
+
+    def _ev(self):
+        import numpy as np
+        import pyarrow as pa
+
+        rng = np.random.default_rng(41)
+        return pa.table({
+            "user": pa.array(rng.integers(0, 17, 400), pa.int64()),
+            "v": pa.array(rng.integers(0, 1000, 400), pa.int64()),
+            "ts": pa.array(np.arange(400), pa.int64()),
+        })
+
+    def _chk(self, sql, tables=None):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        from gdal_ray import ogrsql
+
+        tbl = self._ev()
+        got = ogrsql.execute(sql, {"ev": rd.from_arrow(tbl)}).to_pandas()
+        con = duckdb.connect()
+        con.register("ev", tbl)
+        want = con.execute(sql).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        return got
+
+    def test_from_subquery(self, ray_session):
+        self._chk("SELECT user, v FROM "
+                  "(SELECT user, v FROM ev WHERE v > 500) s "
+                  "WHERE user < 5")
+
+    def test_from_subquery_with_agg(self, ray_session):
+        self._chk("SELECT mx FROM (SELECT user, MAX(v) AS mx "
+                  "FROM ev GROUP BY user) s WHERE mx > 900")
+
+    def test_cte_basic(self, ray_session):
+        self._chk("WITH big AS (SELECT user, v FROM ev WHERE v >= 800) "
+                  "SELECT user, COUNT(*) AS n FROM big GROUP BY user")
+
+    def test_cte_chained_sees_earlier(self, ray_session):
+        self._chk("WITH a AS (SELECT user, v FROM ev WHERE v > 100), "
+                  "b AS (SELECT user, MAX(v) AS mx FROM a GROUP BY user) "
+                  "SELECT user, mx FROM b ORDER BY user")
+
+    def test_cte_joined_against_base(self, ray_session):
+        self._chk("WITH hot AS (SELECT user, COUNT(*) AS n FROM ev "
+                  "WHERE v > 500 GROUP BY user) "
+                  "SELECT e.user, e.v, h.n FROM ev e "
+                  "JOIN hot h ON e.user = h.user "
+                  "WHERE e.v > 950 ORDER BY e.user, e.v")
+
+    def test_join_subquery(self, ray_session):
+        self._chk("SELECT e.user, e.v, m.mx FROM ev e "
+                  "JOIN (SELECT user, MAX(v) AS mx FROM ev GROUP BY user) m "
+                  "ON e.user = m.user WHERE e.v = m.mx")
+
+    def test_row_number_topk(self, ray_session):
+        self._chk("SELECT user, v, rn FROM "
+                  "(SELECT user, v, ROW_NUMBER() OVER "
+                  "(PARTITION BY user ORDER BY v DESC, ts) AS rn FROM ev) s "
+                  "WHERE rn <= 3 ORDER BY user, rn")
+
+    def test_rank_dense_rank_lead(self, ray_session):
+        self._chk("SELECT user, ts, RANK() OVER "
+                  "(PARTITION BY user ORDER BY v) AS r, "
+                  "DENSE_RANK() OVER (PARTITION BY user ORDER BY v) AS dr, "
+                  "LEAD(v, 2) OVER (PARTITION BY user ORDER BY ts) AS nx "
+                  "FROM ev ORDER BY user, ts")
+
+    def test_lag_and_running_sum(self, ray_session):
+        self._chk("SELECT user, ts, v, "
+                  "LAG(v) OVER (PARTITION BY user ORDER BY ts) AS prev, "
+                  "SUM(v) OVER (PARTITION BY user ORDER BY ts) AS running, "
+                  "MAX(v) OVER (PARTITION BY user ORDER BY ts) AS peak "
+                  "FROM ev ORDER BY user, ts")
+
+    def test_window_shares_one_pass_per_spec(self, ray_session):
+        # two distinct specs -> two shuffles; same spec -> shared
+        self._chk("SELECT user, ts, "
+                  "ROW_NUMBER() OVER (PARTITION BY user ORDER BY ts) AS a, "
+                  "LAG(v) OVER (PARTITION BY user ORDER BY ts) AS b, "
+                  "RANK() OVER (PARTITION BY user ORDER BY v DESC) AS c "
+                  "FROM ev ORDER BY user, ts")
+
+    def test_window_in_where_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from gdal_ray import ogrsql
+
+        with pytest.raises(ValueError, match="WHERE"):
+            ogrsql.execute(
+                "SELECT user FROM ev WHERE ROW_NUMBER() OVER "
+                "(PARTITION BY user ORDER BY ts) <= 3",
+                {"ev": rd.from_arrow(self._ev())})
+
+    def test_global_window_raises(self, ray_session):
+        import pytest
+        import ray.data as rd
+
+        from gdal_ray import ogrsql
+
+        with pytest.raises(ValueError, match="PARTITION BY"):
+            ogrsql.execute(
+                "SELECT ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM ev",
+                {"ev": rd.from_arrow(self._ev())})
