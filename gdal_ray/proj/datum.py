@@ -19,11 +19,12 @@ inverse differs by < 1 mm at these rotation magnitudes; the exact
 solve gives clean round-trips).
 
 The parameter table carries the nominal national ``towgs84`` values
-published in the public EPSG registry / PROJ datum defaults.  These
-are the transformation the reference applies when no grid-shift files
-are installed — authoritative national transformations (OSTN15,
-NADCON, NTv2) are grid-based and out of scope here (no grid files in
-this environment), exactly as a grid-less PROJ install behaves.
+published in the public EPSG registry / PROJ datum defaults — the
+transformation the reference applies when no grid-shift file covers a
+point.  Grid-based shifts ARE implemented: NTv2 ``.gsb`` grids
+(``proj/ntv2.py``, round 4) registered in ``GRID_SHIFTS`` below take
+precedence over the Helmert path wherever a grid covers the point,
+matching PROJ's ``hgridshift``-before-``helmert`` pipeline order.
 """
 
 from __future__ import annotations

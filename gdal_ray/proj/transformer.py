@@ -19,12 +19,14 @@ database is deliberately out of scope — SURVEY.md Appendix B):
 - ``EPSG:267xx`` — NAD27 (Clarke 1866) UTM north
 - ``EPSG:269xx`` — NAD83 (GRS80) UTM north
 
-Datum shifts (round 3): cross-datum transforms apply the nominal
-national towgs84 Helmert via ``proj/datum.py`` (geographic →
-geocentric → position-vector 7-parameter → geographic, the grid-less
-OGRProjCT/PROJ path). Grid-based transformations (OSTN15, NADCON,
-NTv2) need grid files absent from this environment — same behavior as
-a grid-less PROJ install.
+Datum shifts: cross-datum transforms apply NTv2 ``.gsb`` grid shifts
+(``proj/ntv2.py``, round 4 — bilinear, multi-subgrid, fixed-point
+inverse) wherever a registered grid covers the point, and otherwise
+fall back to the nominal national towgs84 Helmert via
+``proj/datum.py`` (geographic → geocentric → position-vector
+7-parameter → geographic) — PROJ's ``hgridshift``-then-``helmert``
+precedence.  NADCON ``.los/.las`` and OSTN15 remain unparsed grid
+FORMATS (they would feed the same ``GRID_SHIFTS`` registry).
 """
 
 from __future__ import annotations
