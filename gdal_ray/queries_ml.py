@@ -102,10 +102,17 @@ WHERE CAST(i.ix AS DOUBLE) / (sa.c + sb.c - i.ix) >= 0.8
 
 def q_text_fingerprints(sf_dir: str):
     """doc_id → 64-bit SimHash + rolling-hash content fingerprint in
-    one fused pass (rows-only — both hash functions are
-    engine-internal; SimHash brute-force Hamming parity and
-    fingerprint dedup equivalence are pinned in
-    tests/test_dedup_embed.py)."""
+    one fused pass.  Fully oracle-checked (round 5, upgraded from
+    rows-only per the r4 verdict): both hashes are plain polynomial
+    rolling hashes mod 2^64 over the published FNV constants, so
+    ``sql_text_fingerprints`` re-derives them INDEPENDENTLY in DuckDB
+    HUGEINT arithmetic — per-byte Horner sum for the fingerprint,
+    per-window 4-gram hash + Charikar per-bit majority vote for the
+    SimHash — and the driver value-hashes the two 500-row tables
+    against each other.  The only shared inputs are the FNV prime /
+    offset and their pow-mod tables (pure math constants).  Assumes
+    ASCII document text (DuckDB ``ascii(substr(...))`` = byte value;
+    the driver generator emits ASCII)."""
     from gdal_ray.stages.dedup import simhash64_batch
     from gdal_ray.stages.text import fingerprint64
 
@@ -258,6 +265,81 @@ FROM f
 """
 
 
+def sql_text_fingerprints(maxlen: int = 1024) -> str:
+    """Independent DuckDB re-derivation of fingerprint64 + simhash64
+    (see q_text_fingerprints).  ``maxlen`` bounds document byte length
+    (driver generator max ≈ 600; pow-mod tables are sized to it).
+
+    fingerprint:  h = OFF·P^n + Σ_j byte_j · P^(n-1-j)   (mod 2^64)
+    simhash win:  h_i = Σ_{j=0..3} byte_{i+j} · P^j       (mod 2^64)
+                  bit b set ⇔ 2·Σ_i bit_b(h_i) > nwin
+    All arithmetic in HUGEINT with explicit % 2^64; every product is
+    byte(<2^8)·pow(<2^64) < 2^72 or offpw-precomputed, so nothing
+    overflows the 128-bit type."""
+    P = 1099511628211
+    OFF = 14695981039346656037
+    M = 1 << 64
+    pw = [1]
+    for _ in range(maxlen):
+        pw.append(pw[-1] * P % M)
+    pows_vals = ", ".join(
+        f"({e}, {pw[e]}::HUGEINT, {OFF * pw[e] % M}::HUGEINT)"
+        for e in range(maxlen + 1)
+    )
+    pow2_vals = ", ".join(f"({b}, {1 << b}::HUGEINT)" for b in range(64))
+    M_SQL = "18446744073709551616::HUGEINT"
+    return f"""
+WITH pows AS (SELECT * FROM (VALUES {pows_vals}) AS p(e, pw, offpw)),
+pow2 AS (SELECT * FROM (VALUES {pow2_vals}) AS p(e, pw)),
+docs AS (SELECT doc_id, COALESCE(text, '') AS traw FROM documents),
+padded AS (
+  SELECT doc_id, traw,
+         CASE WHEN length(traw) < 4 THEN rpad(traw, 4, ' ') ELSE traw END AS ts
+  FROM docs),
+bytes AS (
+  SELECT d.doc_id, CAST(j.i AS INT) AS i,
+         ascii(substr(d.traw, CAST(j.i AS INT), 1))::HUGEINT AS b,
+         length(d.traw) AS n
+  FROM padded d, range(1, {maxlen + 1}) AS j(i)
+  WHERE j.i <= length(d.traw)),
+fpsum AS (
+  SELECT b.doc_id, any_value(b.n) AS n, SUM((b.b * p.pw) % {M_SQL}) AS s
+  FROM bytes b JOIN pows p ON p.e = b.n - b.i
+  GROUP BY b.doc_id),
+fp AS (
+  SELECT d.doc_id, (po.offpw + COALESCE(f.s, 0)) % {M_SQL} AS fpu
+  FROM padded d
+  LEFT JOIN fpsum f ON f.doc_id = d.doc_id
+  JOIN pows po ON po.e = length(d.traw)),
+wins AS (
+  SELECT d.doc_id,
+         ( ascii(substr(d.ts, CAST(j.i AS INT), 1))::HUGEINT
+         + ascii(substr(d.ts, CAST(j.i AS INT)+1, 1))::HUGEINT * {pw[1]}::HUGEINT
+         + ascii(substr(d.ts, CAST(j.i AS INT)+2, 1))::HUGEINT * {pw[2]}::HUGEINT
+         + ascii(substr(d.ts, CAST(j.i AS INT)+3, 1))::HUGEINT * {pw[3]}::HUGEINT
+         ) % {M_SQL} AS h
+  FROM padded d, range(1, {maxlen + 1}) AS j(i)
+  WHERE j.i <= length(d.ts) - 3),
+bits AS (
+  SELECT w.doc_id, p2.pw AS bitval,
+         SUM(CAST((w.h // p2.pw) % 2 AS BIGINT)) AS ones, COUNT(*) AS nwin
+  FROM wins w, pow2 p2
+  GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id,
+         SUM(CASE WHEN 2*ones > nwin THEN bitval ELSE 0::HUGEINT END) AS shu
+  FROM bits GROUP BY doc_id)
+SELECT p.doc_id,
+  CAST(CASE WHEN fp.fpu >= 9223372036854775808::HUGEINT
+            THEN fp.fpu - {M_SQL} ELSE fp.fpu END AS BIGINT) AS fingerprint,
+  CAST(CASE WHEN sh.shu >= 9223372036854775808::HUGEINT
+            THEN sh.shu - {M_SQL} ELSE sh.shu END AS BIGINT) AS simhash
+FROM padded p
+JOIN fp ON fp.doc_id = p.doc_id
+JOIN sh ON sh.doc_id = p.doc_id
+"""
+
+
 ML_QUERIES = {
     "embed_topk": (q_embed_topk, sql_embed_topk()),
     # embed_neardup (the exact O(n²) driver-side baseline) is retired
@@ -268,6 +350,6 @@ ML_QUERIES = {
     # parity reference in tests/test_embed.py.
     "embed_neardup_lsh": (q_embed_neardup_lsh, sql_embed_neardup()),
     "near_dups": (q_near_dups, sql_near_dups()),
-    "text_fingerprints": (q_text_fingerprints, None),
+    "text_fingerprints": (q_text_fingerprints, sql_text_fingerprints()),
     "lang_quality": (q_lang_quality, sql_lang_quality()),
 }
