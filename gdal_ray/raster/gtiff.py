@@ -13,13 +13,16 @@ Scope:
   horizontal-differencing predictor (2),
   ModelPixelScale+ModelTiepoint or ModelTransformation
   geotransforms, EPSG codes from GeoKeyDirectory, GDAL_NODATA,
-  overview IFD chains (``ifd_index=``).
-- write: striped, chunky, none/DEFLATE/LZW, GeoKeys for EPSG codes,
-  ModelPixelScale+Tiepoint, GDAL_NODATA; classic or BigTIFF with
-  IF_NEEDED auto-promotion past 4 GiB (``bigtiff=``); tiled COG with
-  internal overview IFDs via ``encode_cog``.
-- out of scope (documented): bit depths < 8, floating-point
-  predictor 3, JPEG-in-TIFF.
+  overview IFD chains (``ifd_index=``); JPEG-in-TIFF (code 7,
+  JPEGTables splice) since round 4.
+- write: striped, chunky, none/DEFLATE/LZW/JPEG (round 5: new-style
+  JPEG-in-TIFF, code 7 + JPEGTables, via the in-repo T.81 codec),
+  GeoKeys for EPSG codes, ModelPixelScale+Tiepoint, GDAL_NODATA;
+  classic or BigTIFF with IF_NEEDED auto-promotion past 4 GiB
+  (``bigtiff=``); tiled COG with internal overview IFDs via
+  ``encode_cog`` (same four codecs).
+- out of scope (documented): bit depths < 8, writing floating-point
+  predictor 3 (read works).
 
 Dataset-level wrappers mirror the PNG codec's layout: one file = one
 read task (`read_geotiff` → the engine's tile-table model), atomic
@@ -44,6 +47,7 @@ _T_EXTRA_SAMPLES = 338
 _T_PIXEL_SCALE, _T_TIEPOINT, _T_TRANSFORM = 33550, 33922, 34264
 _T_GEO_KEYS, _T_GEO_DOUBLES, _T_GEO_ASCII = 34735, 34736, 34737
 _T_JPEG_TABLES = 347
+_T_YCBCR_SUBSAMPLING = 530
 _T_GDAL_NODATA = 42113
 
 _TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4,
@@ -515,12 +519,21 @@ def encode_geotiff(
     nodata: float | None = None,
     compression: str = "deflate",
     bigtiff: bool | None = None,
+    jpeg_quality: int = 75,
 ) -> bytes:
     """Bands (equal-shape 2-D arrays) → GeoTIFF bytes (little-endian,
     striped, chunky). ``bigtiff``: True forces the BigTIFF (magic 43,
     64-bit offset) layout, None auto-selects it when the payload could
     cross 4 GiB — the reference GTiff driver's IF_NEEDED behavior
-    (frmts/gtiff, BIGTIFF=IF_NEEDED)."""
+    (frmts/gtiff, BIGTIFF=IF_NEEDED).
+
+    ``compression="jpeg"`` (round 5 — frmts/gtiff JPEG codec +
+    JPEGTables writer role): new-style JPEG-in-TIFF, compression code
+    7 — one shared tables-only stream in tag 347 and an abbreviated
+    4:4:4 baseline stream per strip via the in-repo T.81 encoder.
+    uint8 only, 1 or 3 samples; 3-band is written PHOTOMETRIC=YCbCr
+    with YCbCrSubSampling (1,1), the lossless-color-transform layout
+    the read path (comp==7 above) round-trips."""
     if isinstance(bands, np.ndarray) and bands.ndim == 2:
         bands = [bands]
     h, w = bands[0].shape
@@ -535,12 +548,31 @@ def encode_geotiff(
         raise ValueError("rotated geotransforms need ModelTransformation "
                          "(not implemented)")
 
-    # interleave chunky rows, strip of ~64 rows
+    if compression == "jpeg" and (str(dt) != "uint8" or spp not in (1, 3)):
+        raise ValueError("JPEG-in-TIFF write needs uint8 bands, 1 or 3 "
+                         f"samples (got {dt}, {spp} bands)")
+
+    # interleave chunky rows, strip of ~64 rows (JPEG: multiple of 8
+    # rows so strip MCUs tile cleanly, libtiff's TIFFDefaultStripSize
+    # rounding for JPEG)
     rps = max(1, min(h, 65536 // max(1, w * spp * dt.itemsize // 8)))
+    if compression == "jpeg":
+        rps = max(8, (rps + 7) // 8 * 8)
     rps = min(rps, h)
     stack = np.stack(bands, axis=2)  # (h, w, spp)
+    jpeg_tables = None
     strips = []
     for y0 in range(0, h, rps):
+        if compression == "jpeg":
+            from gdal_ray.raster.jpeg import encode_jpeg, encode_jpeg_tables
+
+            img = stack[y0 : y0 + rps]
+            if spp == 1:
+                img = img[..., 0]
+            if jpeg_tables is None:
+                jpeg_tables = encode_jpeg_tables(jpeg_quality, spp == 1)
+            strips.append(encode_jpeg(img, jpeg_quality, tables=False))
+            continue
         raw = np.ascontiguousarray(
             stack[y0 : y0 + rps].astype(dt.newbyteorder("<"))
         ).tobytes()
@@ -551,7 +583,7 @@ def encode_geotiff(
         elif compression != "none":
             raise ValueError(f"unsupported compression {compression!r}")
         strips.append(raw)
-    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7}[compression]
 
     entries = []  # (tag, type, count, packed-or-bytes)
 
@@ -563,8 +595,15 @@ def encode_geotiff(
     entry(_T_BITS, 3, (bits,) * spp)
     entry(_T_COMP, 3, (comp_code,))
     # RGB photometric for 3+ bands (reference GTiff default for 3-band
-    # byte); extra bands marked unassociated alpha
-    entry(_T_PHOTO, 3, (2 if spp >= 3 else 1,))
+    # byte); extra bands marked unassociated alpha. JPEG 3-band is
+    # YCbCr (6) — the encoder color-transforms — at 4:4:4 subsampling.
+    if compression == "jpeg":
+        entry(_T_PHOTO, 3, (6 if spp == 3 else 1,))
+        if spp == 3:
+            entry(_T_YCBCR_SUBSAMPLING, 3, (1, 1))
+        entry(_T_JPEG_TABLES, 7, jpeg_tables)
+    else:
+        entry(_T_PHOTO, 3, (2 if spp >= 3 else 1,))
     entry(_T_SPP, 3, (spp,))
     if spp > 3:
         entry(_T_EXTRA_SAMPLES, 3, (2,) * (spp - 3))
@@ -613,7 +652,7 @@ def encode_geotiff(
     # first pass: compute overflow sizes
     sizes = []
     for tag, typ, vals in entries:
-        if typ == 2:
+        if typ in (2, 7):  # ASCII / UNDEFINED: raw bytes
             size = len(vals)
         else:
             size = _TYPE_SIZE[typ] * len(vals)
@@ -623,7 +662,7 @@ def encode_geotiff(
     ovpos = ifd_off0
     cnt_fmt = "Q" if big else "I"
     for (tag, typ, vals), size in zip(entries, sizes):
-        if typ == 2:
+        if typ in (2, 7):
             blob = bytes(vals)
             cnt = len(vals)
         else:
@@ -665,6 +704,7 @@ def encode_cog(
     tile_size: int = 256,
     overview_resampling: str = "average",
     min_overview_size: int = 256,
+    jpeg_quality: int = 75,
 ) -> bytes:
     """Bands → Cloud-Optimized GeoTIFF layout (gdal COG driver role,
     frmts/gtiff/cogdriver.cpp semantics):
@@ -680,6 +720,14 @@ def encode_cog(
     Note: ``compression="lzw"`` uses the pure-Python LZW coder —
     fine for small rasters/tests, ~100 KB/s on 256² tiles; use the
     default deflate (zlib C) for real data.
+
+    ``compression="jpeg"`` (round 5): JPEG-compressed COG — the
+    dominant web-serving raster layout (frmts/gtiff JPEG codec +
+    cogdriver role). uint8, 1 or 3 bands; every IFD (full-res and
+    each overview) carries its own JPEGTables tag and abbreviated
+    4:4:4 baseline tile streams from the in-repo T.81 encoder; edge
+    tiles are REPLICATE-padded (not zero-padded) so block ringing
+    never bleeds into valid pixels.
     """
     from gdal_ray.raster.overview import reduce_2x2
 
@@ -691,8 +739,15 @@ def encode_cog(
     bits, fmt = _NP_TO_TIFF[str(dt)]
     if geotransform[2] or geotransform[4]:
         raise ValueError("rotated geotransforms not supported")
-    comp_code = {"none": 1, "deflate": 8, "lzw": 5}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7}[compression]
     spp = len(bands)
+    if compression == "jpeg":
+        if str(dt) != "uint8" or spp not in (1, 3):
+            raise ValueError("JPEG COG needs uint8 bands, 1 or 3 samples "
+                             f"(got {dt}, {spp} bands)")
+        from gdal_ray.raster.jpeg import encode_jpeg, encode_jpeg_tables
+
+        jpeg_tables = encode_jpeg_tables(jpeg_quality, spp == 1)
 
     # pyramid: level 0 = full res
     levels = [list(bands)]
@@ -708,8 +763,18 @@ def encode_cog(
         blobs = []
         for y0 in range(0, h, tile_size):
             for x0 in range(0, w, tile_size):
-                t = np.zeros((tile_size, tile_size, spp), dtype=dt)
                 sub = stack[y0 : y0 + tile_size, x0 : x0 + tile_size]
+                if compression == "jpeg":
+                    # replicate-pad: zero fill would ring into the
+                    # valid pixels of any non-8-aligned edge block
+                    t = np.pad(sub, ((0, tile_size - sub.shape[0]),
+                                     (0, tile_size - sub.shape[1]),
+                                     (0, 0)), mode="edge")
+                    img = t[..., 0] if spp == 1 else t
+                    blobs.append(encode_jpeg(img, jpeg_quality,
+                                             tables=False))
+                    continue
+                t = np.zeros((tile_size, tile_size, spp), dtype=dt)
                 t[: sub.shape[0], : sub.shape[1]] = sub
                 raw = np.ascontiguousarray(
                     t.astype(dt.newbyteorder("<"))).tobytes()
@@ -732,8 +797,15 @@ def encode_cog(
         e.append((_T_BITS, 3, (bits,) * spp))
         e.append((_T_COMP, 3, (comp_code,)))
         # PHOTOMETRIC=2 (RGB) for 3+ band output like the reference COG
-        # writer; band 4+ marked unassociated alpha via ExtraSamples
-        e.append((_T_PHOTO, 3, (2 if spp >= 3 else 1,)))
+        # writer; band 4+ marked unassociated alpha via ExtraSamples.
+        # JPEG: YCbCr (6) at 4:4:4 for 3 bands, per-IFD JPEGTables.
+        if compression == "jpeg":
+            e.append((_T_PHOTO, 3, (6 if spp == 3 else 1,)))
+            if spp == 3:
+                e.append((_T_YCBCR_SUBSAMPLING, 3, (1, 1)))
+            e.append((_T_JPEG_TABLES, 7, jpeg_tables))
+        else:
+            e.append((_T_PHOTO, 3, (2 if spp >= 3 else 1,)))
         e.append((_T_SPP, 3, (spp,)))
         e.append((_T_PLANAR, 3, (1,)))
         if spp > 3:
@@ -767,7 +839,8 @@ def encode_cog(
     def ifd_size(entries) -> int:
         size = 2 + 12 * len(entries) + 4
         for _, typ, vals in entries:
-            vsz = (len(vals) if typ == 2 else _TYPE_SIZE[typ] * len(vals))
+            vsz = (len(vals) if typ in (2, 7)
+                   else _TYPE_SIZE[typ] * len(vals))
             if vsz > 4:
                 size += vsz
         return size
@@ -804,7 +877,7 @@ def encode_cog(
         packed = []
         overflow = bytearray()
         for tag, typ, vals in entries:
-            if typ == 2:
+            if typ in (2, 7):
                 blob = bytes(vals)
                 cnt = len(vals)
             else:
@@ -833,12 +906,12 @@ def encode_cog(
 def write_cog(path: str, bands, crs: str = "",
               geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
               nodata=None, compression: str = "deflate",
-              tile_size: int = 256) -> None:
+              tile_size: int = 256, jpeg_quality: int = 75) -> None:
     """Atomic COG write (tmp + rename)."""
     import os
 
     data = encode_cog(bands, crs, geotransform, nodata, compression,
-                      tile_size)
+                      tile_size, jpeg_quality=jpeg_quality)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)
@@ -876,11 +949,13 @@ def read_geotiff(paths, tile_size: int = 256):
 
 def write_geotiff(path: str, bands, crs: str = "",
                   geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
-                  nodata=None, compression: str = "deflate") -> None:
+                  nodata=None, compression: str = "deflate",
+                  jpeg_quality: int = 75) -> None:
     """Atomic single-file write (tmp + rename)."""
     import os
 
-    data = encode_geotiff(bands, crs, geotransform, nodata, compression)
+    data = encode_geotiff(bands, crs, geotransform, nodata, compression,
+                          jpeg_quality=jpeg_quality)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:
         f.write(data)

@@ -594,9 +594,42 @@ def _quality_scale(q: np.ndarray, quality: int) -> np.ndarray:
     return np.clip(out, 1, 255)
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
+def _table_segments(quality: int, gray: bool) -> tuple[bytes, dict]:
+    """DQT + DHT marker segments (and the huffman encode tables) for
+    the standard Annex-K/libjpeg-quality setup ``encode_jpeg`` emits."""
+    qts = [_quality_scale(QT_LUM.reshape(8, 8), quality)]
+    if not gray:
+        qts.append(_quality_scale(QT_CHROM.reshape(8, 8), quality))
+    seg = bytearray()
+    for tq, q in enumerate(qts):
+        zz = q.reshape(64)[ZIGZAG].astype(np.uint8)
+        seg += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    tables = [(0, 0, HUFF_DC_LUM), (1, 0, HUFF_AC_LUM)]
+    if not gray:
+        tables += [(0, 1, HUFF_DC_CHROM), (1, 1, HUFF_AC_CHROM)]
+    enc = {}
+    for tc, th, (bits, vals) in tables:
+        payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
+        seg += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
+        enc[(tc, th)] = _build_encode_table(bits, vals)
+    return bytes(seg), enc
+
+
+def encode_jpeg_tables(quality: int = 85, gray: bool = False) -> bytes:
+    """Tables-only abbreviated stream (SOI + DQT + DHT + EOI) — the
+    TIFF 6.0 TechNote-2 JPEGTables (tag 347) payload shared by every
+    tile/strip of a JPEG-compressed TIFF (frmts/gtiff JPEG codec +
+    JPEGTables role)."""
+    seg, _ = _table_segments(quality, gray)
+    return b"\xff\xd8" + seg + b"\xff\xd9"
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 85,
+                tables: bool = True) -> bytes:
     """(H,W) grayscale or (H,W,3) RGB uint8 → baseline JPEG bytes
-    (4:4:4, Annex K tables scaled by the libjpeg quality rule)."""
+    (4:4:4, Annex K tables scaled by the libjpeg quality rule).
+    ``tables=False`` emits an ABBREVIATED stream (no DQT/DHT — the
+    TIFF JPEGTables splice supplies them at decode)."""
     img = np.asarray(img)
     gray = img.ndim == 2
     h, w = img.shape[:2]
@@ -612,25 +645,15 @@ def encode_jpeg(img: np.ndarray, quality: int = 85) -> bytes:
     if not gray:
         qts.append(_quality_scale(QT_CHROM.reshape(8, 8), quality))
     out = bytearray(b"\xff\xd8")
-    # DQT
-    for tq, q in enumerate(qts):
-        zz = q.reshape(64)[ZIGZAG].astype(np.uint8)
-        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq]) + zz.tobytes()
+    seg, enc = _table_segments(quality, gray)
+    if tables:
+        out += seg
     # SOF0
     nc = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, nc)
     for c in range(nc):
         sof += bytes([c + 1, 0x11, 0 if c == 0 else 1])
     out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
-    # DHT
-    tables = [(0, 0, HUFF_DC_LUM), (1, 0, HUFF_AC_LUM)]
-    if not gray:
-        tables += [(0, 1, HUFF_DC_CHROM), (1, 1, HUFF_AC_CHROM)]
-    enc = {}
-    for tc, th, (bits, vals) in tables:
-        payload = bytes([tc << 4 | th]) + bytes(bits) + bytes(vals)
-        out += b"\xff\xc4" + struct.pack(">H", len(payload) + 2) + payload
-        enc[(tc, th)] = _build_encode_table(bits, vals)
     # SOS
     sos = bytes([nc])
     for c in range(nc):
