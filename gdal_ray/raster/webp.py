@@ -542,9 +542,16 @@ def decode_webp(data: bytes) -> np.ndarray:
             return decode_vp8l(body)
         if tag == b"VP8 ":
             raise NotImplementedError(
-                "lossy VP8 WebP needs the full VP8 intra codec "
-                "(boundary recorded in COVERAGE.md); lossless VP8L is "
-                "supported"
+                "lossy VP8 WebP is a SIGNED PERMANENT BOUNDARY "
+                "(COVERAGE.md round 5): the RFC 6386 decoder is "
+                "normatively defined by ~2500 empirical constants "
+                "(default token probabilities §13.5, keyframe B-mode "
+                "probabilities §11.2, quantizer lookup tables §14.1) "
+                "that cannot be re-derived from first principles in "
+                "this offline environment, and no reference decoder "
+                "exists here to validate against — unlike VP8L, whose "
+                "prefix-code tables are constructively read from the "
+                "stream (supported)."
             )
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no image chunk found")
