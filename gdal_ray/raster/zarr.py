@@ -16,20 +16,21 @@ Scope:
   ``dimension_separator`` "." or "/", missing chunks → fill_value;
   compressors: null, zlib, gzip, blosc (memcpy + lz4/lz4hc/zlib
   block paths), lz4 (frame = int32 size + LZ4 block), lzma (XZ via
-  stdlib, incl. embedded delta filters); filters: shuffle, delta,
-  quantize (decode = identity), fixedscaleoffset.
+  stdlib, incl. embedded delta filters), zstd (from-scratch RFC 8878
+  decoder, raster/zstd.py); filters: shuffle, delta, quantize
+  (decode = identity), fixedscaleoffset.
 - v3: ``zarr.json`` arrays/groups, default and v2 chunk-key
   encodings, codecs ``bytes`` (endian), ``gzip``, ``zlib``,
-  ``blosc``, ``transpose``.
+  ``blosc``, ``zstd``, ``transpose``, ``crc32c`` (verified), and
+  ``sharding_indexed`` (offset/nbytes index at either end, missing
+  inner chunks → fill, recursive — nested shards work).
 - CF georeferencing: 1-D coordinate arrays named by
   ``_ARRAY_DIMENSIONS`` / ``dimension_names`` give the geotransform
   (ascending-y stores are flipped to GDAL north-up, matching the
   reference driver on its own byte_cf1 fixture); a
   ``transverse_mercator`` UTM grid_mapping resolves to its EPSG code.
-- out of scope (documented, raising): zstd (no decoder available in
-  this environment and a from-scratch one is out of proportion),
-  string/compound dtypes (the tile-table model is numeric),
-  v3 ``sharding_indexed``, write path.
+- out of scope (documented, raising): string/compound dtypes (the
+  tile-table model is numeric), write path.
 """
 
 from __future__ import annotations
@@ -164,9 +165,9 @@ def _decompress_v2(buf: bytes, comp: dict | None) -> bytes:
         # embedded filter chain (delta etc.) transparently
         return _lzma.decompress(buf)
     if cid == "zstd":
-        raise NotImplementedError(
-            "zstd chunks: no zstd decoder in this environment "
-            "(documented boundary)")
+        from gdal_ray.raster.zstd import zstd_decompress
+
+        return zstd_decompress(buf)
     raise NotImplementedError(f"Zarr compressor {cid!r} not supported")
 
 
@@ -202,6 +203,133 @@ def _undo_filters_v2(raw: bytes, filters: list | None,
         else:
             raise NotImplementedError(f"Zarr filter {fid!r} not supported")
     return raw
+
+
+_CRC32C_TABLE = None
+
+
+def _crc32c(data: bytes) -> int:
+    """CRC-32C (Castagnoli, poly 0x1EDC6F41 reflected = 0x82F63B78) —
+    table-driven; verifies v3 crc32c codec trailers."""
+    global _CRC32C_TABLE
+    if _CRC32C_TABLE is None:
+        tbl = np.empty(256, np.uint32)
+        for i in range(256):
+            c = i
+            for _ in range(8):
+                c = (c >> 1) ^ (0x82F63B78 if c & 1 else 0)
+            tbl[i] = c
+        _CRC32C_TABLE = tbl
+    crc = 0xFFFFFFFF
+    tbl = _CRC32C_TABLE
+    for b in data:
+        crc = int(tbl[(crc ^ b) & 0xFF]) ^ (crc >> 8)
+    return crc ^ 0xFFFFFFFF
+
+
+def _undo_b2b_v3(buf: bytes, codec: dict) -> bytes:
+    """One v3 bytes→bytes codec, decode direction."""
+    name = codec.get("name")
+    if name == "gzip":
+        return _gzip.decompress(buf)
+    if name == "zlib":
+        return zlib.decompress(buf)
+    if name == "blosc":
+        return _blosc_decode(buf)
+    if name == "zstd":
+        from gdal_ray.raster.zstd import zstd_decompress
+
+        return zstd_decompress(buf)
+    if name == "crc32c":
+        body, trailer = buf[:-4], buf[-4:]
+        want = struct.unpack("<I", trailer)[0]
+        got = _crc32c(body)
+        if got != want:
+            raise ValueError(f"crc32c mismatch: {got:#x} != {want:#x}")
+        return body
+    raise NotImplementedError(f"v3 codec {name!r} not supported")
+
+
+def _decode_v3_chunk(buf: bytes, codecs: list, shape: tuple,
+                     base_dtype: np.dtype, fill_value) -> np.ndarray:
+    """v3 codec pipeline, decode direction: undo bytes→bytes codecs
+    (reverse declaration order), apply the one array→bytes codec
+    (``bytes`` or ``sharding_indexed``), then undo array→array codecs
+    (``transpose``)."""
+    a2b = max(i for i, c in enumerate(codecs)
+              if c.get("name") in ("bytes", "endian", "sharding_indexed"))
+    for c in reversed(codecs[a2b + 1:]):
+        buf = _undo_b2b_v3(buf, c)
+    # array→array codecs permute the STORED shape (encode direction)
+    stored_shape = tuple(shape)
+    for c in codecs[:a2b]:
+        if c.get("name") == "transpose":
+            order = c.get("configuration", {}).get("order")
+            if order:
+                stored_shape = tuple(stored_shape[i] for i in order)
+        else:
+            raise NotImplementedError(
+                f"v3 array→array codec {c.get('name')!r} not supported")
+    main = codecs[a2b]
+    cfg = main.get("configuration", {})
+    if main.get("name") == "sharding_indexed":
+        arr = _decode_shard(buf, cfg, stored_shape, base_dtype, fill_value)
+    else:
+        endian = cfg.get("endian", "little")
+        dt = base_dtype.newbyteorder("<" if endian == "little" else ">")
+        arr = np.frombuffer(buf, dt).reshape(stored_shape)
+    for c in reversed(codecs[:a2b]):
+        if c.get("name") == "transpose":
+            order = c.get("configuration", {}).get("order")
+            if order and list(order) != list(range(len(shape))):
+                arr = arr.transpose(np.argsort(order))
+    return arr
+
+
+def _decode_shard(buf: bytes, cfg: dict, shape: tuple,
+                  base_dtype: np.dtype, fill_value) -> np.ndarray:
+    """v3 ``sharding_indexed``: the shard holds a grid of inner
+    chunks plus an index of (offset, nbytes) uint64 pairs (missing
+    chunk = 2^64-1 pair → fill). Recurses through the inner codec
+    pipeline, so nested shards and zstd/crc32c inner codecs work."""
+    inner = tuple(cfg["chunk_shape"])
+    grid = tuple(-(-s // c) for s, c in zip(shape, inner))
+    n = int(np.prod(grid))
+    idx_codecs = cfg.get("index_codecs") or [{"name": "bytes"}]
+    # index size: 16 bytes per inner chunk + codec overhead (crc32c +4)
+    idx_size = 16 * n
+    for c in idx_codecs:
+        if c.get("name") == "crc32c":
+            idx_size += 4
+        elif c.get("name") not in ("bytes", "endian"):
+            raise NotImplementedError(
+                f"shard index codec {c.get('name')!r} not supported")
+    loc = cfg.get("index_location", "end")
+    raw_idx = buf[-idx_size:] if loc == "end" else buf[:idx_size]
+    endian = "little"
+    for c in idx_codecs:
+        if c.get("name") == "crc32c":
+            raw_idx = _undo_b2b_v3(raw_idx, c)
+        else:
+            endian = c.get("configuration", {}).get("endian", "little")
+    dt = np.dtype(np.uint64).newbyteorder("<" if endian == "little" else ">")
+    pairs = np.frombuffer(raw_idx, dt).reshape(n, 2)
+    fv = 0 if fill_value is None else fill_value
+    out = np.full(tuple(g * c for g, c in zip(grid, inner)), fv,
+                  dtype=base_dtype)
+    missing = np.uint64(0xFFFFFFFFFFFFFFFF)
+    import itertools
+
+    for k, idx in enumerate(itertools.product(*(range(g) for g in grid))):
+        off, nb = pairs[k]
+        if off == missing and nb == missing:
+            continue
+        sub = _decode_v3_chunk(buf[int(off): int(off + nb)],
+                               cfg.get("codecs") or [{"name": "bytes"}],
+                               inner, base_dtype, fill_value)
+        sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, inner))
+        out[sl] = sub
+    return out[tuple(slice(0, s) for s in shape)]
 
 
 # ---------------------------------------------------------------------------
@@ -273,11 +401,6 @@ class ZarrArray:
             raise NotImplementedError(f"v3 data_type {dt!r} not supported")
         self.dtype = np.dtype(_V3_DTYPES[dt])  # endian set by bytes codec
         self.codecs = meta.get("codecs") or [{"name": "bytes"}]
-        for c in self.codecs:
-            if c.get("name") == "sharding_indexed":
-                raise NotImplementedError(
-                    "v3 sharding_indexed not supported (documented "
-                    "boundary)")
         self.compressor = None
         self.filters = None
         self.order = "C"
@@ -337,37 +460,8 @@ class ZarrArray:
             raw = _undo_filters_v2(raw, self.filters, self.dtype)
             a = np.frombuffer(raw, self.dtype)
             return a.reshape(self.chunks, order=self.order)
-        return self._decode_v3(buf)
-
-    def _decode_v3(self, buf: bytes) -> np.ndarray:
-        order = None
-        endian = "little"
-        # bytes→bytes codecs undo in reverse declaration order
-        for c in reversed(self.codecs):
-            name = c.get("name")
-            cfg = c.get("configuration", {})
-            if name == "gzip":
-                buf = _gzip.decompress(buf)
-            elif name == "zlib":
-                buf = zlib.decompress(buf)
-            elif name == "blosc":
-                buf = _blosc_decode(buf)
-            elif name == "bytes" or name == "endian":
-                endian = cfg.get("endian", "little")
-            elif name == "transpose":
-                order = cfg.get("order")
-            elif name == "crc32c":
-                buf = buf[:-4]
-            else:
-                raise NotImplementedError(f"v3 codec {name!r} not supported")
-        dt = self.dtype.newbyteorder("<" if endian == "little" else ">")
-        a = np.frombuffer(buf, dt)
-        if order and list(order) != list(range(len(self.chunks))):
-            # stored transposed: reshape in stored order then invert
-            stored_shape = tuple(self.chunks[i] for i in order)
-            inv = np.argsort(order)
-            return a.reshape(stored_shape).transpose(inv)
-        return a.reshape(self.chunks)
+        return _decode_v3_chunk(buf, self.codecs, self.chunks, self.dtype,
+                                self.fill_value)
 
     def read(self) -> np.ndarray:
         """Whole array (small arrays / tests; the Ray path decodes

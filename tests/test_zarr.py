@@ -32,9 +32,9 @@ class TestCompressors:
     def test_reads_one_two(self, name):
         assert _one(name).read().tolist() == [1, 2]
 
-    def test_zstd_is_a_documented_boundary(self):
-        with pytest.raises(NotImplementedError, match="zstd"):
-            _one("zstd.zarr").read()
+    def test_zstd(self):
+        # from-scratch RFC 8878 decoder (raster/zstd.py)
+        assert _one("zstd.zarr").read().tolist() == [1, 2]
 
 
 class TestFilters:
@@ -121,10 +121,6 @@ class TestV3:
         assert a.version == 3
         assert a.read().ravel().tolist() == [1, 2]
 
-    def test_sharding_is_a_documented_boundary(self):
-        with pytest.raises(NotImplementedError, match="sharding"):
-            Z.ZarrArray(BASE + "v3/transposed_sharding.zarr")
-
     def test_byte_cf1_zr3_pixels(self):
         arrs = Z.open_zarr(BASE + "byte_cf1.zr3")
         v2 = Z.open_zarr(BASE + "byte_cf1.zarr")
@@ -172,3 +168,48 @@ class TestRayRead:
             arr = np.frombuffer(r["data"], r["dtype"]).reshape(
                 r["height"], r["width"])
             assert np.array_equal(arr, full[r["band"] - 1])
+
+
+class TestV3Sharding:
+    """sharding_indexed codec (zarr_driver.py::
+    test_zarr_read_simple_sharding expectations) — exercises the
+    from-scratch zstd decoder (raster/zstd.py), crc32c-verified shard
+    indexes, nesting, transposition and missing-inner-chunk fill."""
+
+    def test_simple_sharding_zstd(self):
+        a = _one("v3/simple_sharding.zarr")
+        v = a.read()
+        assert v.dtype == np.float32 and v.shape == (24, 26)
+        assert v.ravel().tolist() == list(range(24 * 26))
+
+    def test_nested_sharding(self):
+        v = _one("v3/nested_sharding.zarr").read()
+        assert v.dtype == np.uint16 and v.shape == (5, 10)
+        assert v.ravel().tolist() == list(range(50))
+
+    def test_transposed_sharding(self):
+        # zarr_driver.py::test_zarr_read_transposed_sharding first-14
+        # expectation (the fixture's logical content is the transposed
+        # arange pattern)
+        v = _one("v3/transposed_sharding.zarr").read()
+        assert v.shape == (24, 26)
+        assert v.ravel().tolist()[:14] == [0, 24, 48, 72, 96, 120, 144,
+                                           168, 192, 216, 240, 264, 10, 34]
+
+    def test_big_endian_sharding(self):
+        # zarr_driver.py::test_zarr_read_sharding_big_endian
+        v = _one("v3/sharding_big_endian.zarr").read()
+        assert v.shape == (2, 2)
+        assert v.ravel().tolist() == [1, 2, 3, 4]
+
+    def test_fill_value_for_missing_inner_chunks(self):
+        v = _one("v3/sharding_fill_value.zarr").read()
+        assert v.shape == (3, 3)
+
+    @pytest.mark.parametrize("name", [
+        "v3/sharding_with_crc32_then_byte_byte_codec.zarr",
+        "v3/sharding_little_endian_then_byte_byte_codec.zarr",
+    ])
+    def test_outer_bytes_codecs(self, name):
+        v = _one(name).read()
+        assert v.ravel().tolist() == [1, 2, 3, 4]
