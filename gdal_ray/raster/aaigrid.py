@@ -135,6 +135,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.dted import read_dted
 
         return read_dted(path)
+    if low.endswith((".los", ".las")):
+        from gdal_ray.proj.nadcon import read_loslas
+
+        return read_loslas(path)
     from gdal_ray.raster.gtiff import decode_geotiff
     from gdal_ray.vsi import vsi_read_bytes
 
