@@ -45,7 +45,7 @@ _TOKEN_RE = re.compile(
 _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
-    "BETWEEN", "LIKE", "ILIKE", "IS", "NULL", "CAST", "JOIN", "ON",
+    "BETWEEN", "LIKE", "ILIKE", "ESCAPE", "IS", "NULL", "CAST", "JOIN", "ON",
     "INNER", "LEFT", "HAVING",
 }
 
@@ -128,6 +128,7 @@ class LikeExpr:
     pattern: str
     negated: bool = False
     nocase: bool = False
+    escape: str | None = None  # SQL ESCAPE clause (round 5)
 
 
 @dataclass
@@ -235,15 +236,28 @@ class _Parser:
             return BetweenExpr(left, lo, hi, negated)
         if self.accept("kw", "LIKE"):
             pat = self._literal()
-            return LikeExpr(left, pat.value, negated)
+            esc = self._escape_clause()
+            return LikeExpr(left, pat.value, negated, escape=esc)
         if self.accept("kw", "ILIKE"):
             pat = self._literal()
-            return LikeExpr(left, pat.value, negated, nocase=True)
+            esc = self._escape_clause()
+            return LikeExpr(left, pat.value, negated, nocase=True,
+                            escape=esc)
         if self.accept("kw", "IS"):
             neg = self.accept("kw", "NOT")
             self.expect("kw", "NULL")
             return IsNullExpr(left, neg)
         return left
+
+    def _escape_clause(self):
+        """Optional ``ESCAPE 'c'`` after a LIKE/ILIKE pattern
+        (ogr_sql dialect: swq_op_general.cpp LIKE escape handling)."""
+        if self.accept("kw", "ESCAPE"):
+            lit = self._literal()
+            if not isinstance(lit.value, str) or len(lit.value) != 1:
+                raise ValueError("ESCAPE needs a single character")
+            return lit.value
+        return None
 
     def _add(self):
         left = self._mul()
@@ -647,7 +661,28 @@ def eval_expr(node, batch: pa.Table):
         return pc.invert(res) if node.negated else res
     if isinstance(node, LikeExpr):
         v = eval_expr(node.operand, batch)
-        res = pc.match_like(v, node.pattern, ignore_case=node.nocase)
+        if node.escape is not None:
+            # custom ESCAPE: translate to an anchored RE2 pattern
+            # (Arrow's match_like only knows backslash escapes)
+            import re as _re
+
+            out = []
+            i = 0
+            p = node.pattern
+            while i < len(p):
+                c = p[i]
+                if c == node.escape and i + 1 < len(p):
+                    out.append(_re.escape(p[i + 1]))
+                    i += 2
+                    continue
+                out.append(".*" if c == "%" else
+                           "." if c == "_" else _re.escape(c))
+                i += 1
+            rx = "^" + "".join(out) + "$"
+            res = pc.match_substring_regex(v, rx,
+                                           ignore_case=node.nocase)
+        else:
+            res = pc.match_like(v, node.pattern, ignore_case=node.nocase)
         return pc.invert(res) if node.negated else res
     if isinstance(node, IsNullExpr):
         v = eval_expr(node.operand, batch)

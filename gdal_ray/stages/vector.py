@@ -269,10 +269,23 @@ def reproject(ds, src_crs: str, dst_crs: str, x_col: str = "lon",
 
 
 def spatial_sort(ds, x_col: str = "lon", y_col: str = "lat",
-                 bounds: tuple[float, float, float, float] | None = None):
-    """`gdal vector sort` hilbert mode (apps/gdalalg_vector_sort.cpp:40
-    + alg/hilbert.cpp): compute the 32-bit Hilbert key over the layer
-    envelope, then a distributed sort on it."""
+                 bounds: tuple[float, float, float, float] | None = None,
+                 method: str = "hilbert", node_capacity: int = 10):
+    """`gdal vector sort` (apps/gdalalg_vector_sort.cpp:40): hilbert
+    mode computes the 32-bit Hilbert key over the layer envelope then
+    a distributed sort on it (alg/hilbert.cpp); strtree mode (round 5)
+    reproduces the GEOS STRtree bulk-load LEAF ORDER (Leutenegger STR,
+    node capacity 10): slice count S = ceil(sqrt(ceil(n/10))), points
+    in x order partitioned into equal-count slices of ceil(n/S), each
+    slice ordered by y — expressed as one distributed sort on a
+    (slice, y) key, with slice boundaries from an exact x-value
+    histogram (O(distinct x) driver fold, the stats_agg contract;
+    GEOS leaves x-tie order unspecified, so tie groups land whole in
+    the slice of their first rank)."""
+    if method == "strtree":
+        return _strtree_sort(ds, x_col, y_col, node_capacity)
+    if method != "hilbert":
+        raise ValueError(f"unknown sort method {method!r}")
     if bounds is None:
         from ray.data.aggregate import Max, Min
 
@@ -292,3 +305,40 @@ def spatial_sort(ds, x_col: str = "lon", y_col: str = "lat",
         return t.append_column("hilbert_key", pa.array(h.astype(np.int64)))
 
     return ds.map_batches(key, batch_format="pyarrow").sort("hilbert_key")
+
+
+def _strtree_sort(ds, x_col: str, y_col: str, node_capacity: int):
+    import math
+
+    def xhist(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        vc = pc.value_counts(t[x_col])
+        return pa.table({"x": vc.field("values"),
+                         "n": pc.cast(vc.field("counts"), pa.int64())})
+
+    parts = ds.map_batches(xhist, batch_format="pyarrow").take_all()
+    from collections import Counter
+
+    hist: Counter = Counter()
+    for row in parts:
+        hist[float(row["x"])] += int(row["n"])
+    xs = np.array(sorted(hist))
+    counts = np.array([hist[x] for x in xs], dtype=np.int64)
+    n = int(counts.sum())
+    if n == 0:
+        return ds
+    leaves = -(-n // node_capacity)
+    s = int(math.ceil(math.sqrt(leaves)))
+    cap = -(-n // s)
+    # first rank of each distinct x → slice of the whole tie group
+    first_rank = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    slice_of_x = first_rank // cap
+
+    def key(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False)
+        sl = slice_of_x[np.searchsorted(xs, x)]
+        return t.append_column("str_slice", pa.array(sl.astype(np.int64)))
+
+    return (ds.map_batches(key, batch_format="pyarrow")
+              .sort(["str_slice", y_col]))

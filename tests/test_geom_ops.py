@@ -396,3 +396,72 @@ class TestMakeValidEvenOdd:
                 pts = rng.uniform(0, 10, (4, 2))
                 rings = [np.vstack([pts, pts[:1]])]
             self._check(rings, tol=1e-8)
+
+
+class TestSTRtreeSort:
+    """`gdal vector sort --method strtree` (round 5 —
+    gdalalg_vector_sort.cpp:40 offers hilbert|strtree; leaf order per
+    the Leutenegger STR bulk load GEOS uses, node capacity 10):
+    checked against an independent in-memory STR reference."""
+
+    @staticmethod
+    def _reference_order(x, y, cap=10):
+        import math
+        n = len(x)
+        leaves = -(-n // cap)
+        s = int(math.ceil(math.sqrt(leaves)))
+        slice_cap = -(-n // s)
+        order = np.argsort(x, kind="stable")
+        sl = np.empty(n, dtype=np.int64)
+        sl[order] = np.arange(n) // slice_cap
+        return np.lexsort((y, sl))
+
+    def test_matches_reference_str_order(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from gdal_ray.stages import vector as vs
+
+        rng = np.random.default_rng(5)
+        n = 300
+        # strictly distinct coordinates: tie order inside STR is
+        # unspecified (GEOS sorts by center only), so parity is only
+        # defined on tie-free input
+        x = rng.permutation(n) * 0.37 - 10.0
+        y = rng.permutation(n) * 0.11 + 40.0
+        assert len(np.unique(x)) == n
+        t = pa.table({"fid": np.arange(n), "lon": x, "lat": y})
+        out = vs.spatial_sort(rd.from_arrow(t), method="strtree")
+        got = out.to_pandas()["fid"].to_numpy()
+        want = np.arange(n)[self._reference_order(x, y)]
+        np.testing.assert_array_equal(got, want)
+
+    def test_slices_are_x_partitioned_y_ordered(self, ray_session):
+        import ray.data as rd
+        import pyarrow as pa
+        from gdal_ray.stages import vector as vs
+
+        rng = np.random.default_rng(6)
+        n = 200
+        t = pa.table({"fid": np.arange(n),
+                      "lon": rng.uniform(0, 1, n),
+                      "lat": rng.uniform(0, 1, n)})
+        df = vs.spatial_sort(rd.from_arrow(t),
+                             method="strtree").to_pandas()
+        sl = df["str_slice"].to_numpy()
+        assert (np.diff(sl) >= 0).all()
+        for s in np.unique(sl):
+            ys = df.loc[df["str_slice"] == s, "lat"].to_numpy()
+            assert (np.diff(ys) >= 0).all()
+        # x ranges of consecutive slices don't interleave
+        maxs = [df.loc[df["str_slice"] == s, "lon"].max()
+                for s in np.unique(sl)]
+        mins = [df.loc[df["str_slice"] == s, "lon"].min()
+                for s in np.unique(sl)]
+        for a in range(len(maxs) - 1):
+            assert maxs[a] <= mins[a + 1] + 1e-12
+
+    def test_unknown_method_rejected(self):
+        from gdal_ray.stages import vector as vs
+
+        with pytest.raises(ValueError, match="method"):
+            vs.spatial_sort(None, method="quadtree")

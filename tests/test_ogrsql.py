@@ -608,3 +608,39 @@ class TestSubqueriesCtesWindows:
             ogrsql.execute(
                 "SELECT ROW_NUMBER() OVER (ORDER BY ts) AS rn FROM ev",
                 {"ev": rd.from_arrow(self._ev())})
+
+
+class TestLikeEscape:
+    """LIKE/ILIKE … ESCAPE 'c' (round 5 — swq LIKE escape role),
+    value-checked against DuckDB."""
+
+    def test_escape_vs_duckdb(self, ray_session):
+        import duckdb
+        import pyarrow as pa
+        import ray.data as rd
+
+        from gdal_ray import ogrsql
+
+        rows = ["100%", "100x", "a_b", "axb", "50% off", "AXB"]
+        tbl = pa.table({"s": rows})
+        stmts = [
+            r"SELECT s FROM t WHERE s LIKE '100!%' ESCAPE '!'",
+            r"SELECT s FROM t WHERE s LIKE 'a!_b' ESCAPE '!'",
+            r"SELECT s FROM t WHERE s LIKE '%!%%' ESCAPE '!'",
+            r"SELECT s FROM t WHERE s ILIKE 'a!_b' ESCAPE '!'",
+        ]
+        con = duckdb.connect()
+        con.register("t", tbl)
+        for q in stmts:
+            got = sorted(
+                ogrsql.execute(q, {"t": rd.from_arrow(tbl)})
+                .to_pandas()["s"].tolist())
+            want = sorted(r[0] for r in con.execute(q).fetchall())
+            assert got == want, q
+
+    def test_bad_escape_rejected(self):
+        from gdal_ray import ogrsql
+
+        with pytest.raises(ValueError, match="ESCAPE"):
+            ogrsql.parse_select(
+                "SELECT s FROM t WHERE s LIKE 'x' ESCAPE 'ab'")
