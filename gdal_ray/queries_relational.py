@@ -590,6 +590,27 @@ def q_scalar_funcs(sf_dir: str):
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+SQL_LIKE_ESCAPE = """
+SELECT doc_id,
+       CONCAT(source, '_', lang) AS tag,
+       CONCAT(source, '_', lang) LIKE 'src1!_%' ESCAPE '!' AS exact_src1,
+       CONCAT(source, '_', lang) LIKE 'src1_%' AS wild_src1,
+       CONCAT(source, '_', lang) ILIKE 'SRC1!_E%' ESCAPE '!' AS i_exact
+FROM documents
+"""
+
+
+def q_like_escape(sf_dir: str):
+    """LIKE/ILIKE ESCAPE through the SQL dialect (round 5 — swq LIKE
+    escape role): the oracle statement runs VERBATIM through
+    ogrsql.execute; escape-protected '_' distinguishes exactly the
+    'src1_*' tags from the 'src1?' wildcard family."""
+    from gdal_ray import ogrsql
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "source", "lang"])
+    return ogrsql.execute(SQL_LIKE_ESCAPE, {"documents": ds})
+
+
 SQL_SCALAR_FUNCS = """
 SELECT p_partkey,
        UPPER(SUBSTR(p_name, 1, 5)) AS name5,
@@ -1130,6 +1151,7 @@ RELATIONAL_QUERIES = {
     "events_sliding": (q_events_sliding, SQL_EVENTS_SLIDING),
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
+    "like_escape": (q_like_escape, SQL_LIKE_ESCAPE),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),
