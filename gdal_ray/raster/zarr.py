@@ -29,8 +29,14 @@ Scope:
   (ascending-y stores are flipped to GDAL north-up, matching the
   reference driver on its own byte_cf1 fixture); a
   ``transverse_mercator`` UTM grid_mapping resolves to its EPSG code.
+- write (v2): CF-style group layout mirroring the reference's own
+  byte_cf1 fixture (Band{N} + ascending x/y coordinate arrays +
+  grid_mapping variable), zlib or raw chunks; ``write_zarr_dataset``
+  is the DISTRIBUTED sink — each task writes only its own ``y.x``
+  chunk files (idempotent, resumable), the driver writes O(bands)
+  metadata JSONs.
 - out of scope (documented, raising): string/compound dtypes (the
-  tile-table model is numeric), write path.
+  tile-table model is numeric), v3 write.
 """
 
 from __future__ import annotations
@@ -695,3 +701,213 @@ def read_zarr(path: str, array: str | None = None, band_dim: int = 0):
         return pa.concat_tables(tables)
 
     return ds.map_batches(decode, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# write (v2)
+# ---------------------------------------------------------------------------
+
+_EPSG_TO_CF = None
+
+
+def _epsg_to_cf(crs: str) -> dict | None:
+    """Inverse of _cf_to_epsg for the UTM / lat-lon families — enough
+    to round-trip the engine's own outputs (full CRS→CF is the
+    reference's netcdf/zarr SRS exporter role, out of scope)."""
+    if not crs.upper().startswith("EPSG:"):
+        return None
+    code = int(crs.split(":")[1])
+    if code == 4326:
+        return {"grid_mapping_name": "latitude_longitude",
+                "semi_major_axis": 6378137.0,
+                "inverse_flattening": 298.257223563}
+    for base, a, invf, south in ((26700, 6378206.4, 294.978698213898, 0),
+                                 (26900, 6378137.0, 298.257222101, 0),
+                                 (32600, 6378137.0, 298.257223563, 0),
+                                 (32700, 6378137.0, 298.257223563, 1)):
+        zone = code - base
+        if 1 <= zone <= 60:
+            return {
+                "grid_mapping_name": "transverse_mercator",
+                "scale_factor_at_central_meridian": 0.9996,
+                "false_easting": 500000.0,
+                "false_northing": 10000000.0 if south else 0.0,
+                "longitude_of_central_meridian": float(zone * 6 - 183),
+                "latitude_of_projection_origin": 0.0,
+                "longitude_of_prime_meridian": 0.0,
+                "semi_major_axis": a,
+                "inverse_flattening": invf,
+                "long_name": "CRS definition",
+            }
+    return None
+
+
+def _write_json(path: str, obj: dict) -> None:
+    with open(path, "w") as f:
+        json.dump(obj, f, indent=2)
+
+
+def _zarray_meta(shape, chunks, dtype: np.dtype, compressor) -> dict:
+    return {
+        "chunks": list(chunks),
+        "compressor": compressor,
+        "dtype": dtype.newbyteorder("<").str if dtype.itemsize > 1
+        else dtype.str.replace("=", "|").replace("<", "|").replace(">", "|"),
+        "fill_value": None,
+        "filters": None,
+        "order": "C",
+        "shape": list(shape),
+        "zarr_format": 2,
+    }
+
+
+def write_zarr_array(path: str, arr: np.ndarray,
+                     chunks: tuple | None = None,
+                     attrs: dict | None = None,
+                     compressor: str | None = "zlib") -> None:
+    """One numpy array → a Zarr v2 array directory (zlib or raw
+    chunks). Driver-side helper; the distributed path is
+    ``write_zarr_dataset``."""
+    os.makedirs(path, exist_ok=True)
+    if chunks is None:
+        chunks = tuple(min(s, 256) for s in arr.shape) or (1,)
+    comp = {"id": "zlib", "level": 6} if compressor == "zlib" else None
+    _write_json(os.path.join(path, ".zarray"),
+                _zarray_meta(arr.shape, chunks, arr.dtype, comp))
+    if attrs:
+        _write_json(os.path.join(path, ".zattrs"), attrs)
+    import itertools
+
+    grid = tuple(-(-s // c) for s, c in zip(arr.shape, chunks)) or ()
+    for idx in itertools.product(*(range(g) for g in grid)):
+        sl = tuple(slice(i * c, (i + 1) * c) for i, c in zip(idx, chunks))
+        block = np.zeros(chunks, arr.dtype)
+        sub = arr[sl]
+        block[tuple(slice(0, s) for s in sub.shape)] = sub
+        raw = np.ascontiguousarray(
+            block.astype(arr.dtype.newbyteorder("<"))).tobytes()
+        if comp:
+            raw = zlib.compress(raw, comp["level"])
+        key = ".".join(str(i) for i in idx) if idx else "0"
+        with open(os.path.join(path, key), "wb") as f:
+            f.write(raw)
+
+
+def write_zarr(path: str, bands, crs: str = "",
+               geotransform=(0.0, 1.0, 0.0, 0.0, 0.0, -1.0),
+               chunks: tuple = (256, 256),
+               compressor: str | None = "zlib") -> None:
+    """Bands → CF-style Zarr v2 group (the byte_cf1 fixture layout:
+    Band{N} arrays with _ARRAY_DIMENSIONS + grid_mapping, ascending
+    x/y pixel-center coordinate arrays, a grid-mapping variable).
+    Round-trips through open_zarr/georeference bit-exactly."""
+    if isinstance(bands, np.ndarray) and bands.ndim == 2:
+        bands = [bands]
+    h, w = bands[0].shape
+    gt = geotransform
+    if gt[2] or gt[4]:
+        raise ValueError("rotated geotransforms not supported")
+    os.makedirs(path, exist_ok=True)
+    _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+    _write_json(os.path.join(path, ".zattrs"), {})
+    x = gt[0] + gt[1] / 2.0 + np.arange(w) * gt[1]
+    # CF stores ascending y (south-up); the reader flips back
+    rows_y = gt[3] + gt[5] / 2.0 + np.arange(h) * gt[5]
+    y = rows_y[::-1].copy()
+    write_zarr_array(os.path.join(path, "x"), x, (w,), {
+        "_ARRAY_DIMENSIONS": ["x"],
+        "standard_name": "projection_x_coordinate"}, compressor=None)
+    write_zarr_array(os.path.join(path, "y"), y, (h,), {
+        "_ARRAY_DIMENSIONS": ["y"],
+        "standard_name": "projection_y_coordinate"}, compressor=None)
+    cf = _epsg_to_cf(crs)
+    band_attrs = {"_ARRAY_DIMENSIONS": ["y", "x"]}
+    if cf:
+        write_zarr_array(os.path.join(path, "crs_def"),
+                         np.zeros((), np.uint8), None, cf,
+                         compressor=None)
+        band_attrs["grid_mapping"] = "crs_def"
+    for bi, b in enumerate(bands, start=1):
+        write_zarr_array(os.path.join(path, f"Band{bi}"), b[::-1],
+                         chunks, dict(band_attrs), compressor=compressor)
+
+
+def write_zarr_dataset(ds, path: str, compressor: str | None = "zlib"):
+    """Tile-table Dataset → Zarr v2 store, DISTRIBUTED: every task
+    writes only its own chunk files (named ``y.x`` per the spec), so
+    the sink is embarrassingly parallel and resumable — rewriting a
+    chunk is idempotent, and a restarted run just overwrites the
+    chunks it owns. The driver writes the O(bands) metadata JSONs
+    from the first row + global extents (one tiny aggregate).
+
+    Requires a uniform tile grid (every row the same tile size, the
+    raster/model.py contract). Rows must carry band/block_x/block_y/
+    width/height/dtype/data + crs/geotransform."""
+    import pyarrow as pa
+
+    first = ds.take(1)[0]
+    gt = tuple(first["geotransform"])
+    crs = first["crs"]
+    dt = np.dtype(first["dtype"])
+    from ray.data.aggregate import Max
+
+    ext = ds.aggregate(Max("band", alias_name="nb"),
+                       Max("x0", alias_name="mx"),
+                       Max("y0", alias_name="my"),
+                       Max("width", alias_name="w"),
+                       Max("height", alias_name="h"))
+    tile = max(int(ext["w"]), int(ext["h"]))
+    width = int(ext["mx"]) + int(ext["w"])
+    height = int(ext["my"]) + int(ext["h"])
+    nbands = int(ext["nb"])
+    grid_h = -(-height // tile)
+    comp = {"id": "zlib", "level": 6} if compressor == "zlib" else None
+
+    # metadata + coordinate arrays (driver, tiny)
+    os.makedirs(path, exist_ok=True)
+    _write_json(os.path.join(path, ".zgroup"), {"zarr_format": 2})
+    cf = _epsg_to_cf(crs)
+    band_attrs = {"_ARRAY_DIMENSIONS": ["y", "x"]}
+    if cf:
+        write_zarr_array(os.path.join(path, "crs_def"),
+                         np.zeros((), np.uint8), None, cf,
+                         compressor=None)
+        band_attrs["grid_mapping"] = "crs_def"
+    x = gt[0] + gt[1] / 2.0 + np.arange(width) * gt[1]
+    y = (gt[3] + gt[5] / 2.0 + np.arange(height) * gt[5])[::-1].copy()
+    write_zarr_array(os.path.join(path, "x"), x, (width,), {
+        "_ARRAY_DIMENSIONS": ["x"],
+        "standard_name": "projection_x_coordinate"}, compressor=None)
+    write_zarr_array(os.path.join(path, "y"), y, (height,), {
+        "_ARRAY_DIMENSIONS": ["y"],
+        "standard_name": "projection_y_coordinate"}, compressor=None)
+    for bi in range(1, nbands + 1):
+        bdir = os.path.join(path, f"Band{bi}")
+        os.makedirs(bdir, exist_ok=True)
+        _write_json(os.path.join(bdir, ".zarray"),
+                    _zarray_meta((height, width), (tile, tile), dt, comp))
+        _write_json(os.path.join(bdir, ".zattrs"), dict(band_attrs))
+
+    def write_chunks(t: pa.Table) -> pa.Table:
+        for row in t.to_pylist():
+            arr = np.frombuffer(row["data"], row["dtype"]).reshape(
+                row["height"], row["width"])
+            block = np.zeros((tile, tile), dt)
+            # CF south-up: the store's row 0 is the SOUTH edge
+            block[: arr.shape[0], : arr.shape[1]] = arr
+            flipped = block[::-1]
+            cy = grid_h - 1 - row["block_y"]
+            raw = np.ascontiguousarray(
+                flipped.astype(dt.newbyteorder("<"))).tobytes()
+            if comp:
+                raw = zlib.compress(raw, comp["level"])
+            fp = os.path.join(path, f"Band{row['band']}",
+                              f"{cy}.{row['block_x']}")
+            tmp = fp + ".tmp"
+            with open(tmp, "wb") as f:
+                f.write(raw)
+            os.replace(tmp, fp)
+        return pa.table({"chunks_written": pa.array([t.num_rows])})
+
+    counts = ds.map_batches(write_chunks, batch_format="pyarrow")
+    return sum(r["chunks_written"] for r in counts.take_all())

@@ -213,3 +213,66 @@ class TestV3Sharding:
     def test_outer_bytes_codecs(self, name):
         v = _one(name).read()
         assert v.ravel().tolist() == [1, 2, 3, 4]
+
+
+class TestWrite:
+    """Zarr v2 WRITE (round 5): the byte_cf1 fixture layout, verified
+    by full roundtrip through the reader (pixels + geotransform +
+    EPSG) and by structural parity of the metadata JSON with the
+    reference's own fixture."""
+
+    def test_write_roundtrip_byte_tif(self, tmp_path):
+        import json
+        byte = gtiff.decode_geotiff(
+            open("/root/reference/autotest/gcore/data/byte.tif",
+                 "rb").read())
+        p = str(tmp_path / "byte.zarr")
+        Z.write_zarr(p, byte["bands"], crs=byte["crs"],
+                     geotransform=byte["geotransform"], chunks=(20, 20))
+        arrs = Z.open_zarr(p)
+        gt, crs, flip = Z.georeference(arrs, "Band1")
+        band = arrs["Band1"].read()
+        if flip:
+            band = band[::-1]
+        assert np.array_equal(band, byte["bands"][0])
+        assert checksum_array(band) == 4672
+        assert gt == byte["geotransform"] and crs == "EPSG:26711"
+        mine = json.load(open(tmp_path / "byte.zarr/Band1/.zarray"))
+        ref = json.load(open(BASE + "byte_cf1.zarr/Band1/.zarray"))
+        assert sorted(mine) == sorted(ref)  # same metadata structure
+
+    def test_write_multiband_edge_chunks(self, tmp_path):
+        rng = np.random.default_rng(9)
+        bands = [rng.integers(0, 1000, (37, 53)).astype(np.int32)
+                 for _ in range(3)]
+        p = str(tmp_path / "m.zarr")
+        Z.write_zarr(p, bands, crs="EPSG:32633",
+                     geotransform=(500000.0, 10.0, 0, 4649776.0, 0, -10.0),
+                     chunks=(16, 16))
+        arrs = Z.open_zarr(p)
+        gt, crs, flip = Z.georeference(arrs, "Band2")
+        assert crs == "EPSG:32633"
+        for bi, want in enumerate(bands, start=1):
+            got = arrs[f"Band{bi}"].read()
+            if flip:
+                got = got[::-1]
+            assert np.array_equal(got, want)
+
+    def test_distributed_sink_roundtrip(self, ray_session, tmp_path):
+        """read_geotiff → write_zarr_dataset → read_zarr: the chunk
+        files come from TASKS, the metadata from the driver; the
+        re-read tile table reproduces the pixels and georeferencing."""
+        src = "/root/reference/autotest/gcore/data/byte.tif"
+        ds = gtiff.read_geotiff([src], tile_size=20)
+        p = str(tmp_path / "sink.zarr")
+        n = Z.write_zarr_dataset(ds, p)
+        assert n == 1
+        rows = Z.read_zarr(p).take_all()
+        assert len(rows) == 1
+        r = rows[0]
+        arr = np.frombuffer(r["data"], r["dtype"]).reshape(
+            r["height"], r["width"])
+        assert checksum_array(arr) == 4672
+        assert r["crs"] == "EPSG:26711"
+        assert list(r["geotransform"]) == [440720.0, 60.0, 0.0,
+                                           3751320.0, 0.0, -60.0]
