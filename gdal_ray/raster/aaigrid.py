@@ -139,6 +139,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.proj.nadcon import read_loslas
 
         return read_loslas(path)
+    if low.endswith((".nc", ".cdf")):
+        from gdal_ray.raster.netcdf import read_netcdf_array
+
+        return read_netcdf_array(path)
     from gdal_ray.raster.gtiff import decode_geotiff
     from gdal_ray.vsi import vsi_read_bytes
 
