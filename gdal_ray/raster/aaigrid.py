@@ -135,6 +135,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.dted import read_dted
 
         return read_dted(path)
+    if low.endswith(".gtx"):
+        from gdal_ray.raster.gtx import read_gtx
+
+        return read_gtx(path)
     if low.endswith((".los", ".las")):
         from gdal_ray.proj.nadcon import read_loslas
 
@@ -143,6 +147,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.netcdf import read_netcdf_array
 
         return read_netcdf_array(path)
+    if low.endswith(".gpkg"):
+        from gdal_ray.gpkg_raster import read_gpkg_raster_array
+
+        return read_gpkg_raster_array(path)
+    if low.rstrip("/").endswith(".zarr"):
+        from gdal_ray.raster.zarr import read_zarr_array
+
+        return read_zarr_array(path)
     from gdal_ray.raster.gtiff import decode_geotiff
     from gdal_ray.vsi import vsi_read_bytes
 

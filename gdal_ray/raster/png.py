@@ -16,7 +16,7 @@ import zlib
 import numpy as np
 
 _SIG = b"\x89PNG\r\n\x1a\n"
-_COLORTYPE = {1: 0, 3: 2, 4: 6}  # channels -> PNG colortype
+_COLORTYPE = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> PNG colortype
 
 
 def _chunk(tag: bytes, payload: bytes) -> bytes:
@@ -88,7 +88,7 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 def decode_png(data: bytes) -> np.ndarray:
     """PNG bytes → (H, W) or (H, W, C) uint8 (baseline 8-bit,
-    non-interlaced, colortypes 0/2/6)."""
+    non-interlaced, colortypes 0/2/4/6)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
@@ -108,7 +108,7 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if depth != 8 or inter != 0 or comp != 0 or filt != 0:
                 raise ValueError("only baseline 8-bit non-interlaced")
-            channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
             if channels is None:
                 raise ValueError(f"unsupported colortype {ctype}")
         elif tag == b"IDAT":

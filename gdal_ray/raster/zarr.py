@@ -618,6 +618,42 @@ def georeference(arrays: dict[str, ZarrArray],
 # ---------------------------------------------------------------------------
 
 
+def _main_array(arrays: dict, array: str | None, path: str) -> str:
+    if array is not None:
+        return array
+    # main array = the one with the most dimensions, ties by size
+    cands = [n for n, a in arrays.items() if len(a.shape) >= 2]
+    if not cands:
+        raise ValueError(f"no >=2-D array found in {path}")
+    return max(cands, key=lambda n: (len(arrays[n].shape),
+                                     int(np.prod(arrays[n].shape))))
+
+
+def read_zarr_array(path: str, array: str | None = None,
+                    band_dim: int = 0) -> dict:
+    """Whole-store load → the CLI ``load_raster`` dict shape (small
+    rasters / CLI tools; the Ray path is ``read_zarr``)."""
+    arrays = open_zarr(path)
+    array = _main_array(arrays, array, path)
+    arr = arrays[array]
+    if len(arr.shape) not in (2, 3):
+        raise ValueError(f"need a 2-D or 3-D array, got {arr.shape}")
+    gt, crs, flip = georeference(arrays, array)
+    a = arr.read()
+    if len(arr.shape) == 3:
+        order = [band_dim] + [d for d in range(3) if d != band_dim]
+        a = np.transpose(a, order)
+        bands = [np.ascontiguousarray(a[k][::-1] if flip else a[k])
+                 for k in range(a.shape[0])]
+    else:
+        bands = [np.ascontiguousarray(a[::-1] if flip else a)]
+    fv = arr.fill_value
+    nodata = float(fv) if isinstance(fv, (int, float)) and fv != 0 \
+        else None
+    return {"bands": bands, "crs": crs, "geotransform": gt,
+            "nodata": nodata}
+
+
 def read_zarr(path: str, array: str | None = None, band_dim: int = 0):
     """Zarr store → tile-table Dataset (one row per chunk; one chunk
     decode per task — the driver reads METADATA only).
@@ -632,13 +668,7 @@ def read_zarr(path: str, array: str | None = None, band_dim: int = 0):
     from gdal_ray.raster import model
 
     arrays = open_zarr(path)
-    if array is None:
-        # main array = the one with the most dimensions, ties by size
-        cands = [n for n, a in arrays.items() if len(a.shape) >= 2]
-        if not cands:
-            raise ValueError(f"no >=2-D array found in {path}")
-        array = max(cands, key=lambda n: (len(arrays[n].shape),
-                                          int(np.prod(arrays[n].shape))))
+    array = _main_array(arrays, array, path)
     arr = arrays[array]
     if len(arr.shape) not in (2, 3):
         raise ValueError(f"read_zarr needs a 2-D or 3-D array, "
