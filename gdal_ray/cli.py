@@ -143,6 +143,11 @@ def build_pipeline(spec: str):
         def source():  # one OGR-parity layer as a Dataset
             layer = src_args.get("layer") or "points"
             return rd.from_arrow(osmpbf.osm_layers(src_path)[layer])
+    elif low.endswith((".warc", ".warc.gz")) or low.rstrip("/").endswith(
+            ".warc.d"):
+        from gdal_ray import warc
+
+        source = lambda: warc.read_warc(src_path)  # noqa: E731
     else:
         source = lambda: rd.read_parquet(  # noqa: E731
             src_path, columns=col_list
@@ -290,6 +295,11 @@ def run_pipeline(spec: str):
             from gdal_ray import arrowipc
 
             arrowipc.write_arrow_ipc(ds, arg)
+        elif low.rstrip("/").endswith((".warc.d", ".warc.gz", ".warc")):
+            # directory of part-*.warc.gz shards (resumable sink)
+            from gdal_ray import warc
+
+            warc.write_warc(ds, arg)
         else:
             ds.write_parquet(arg)
         return arg, kind
