@@ -46,7 +46,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
     "BETWEEN", "LIKE", "ILIKE", "ESCAPE", "IS", "NULL", "CAST", "JOIN", "ON",
-    "INNER", "LEFT", "HAVING",
+    "INNER", "LEFT", "HAVING", "UNION", "ALL",
 }
 
 
@@ -111,6 +111,20 @@ class CastExpr:
 class InExpr:
     operand: object
     values: list = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class InSubquery:
+    """``col [NOT] IN (SELECT one_col FROM …)`` — compiled to a
+    distributed semi / anti join (stages/join.py), never a driver
+    value set.  Only legal as a top-level AND conjunct of WHERE.
+    Contract: the subquery column is null-free (anti-join semantics;
+    SQL's three-valued NOT-IN-with-NULL is intentionally not
+    reproduced — same stance as the reference's swq evaluator)."""
+
+    operand: object          # must resolve to a plain column
+    select: object           # Select
     negated: bool = False
 
 
@@ -224,6 +238,10 @@ class _Parser:
                 t = self.peek()
         if self.accept("kw", "IN"):
             self.expect("op", "(")
+            if self.peek() == ("kw", "SELECT"):
+                sub = _parse_select_body(self)
+                self.expect("op", ")")
+                return InSubquery(left, sub, negated)
             vals = [self._literal()]
             while self.accept("op", ","):
                 vals.append(self._literal())
@@ -428,13 +446,29 @@ class Select:
     ctes: list = field(default_factory=list)  # [(name, Select)]
 
 
+@dataclass
+class SetOp:
+    """UNION chain — left-associative SQL semantics: at each non-ALL
+    boundary the accumulated rows are made distinct."""
+
+    parts: list                 # [Select, …] (≥ 2)
+    alls: list                  # [bool] per boundary
+    ctes: list = field(default_factory=list)
+    order_by: list = field(default_factory=list)
+    limit: int | None = None
+    offset: int = 0
+
+
 def parse_select(sql: str) -> Select:
-    """Parse a statement: ``[WITH name AS (SELECT …), …] SELECT …``.
+    """Parse a statement: ``[WITH name AS (SELECT …), …] SELECT …
+    [UNION [ALL] SELECT …]*``.
 
     CTEs and FROM/JOIN subqueries (round 5 — reference role:
     ogr/ogrsf_frmts/sqlite/ogrsqliteexecutesql.cpp, which hands both
-    to SQLite). WITH is recognized at the top level only; a CTE body
-    may itself use FROM-subqueries and earlier CTEs."""
+    to SQLite; UNION [ALL] same role). WITH is recognized at the top
+    level only; a CTE body may itself use FROM-subqueries and earlier
+    CTEs. A trailing ORDER BY / LIMIT after the last UNION branch
+    applies to the combined result (standard SQL)."""
     p = _Parser(_tokenize(sql))
     ctes = []
     nxt = p.peek()
@@ -450,7 +484,17 @@ def parse_select(sql: str) -> Select:
             if not p.accept("op", ","):
                 break
     sel = _parse_select_body(p)
-    sel.ctes = ctes
+    parts, alls = [sel], []
+    while p.accept("kw", "UNION"):
+        alls.append(bool(p.accept("kw", "ALL")))
+        parts.append(_parse_select_body(p))
+    if len(parts) > 1:
+        last = parts[-1]
+        sel = SetOp(parts, alls, ctes=ctes, order_by=last.order_by,
+                    limit=last.limit, offset=last.offset)
+        last.order_by, last.limit, last.offset = [], None, 0
+    else:
+        sel.ctes = ctes
     if p.peek()[0] != "end":
         raise ValueError(f"SQL: trailing tokens at {p.peek()}")
     return sel
@@ -614,6 +658,10 @@ def eval_expr(node, batch: pa.Table):
         return batch[node.name]
     if isinstance(node, Lit):
         return pa.scalar(node.value)
+    if isinstance(node, InSubquery):
+        raise ValueError(
+            "IN (SELECT …) is only supported as a top-level AND "
+            "conjunct of WHERE (it compiles to a semi/anti join)")
     if isinstance(node, Un):
         v = eval_expr(node.operand, batch)
         if node.op == "-":
@@ -1141,6 +1189,13 @@ def _has_window(node) -> bool:
     return False
 
 
+def _split_conjuncts(e):
+    """Flatten a WHERE tree over top-level ANDs."""
+    if isinstance(e, Bin) and e.op == "AND":
+        return _split_conjuncts(e.left) + _split_conjuncts(e.right)
+    return [e]
+
+
 def _strip_quals(node):
     """Replace qualified Col('t.c') with Col('c') (post-join columns
     carry bare names; qualifiers only disambiguate in the ON clause)."""
@@ -1253,6 +1308,8 @@ def _compile(sel: Select, tables: dict):
         for name, sub in sel.ctes:
             # each CTE sees the tables plus every earlier CTE
             tables[name] = _compile(sub, tables)
+    if isinstance(sel, SetOp):
+        return _compile_setop(sel, tables)
     if isinstance(sel.table, Select):
         ds = _compile(sel.table, tables)
     elif sel.table not in tables:
@@ -1274,6 +1331,11 @@ def _compile(sel: Select, tables: dict):
             right, join_type=kind, num_partitions=4, on=(lc,),
             right_on=(rc,),
         )
+        # hash joins must compose (chained JOINs / IN-subqueries):
+        # coalesce away the zero-column empty-partition blocks
+        from gdal_ray.stages.join import join_compose_safe
+
+        ds = join_compose_safe(ds, 4)
     if sel.joins or sel.table_alias or isinstance(sel.table, Select):
         sel.columns = [(_strip_quals(e), a) for e, a in sel.columns]
         if sel.where is not None:
@@ -1289,6 +1351,33 @@ def _compile(sel: Select, tables: dict):
                 "window expressions are not allowed in WHERE — filter "
                 "in an outer query (SELECT … FROM (SELECT …, "
                 "ROW_NUMBER() OVER (…) AS rn FROM t) WHERE rn <= k)")
+        # IN (SELECT …) conjuncts become distributed semi/anti joins
+        plain = []
+        for conj in _split_conjuncts(sel.where):
+            if not isinstance(conj, InSubquery):
+                plain.append(conj)
+                continue
+            if not isinstance(conj.operand, Col):
+                raise ValueError(
+                    "IN (SELECT …) left side must be a plain column")
+            from gdal_ray.stages.join import anti_join_ds, semi_join_ds
+
+            sub = _compile(conj.select, tables)
+            sub_cols = sub.schema().names
+            if len(sub_cols) != 1:
+                raise ValueError(
+                    "IN (SELECT …) subquery must produce one column")
+            key = conj.operand.name.split(".")[-1]
+            fn = anti_join_ds if conj.negated else semi_join_ds
+            ds = fn(ds, sub, key, right_key=sub_cols[0])
+        if not plain:
+            sel.where = None
+        else:
+            w = plain[0]
+            for nxt in plain[1:]:
+                w = Bin("AND", w, nxt)
+            sel.where = w
+    if sel.where is not None:
         where = sel.where
 
         def flt(batch: pa.Table) -> pa.Table:
@@ -1302,6 +1391,31 @@ def _compile(sel: Select, tables: dict):
     ds, sel = _compile_windows(ds, sel)
 
     has_agg = any(_has_agg(e) for e, _a in sel.columns)
+    if (sel.group_by or has_agg) and sel.having is not None:
+        # HAVING aggregates absent from SELECT become hidden output
+        # columns, dropped after the filter (standard SQL allows
+        # HAVING COUNT(*) > n with no COUNT in the projection)
+        hidden = []
+
+        def _collect_hv(node):
+            if isinstance(node, Func) and node.name in _AGG_FUNCS:
+                if not any(repr(e2) == repr(node)
+                           for e2, _a in sel.columns):
+                    nm = f"__hv_{len(hidden)}"
+                    hidden.append(nm)
+                    sel.columns.append((node, nm))
+                return
+            for attr in ("left", "right", "operand", "lo", "hi"):
+                child = getattr(node, attr, None)
+                if child is not None:
+                    _collect_hv(child)
+            if isinstance(node, Func):
+                for a in node.args:
+                    _collect_hv(a)
+
+        _collect_hv(sel.having)
+    else:
+        hidden = []
     if sel.group_by or has_agg:
         # input columns: group keys + one temp column per agg argument
         aggs = []
@@ -1390,6 +1504,10 @@ def _compile(sel: Select, tables: dict):
                 return batch.filter(mask)
 
             ds = ds.map_batches(hflt, batch_format="pyarrow")
+            if hidden:
+                ds = ds.map_batches(
+                    lambda t, _h=list(hidden): t.drop_columns(_h),
+                    batch_format="pyarrow")
         if sel.distinct:
             # SELECT DISTINCT over an aggregated result: distinct on
             # the output rows (post-HAVING), same groupby trick as the
@@ -1428,6 +1546,41 @@ def _compile(sel: Select, tables: dict):
         # blocks stay in the object store, nothing lands on the
         # driver (ADVICE r2: previously take_all + slice)
         ds = ds.split_at_indices([sel.offset])[1]
+    return ds
+
+
+def _compile_setop(u: SetOp, tables: dict):
+    """UNION chain: branches align BY POSITION and take the first
+    branch's column names (standard SQL); Dataset.union appends
+    blocks (no shuffle), each non-ALL boundary runs the distinct
+    groupby."""
+    ds = _compile(u.parts[0], tables)
+    names = ds.schema().names
+
+    def renamed(part):
+        d = _compile(part, tables)
+        pn = d.schema().names
+        if len(pn) != len(names):
+            raise ValueError(
+                f"UNION branches must have the same column count "
+                f"({len(names)} vs {len(pn)})")
+        if pn == names:
+            return d
+        return d.map_batches(
+            lambda t, _n=list(names): t.rename_columns(_n),
+            batch_format="pyarrow")
+
+    for part, is_all in zip(u.parts[1:], u.alls):
+        ds = ds.union(renamed(part))
+        if not is_all:
+            ds = _distinct_rows(ds)
+    if u.order_by:
+        ds = ds.sort([c for c, _d in u.order_by],
+                     descending=[d for _c, d in u.order_by])
+    if u.limit is not None:
+        ds = ds.limit(u.limit + u.offset)
+    if u.offset:
+        ds = ds.split_at_indices([u.offset])[1]
     return ds
 
 

@@ -611,6 +611,52 @@ def q_like_escape(sf_dir: str):
     return ogrsql.execute(SQL_LIKE_ESCAPE, {"documents": ds})
 
 
+SQL_UNION = """
+SELECT doc_id, lang, 'short' AS bucket
+FROM documents WHERE n_chars < 150
+UNION
+SELECT doc_id, lang, 'short' AS bucket
+FROM documents WHERE n_chars < 200 AND lang = 'en'
+UNION ALL
+SELECT doc_id, lang, 'src1' AS bucket
+FROM documents WHERE source = 'src1' AND n_chars < 250
+"""
+
+
+def q_sql_union(sf_dir: str):
+    """UNION / UNION ALL chain through the SQL dialect (round 5 —
+    SQLite-dialect set-operation role): the oracle statement runs
+    VERBATIM through ogrsql.execute. The two UNION branches overlap
+    (short ∩ short-en), exercising the distinct boundary; the ALL
+    branch re-appends src1 duplicates."""
+    from gdal_ray import ogrsql
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "lang", "source", "n_chars"])
+    return ogrsql.execute(SQL_UNION, {"documents": ds})
+
+
+SQL_IN_SUBQUERY = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE source IN (SELECT source FROM documents WHERE n_chars > 530)
+  AND lang NOT IN (SELECT lang FROM documents WHERE n_chars < 60)
+  AND doc_id < 2000
+"""
+
+
+def q_sql_in_subquery(sf_dir: str):
+    """[NOT] IN (SELECT …) through the SQL dialect (round 5): both
+    membership tests compile to DISTRIBUTED semi/anti joins
+    (stages/join.py semi_join_ds/anti_join_ds — no driver value
+    set); the oracle statement runs VERBATIM through ogrsql."""
+    from gdal_ray import ogrsql
+
+    ds = _read(sf_dir, "documents",
+               columns=["doc_id", "source", "lang", "n_chars"])
+    return ogrsql.execute(SQL_IN_SUBQUERY, {"documents": ds})
+
+
 SQL_SCALAR_FUNCS = """
 SELECT p_partkey,
        UPPER(SUBSTR(p_name, 1, 5)) AS name5,
@@ -1152,6 +1198,8 @@ RELATIONAL_QUERIES = {
     "semi_anti_join": (q_semi_anti, SQL_SEMI_ANTI),
     "scalar_funcs": (q_scalar_funcs, SQL_SCALAR_FUNCS),
     "like_escape": (q_like_escape, SQL_LIKE_ESCAPE),
+    "sql_union": (q_sql_union, SQL_UNION),
+    "sql_in_subquery": (q_sql_in_subquery, SQL_IN_SUBQUERY),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),

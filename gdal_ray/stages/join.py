@@ -267,6 +267,18 @@ def anti_join(points, keys, key_col: str):
     return points.map_batches(f, batch_format="pyarrow")
 
 
+def join_compose_safe(ds, num_blocks: int = 8):
+    """Ray 2.49's hash join emits ZERO-COLUMN empty blocks for empty
+    hash partitions; feeding them into ANOTHER hash join fails inside
+    Acero ("No match or multiple matches for key field reference…" —
+    the key column is absent from the empty block), and a map_batches
+    identity does NOT fix it (empty input blocks are passed through
+    unscheduled).  A ``repartition(shuffle=False)`` rewrites blocks —
+    a linear coalesce, no key exchange — which merges the empties
+    into real blocks, so joins compose."""
+    return ds.repartition(num_blocks)
+
+
 def semi_join_ds(left, right, key_col: str, right_key: str | None = None,
                  num_partitions: int = 8):
     """DISTRIBUTED semi join: keep left rows whose key appears in the
@@ -280,9 +292,10 @@ def semi_join_ds(left, right, key_col: str, right_key: str | None = None,
         lambda t, c=right_key: pa.table({c: pc.unique(t[c])}),
         batch_format="pyarrow",
     )
-    return left.join(keys, join_type="left_semi",
-                     num_partitions=num_partitions,
-                     on=(key_col,), right_on=(right_key,))
+    out = left.join(keys, join_type="left_semi",
+                    num_partitions=num_partitions,
+                    on=(key_col,), right_on=(right_key,))
+    return join_compose_safe(out, num_partitions)
 
 
 def anti_join_ds(left, right, key_col: str, right_key: str | None = None,
@@ -294,9 +307,10 @@ def anti_join_ds(left, right, key_col: str, right_key: str | None = None,
         lambda t, c=right_key: pa.table({c: pc.unique(t[c])}),
         batch_format="pyarrow",
     )
-    return left.join(keys, join_type="left_anti",
-                     num_partitions=num_partitions,
-                     on=(key_col,), right_on=(right_key,))
+    out = left.join(keys, join_type="left_anti",
+                    num_partitions=num_partitions,
+                    on=(key_col,), right_on=(right_key,))
+    return join_compose_safe(out, num_partitions)
 
 
 def broadcast_table(table: pa.Table) -> ray.ObjectRef:

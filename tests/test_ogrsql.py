@@ -644,3 +644,145 @@ class TestLikeEscape:
         with pytest.raises(ValueError, match="ESCAPE"):
             ogrsql.parse_select(
                 "SELECT s FROM t WHERE s LIKE 'x' ESCAPE 'ab'")
+
+
+class TestUnion:
+    """UNION [ALL] chains (round 5 — SQLite-dialect role), every
+    statement value-checked against DuckDB running the same SQL."""
+
+    def _tbl(self):
+        rng = np.random.default_rng(53)
+        return pa.table({
+            "id": pa.array(np.arange(300, dtype=np.int64)),
+            "grp": pa.array(rng.integers(0, 4, 300)),
+            "val": pa.array(rng.integers(0, 50, 300)),
+        })
+
+    def _chk(self, sql):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        tbl = self._tbl()
+        got = ogrsql.execute(sql, {"t": rd.from_arrow(tbl)}).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(sql).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_union_all(self, ray_session):
+        self._chk("SELECT id, val FROM t WHERE val < 5 "
+                  "UNION ALL SELECT id, val FROM t WHERE val > 45")
+
+    def test_union_distinct(self, ray_session):
+        # overlapping branches: UNION must dedupe across them
+        self._chk("SELECT grp, val FROM t WHERE val < 10 "
+                  "UNION SELECT grp, val FROM t WHERE val < 20")
+
+    def test_union_mixed_chain(self, ray_session):
+        # left-associative: (A UNION B) keeps distinct, then ALL
+        # appends C duplicates
+        self._chk("SELECT grp FROM t WHERE val < 10 "
+                  "UNION SELECT grp FROM t WHERE val < 30 "
+                  "UNION ALL SELECT grp FROM t WHERE grp = 0 AND val = 1")
+
+    def test_union_positional_rename(self, ray_session):
+        # branch column names differ: positional alignment, first
+        # branch's names win (standard SQL)
+        self._chk("SELECT id AS k, val FROM t WHERE id < 3 "
+                  "UNION ALL SELECT grp, val FROM t WHERE id >= 297")
+
+    def test_union_trailing_order_limit(self, ray_session):
+        self._chk("SELECT id, val FROM t WHERE id < 100 "
+                  "UNION SELECT id, val FROM t WHERE id >= 250 "
+                  "ORDER BY id DESC LIMIT 7")
+
+    def test_union_with_cte(self, ray_session):
+        self._chk("WITH lo AS (SELECT id, val FROM t WHERE val < 3) "
+                  "SELECT id, val FROM lo UNION ALL "
+                  "SELECT id, val FROM t WHERE val > 47")
+
+    def test_union_agg_branches(self, ray_session):
+        self._chk("SELECT grp, COUNT(*) AS n FROM t GROUP BY grp "
+                  "UNION ALL SELECT grp, MIN(val) AS n "
+                  "FROM t GROUP BY grp")
+
+    def test_union_column_count_mismatch(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError, match="column count"):
+            ogrsql.execute(
+                "SELECT id, val FROM t UNION SELECT id FROM t",
+                {"t": rd.from_arrow(self._tbl())},
+            ).materialize()
+
+
+class TestInSubquery:
+    """[NOT] IN (SELECT …) compiled to distributed semi/anti joins
+    (round 5), value-checked against DuckDB."""
+
+    def _tbl(self):
+        rng = np.random.default_rng(59)
+        return pa.table({
+            "id": pa.array(np.arange(400, dtype=np.int64)),
+            "grp": pa.array(rng.integers(0, 6, 400)),
+            "val": pa.array(rng.integers(0, 100, 400)),
+        })
+
+    def _chk(self, sql):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        tbl = self._tbl()
+        got = ogrsql.execute(sql, {"t": rd.from_arrow(tbl)}).to_pandas()
+        con = duckdb.connect()
+        con.register("t", tbl)
+        want = con.execute(sql).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_in_subquery(self, ray_session):
+        self._chk("SELECT id, grp FROM t WHERE grp IN "
+                  "(SELECT grp FROM t WHERE val > 97)")
+
+    def test_not_in_subquery(self, ray_session):
+        self._chk("SELECT id FROM t WHERE grp NOT IN "
+                  "(SELECT grp FROM t WHERE val > 95) AND val < 50")
+
+    def test_in_subquery_with_other_conjuncts(self, ray_session):
+        self._chk("SELECT id, val FROM t WHERE val > 20 AND id IN "
+                  "(SELECT id FROM t WHERE grp = 2) AND val < 80")
+
+    def test_in_subquery_agg_body(self, ray_session):
+        # subquery with GROUP BY/HAVING feeding the semi join
+        self._chk("SELECT id, grp FROM t WHERE grp IN "
+                  "(SELECT grp FROM t GROUP BY grp "
+                  "HAVING COUNT(*) > 70)")
+
+    def test_in_subquery_not_conjunct_rejected(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(Exception, match="conjunct"):
+            ogrsql.execute(
+                "SELECT id FROM t WHERE grp = 0 OR grp IN "
+                "(SELECT grp FROM t WHERE val > 99)",
+                {"t": rd.from_arrow(self._tbl())},
+            ).materialize()
+
+    def test_in_subquery_two_cols_rejected(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError, match="one column"):
+            ogrsql.execute(
+                "SELECT id FROM t WHERE grp IN "
+                "(SELECT grp, val FROM t)",
+                {"t": rd.from_arrow(self._tbl())},
+            )
