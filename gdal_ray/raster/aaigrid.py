@@ -139,6 +139,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.gtx import read_gtx
 
         return read_gtx(path)
+    if low.endswith(".bmp"):
+        from gdal_ray.raster.bmp import read_bmp
+
+        return read_bmp(path)
+    if low.endswith(".gif"):
+        from gdal_ray.raster.gif import read_gif
+
+        return read_gif(path)
     if low.endswith((".los", ".las")):
         from gdal_ray.proj.nadcon import read_loslas
 

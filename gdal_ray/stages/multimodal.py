@@ -221,6 +221,82 @@ def webp_decode_stage(ds, col: str = "media", out_col: str = "pixels",
     )
 
 
+def sniff_image_decode(payload: bytes) -> np.ndarray:
+    """Magic-byte image dispatch across the engine's OWN codecs:
+    PNG, JPEG, lossless WebP, GIF, BMP (round 5 adds the last two —
+    web corpora mix all five).  Paletted GIF/BMP indexes expand
+    through their color tables to (H, W, 3); grey stays (H, W, 1).
+    Lossy 'VP8 ' WebP still raises (signed permanent boundary)."""
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        from gdal_ray.raster.png import decode_png
+
+        t = decode_png(payload)
+        return t[..., None] if t.ndim == 2 else t
+    if payload[:2] == b"\xff\xd8":
+        from gdal_ray.raster.jpeg import decode_jpeg
+
+        t = decode_jpeg(payload)
+        return t[..., None] if t.ndim == 2 else t
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        from gdal_ray.raster.webp import decode_webp
+
+        t = decode_webp(payload)
+        return t[..., None] if t.ndim == 2 else t
+    if payload[:6] in (b"GIF87a", b"GIF89a"):
+        from gdal_ray.raster.gif import decode_gif
+
+        r = decode_gif(payload)
+        return _palette_expand(r["bands"], r["palette"])
+    if payload[:2] == b"BM":
+        from gdal_ray.raster.bmp import decode_bmp
+
+        r = decode_bmp(payload)
+        if len(r["bands"]) >= 3:
+            return np.dstack(r["bands"][:3])
+        return _palette_expand(r["bands"], r["palette"])
+    raise ValueError("unknown image format "
+                     "(not PNG/JPEG/WebP/GIF/BMP)")
+
+
+def _palette_expand(bands, palette) -> np.ndarray:
+    """Index band + color table → (H, W, 3) RGB, or (H, W, 1) when
+    the palette is pure greyscale (or absent)."""
+    idx = bands[0]
+    if not palette or all(r == g == b for r, g, b in palette):
+        if palette:
+            lut = np.array([p[0] for p in palette], np.uint8)
+            lut = np.pad(lut, (0, 256 - len(lut)))
+            return lut[idx][..., None]
+        return idx[..., None]
+    lut = np.zeros((256, 3), np.uint8)
+    lut[:len(palette)] = np.asarray(palette, np.uint8)
+    return lut[idx]
+
+
+class AnyImageDecoder(ImageDecoder):
+    """Magic-dispatched real decode across all five in-repo image
+    codecs — the web-corpus stage (a crawl's media column mixes
+    formats row to row)."""
+
+    def __init__(self, col: str = "media", out_col: str = "pixels"):
+        super().__init__(decode_fn=sniff_image_decode, col=col,
+                         out_col=out_col)
+
+
+def image_decode_stage(ds, col: str = "media", out_col: str = "pixels",
+                       avg_item_bytes: int = 256 * 1024,
+                       concurrency=(1, 4)):
+    """Dataset-level mixed-format image decode: actor pool +
+    byte-capped batches."""
+    return ds.map_batches(
+        AnyImageDecoder,
+        batch_format="pyarrow",
+        batch_size=media_batch_size(avg_item_bytes),
+        concurrency=concurrency,
+        fn_constructor_kwargs={"col": col, "out_col": out_col},
+    )
+
+
 def decode_wav(payload: bytes):
     """PCM WAV (RIFF) → ((n_samples, channels) array, sample_rate).
 
