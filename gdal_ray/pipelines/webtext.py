@@ -33,11 +33,16 @@ def curate(
     jaccard_threshold: float = 0.8,
     count_stages: bool = True,
     join_meta: str = "shuffle",
+    pages=None,
 ):
     """documents → synthesized pages (url/warc_ts/html) → curated
     corpus. Returns (Dataset, ledger dict). ``count_stages=False``
     skips the per-stage ``count()`` calls (each count re-executes the
     lazy lineage prefix — audit/tests only; production streams once).
+
+    ``pages`` overrides the synthesized source with a ready Dataset
+    of (url, warc_ts, html) — ``curate_from_warc`` builds it from
+    real crawl shards.
     """
     from gdal_ray.pipelines import flagship
     from gdal_ray.stages.decontam import (
@@ -61,17 +66,32 @@ def curate(
 
     # 1. pages with an html payload; text column dropped — extraction
     #    must recover it (the north-rule byte-identity contract)
-    pages = flagship.pages_from_documents(sf_dir)
-    pages = pages.map_batches(
-        lambda t: synthesize_html_batch(t).drop_columns(["text"]),
-        batch_format="pyarrow",
-    )
+    if pages is None:
+        pages = flagship.pages_from_documents(sf_dir)
+        pages = pages.map_batches(
+            lambda t: synthesize_html_batch(t).drop_columns(["text"]),
+            batch_format="pyarrow",
+        )
+
     # carry a stable doc id for the dedup stages
     def add_id(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
+        if "doc_id" in t.column_names:
+            return t
         # url suffix after the final '/' is the doc id by construction
-        ids = [int(u.rsplit("/", 1)[1]) for u in t["url"].to_pylist()]
+        # for synthesized pages; real crawl urls fall back to a stable
+        # 64-bit url fingerprint
+        ids = []
+        for u in t["url"].to_pylist():
+            tail = u.rsplit("/", 1)[-1]
+            if tail.isdigit():
+                ids.append(int(tail))
+            else:
+                import hashlib
+
+                ids.append(int.from_bytes(hashlib.sha256(
+                    u.encode()).digest()[:8], "big") >> 1)
         return t.append_column("doc_id", pa.array(ids, pa.int64()))
 
     pages = note("input", pages.map_batches(add_id, batch_format="pyarrow"))
@@ -178,3 +198,28 @@ def curate(
         return t.append_column("n_tokens", n_tokens)
 
     return docs.map_batches(token_stats, batch_format="pyarrow"), ledger
+
+
+def curate_from_warc(warc_paths, bench_texts=None, **kwargs):
+    """Real-crawl entry point: WARC shards → the same curation
+    pipeline.  ``response`` records keep their HTTP-stripped payload
+    as the ``html`` column; everything downstream (extract → langID →
+    quality → decontam → paragraph dedup → near-dup → token stats) is
+    identical to the synthesized path — one engine, two sources.
+
+    100-TB shape: read_warc ships paths only (file-per-task, the
+    Common-Crawl ~1 GiB-per-file layout); no driver materialization
+    is added here."""
+    from gdal_ray.warc import read_warc
+
+    recs = read_warc(warc_paths, keep_types=("response",))
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": t["warc_ts"],
+            "html": t["payload"],
+        })
+
+    pages = recs.map_batches(to_pages, batch_format="pyarrow")
+    return curate("", bench_texts=bench_texts, pages=pages, **kwargs)

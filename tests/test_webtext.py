@@ -60,3 +60,39 @@ class TestCurate:
         pages = flagship.pages_from_documents(SF)
         kept = decontaminate(pages, idx, n=5, mode="drop").count()
         assert kept < 500  # the sampled page (at least) is gone
+
+
+class TestCurateFromWarc:
+    def test_warc_source_equals_synth(self, ray_session, tmp_path):
+        """The same pages through real WARC shards produce the SAME
+        curated survivor set — one engine, two sources."""
+        import pyarrow as pa
+
+        from gdal_ray.pipelines import flagship
+        from gdal_ray.pipelines.webtext import curate, curate_from_warc
+        from gdal_ray.stages.html import synthesize_html_batch
+        from gdal_ray.warc import write_warc
+
+        pages = flagship.pages_from_documents(SF).map_batches(
+            lambda t: synthesize_html_batch(t).drop_columns(["text"]),
+            batch_format="pyarrow",
+        )
+
+        def to_payload(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": t["url"],
+                "warc_ts": t["warc_ts"],
+                "payload": t["html"].cast(pa.binary()),
+            })
+
+        out = str(tmp_path / "crawl")
+        write_warc(pages.map_batches(to_payload, batch_format="pyarrow"),
+                   out)
+
+        got, ledger = curate_from_warc(out)
+        want, _ = curate(SF, count_stages=False)
+        g = got.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        w = want.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert ledger["input"] == 500
+        assert list(g["doc_id"]) == list(w["doc_id"])
+        assert list(g["text"]) == list(w["text"])
