@@ -139,6 +139,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.gtx import read_gtx
 
         return read_gtx(path)
+    if low.endswith((".hgt", ".hgts")):
+        from gdal_ray.raster.srtmhgt import read_srtmhgt
+
+        return read_srtmhgt(path)
+    if low.endswith((".pgm", ".ppm", ".pbm", ".pnm")):
+        from gdal_ray.raster.pnm import read_pnm
+
+        return read_pnm(path)
     if low.endswith(".bmp"):
         from gdal_ray.raster.bmp import read_bmp
 
