@@ -154,6 +154,10 @@ def run_queries() -> dict:
         "text_fingerprints",
         "stats_agg",
         "html_extract",
+        # round-5 additions
+        "sql_union",
+        "sql_in_subquery",
+        "like_escape",
     ]
     q = entrymod.queries()
     out = {}

@@ -139,6 +139,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.gtx import read_gtx
 
         return read_gtx(path)
+    if low.endswith(".tga"):
+        from gdal_ray.raster.tga import read_tga
+
+        return read_tga(path)
     if low.endswith((".hgt", ".hgts")):
         from gdal_ray.raster.srtmhgt import read_srtmhgt
 
