@@ -167,6 +167,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.netcdf import read_netcdf_array
 
         return read_netcdf_array(path)
+    if low.endswith((".mbtiles", ".mbtiles.sql")):
+        from gdal_ray.mbtiles import read_mbtiles_array
+
+        return read_mbtiles_array(path)
     if low.endswith(".gpkg"):
         from gdal_ray.gpkg_raster import read_gpkg_raster_array
 
