@@ -880,6 +880,73 @@ FROM w
 """
 
 
+def q_vshift_gtx(sf_dir: str):
+    """Vertical datum shift through a real GTX geoid grid (round 5 —
+    reference role: frmts/raw/gtxdataset.cpp + PROJ vgridshift).
+    The synthetic geoid's node values AND the input lon/lat/z are all
+    DYADIC, so every float64 operation on both sides is exact and the
+    hash must match bit-for-bit regardless of evaluation order
+    (the ntv2_shift discipline).  Grid: 41×81 cells of 0.25°, lower-
+    left center (30N, 250E) — the 0..360 convention real .gtx files
+    use."""
+    import ray.data as rd
+
+    from gdal_ray.raster.gtx import decode_gtx, encode_gtx, gtx_interpolate
+
+    i = np.arange(41)[::-1][:, None]  # north-up rows ← south index i
+    j = np.arange(81)[None, :]
+    band = (2.0 + 0.25 * i + 0.125 * j + 0.0625 * i * j).astype(
+        np.float32)
+    gt = (250.0 - 0.125, 0.25, 0.0, 30.0 + 40.5 * 0.25, 0.0, -0.25)
+    grid = decode_gtx(encode_gtx(band, gt))  # through the codec
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id"])
+
+    def shift(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        lon = 250.25 + (ids * 7919 % 1216) / 64.0
+        lat = 30.25 + (ids * 104729 % 576) / 64.0
+        z = (ids % 512) / 8.0
+        und = gtx_interpolate(grid, lon, lat)
+        assert bool(np.isfinite(und).all())
+        return pa.table({"doc_id": t["doc_id"], "h": z + und})
+
+    return ds.map_batches(shift, batch_format="pyarrow")
+
+
+def _sql_vshift_gtx() -> str:
+    """The same GTX bilinear in SQL, node values from the dyadic
+    formula g(r,c) = 2 + 0.25*(40-r) + 0.125*c + 0.0625*(40-r)*c
+    (north-up row r, column c) — equals the float32 grid exactly."""
+    g = "(2.0 + 0.25*(40-{r}) + 0.125*{c} + 0.0625*(40-{r})*{c})"
+    v00 = g.format(r="r", c="c")
+    v01 = g.format(r="r", c="(c+1)")
+    v10 = g.format(r="(r+1)", c="c")
+    v11 = g.format(r="(r+1)", c="(c+1)")
+    return f"""
+WITH pts AS (
+  SELECT doc_id,
+         250.25 + (doc_id*7919 % 1216)/64.0 AS lon,
+         30.25 + (doc_id*104729 % 576)/64.0 AS lat,
+         (doc_id % 512)/8.0 AS z
+  FROM documents
+),
+idx AS (
+  SELECT *, (lon - 250.0)*4.0 AS fx, (40.0 - lat)*4.0 AS fy FROM pts
+),
+cell AS (
+  SELECT *, floor(fy) AS r, floor(fx) AS c, fy - floor(fy) AS ty,
+         fx - floor(fx) AS tx
+  FROM idx
+)
+SELECT doc_id,
+       z + ((1.0-ty)*((1.0-tx)*{v00} + tx*{v01})
+            + ty*((1.0-tx)*{v10} + tx*{v11})) AS h
+FROM cell
+"""
+
+
 _ST_BOX = ("POLYGON ((-30.00005 -60.00005, 60.00005 -60.00005, "
            "60.00005 70.00005, -30.00005 70.00005, -30.00005 -60.00005))")
 
@@ -1175,6 +1242,7 @@ QUERIES: dict[str, Callable[[str], Any]] = {
     "distance_line": q_distance_line,
     "buffer_erode": q_buffer_erode,
     "ntv2_shift": q_ntv2_shift,
+    "vshift_gtx": q_vshift_gtx,
     "sql_st_funcs": q_sql_st_funcs,
     "scrub_canon": q_scrub_canon,
 }
@@ -1203,6 +1271,7 @@ ORACLE: dict[str, str] = {
     "distance_line": _sql_distance_line(),
     "buffer_erode": _sql_buffer_erode(),
     "ntv2_shift": _sql_ntv2_shift(),
+    "vshift_gtx": _sql_vshift_gtx(),
     "sql_st_funcs": _sql_st_funcs(),
     "scrub_canon": _sql_scrub_canon(),
 }
