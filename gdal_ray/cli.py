@@ -128,6 +128,11 @@ def build_pipeline(spec: str):
 
         source = lambda: gpkg.read_gpkg(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.endswith(".gml"):
+        from gdal_ray import gml
+
+        source = lambda: gml.read_gml(  # noqa: E731
+            src_path, layer=src_args.get("layer"))
     elif low.endswith(".kml"):
         from gdal_ray import kmlgpx
 
