@@ -280,6 +280,10 @@ def run_pipeline(spec: str):
             from gdal_ray import kmlgpx
 
             kmlgpx.write_kml(ds, arg)
+        elif low.endswith(".gml"):
+            from gdal_ray import gml
+
+            gml.write_gml(ds, arg)
         elif low.endswith(".fgb"):
             import pyarrow as pa
 

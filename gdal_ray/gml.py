@@ -244,3 +244,121 @@ def read_gml(paths, layer: str | None = None):
             for p in batch["path"].to_pylist()])
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# write (the reference CreateDataSource role: ogr: namespace layout)
+# ---------------------------------------------------------------------------
+
+
+def _xml_escape(s: str) -> str:
+    return (s.replace("&", "&amp;").replace("<", "&lt;")
+            .replace(">", "&gt;"))
+
+
+def _fmt(v: float) -> str:
+    return f"{v:.15g}"
+
+
+def _gml_geom(buf: bytes) -> str:
+    """ISO WKB → GML3 geometry markup (x,y wire order — the plain
+    EPSG srsName convention; the writer never emits urn axis flips)."""
+    g = W.parse(buf)
+    t = g["type"]
+    if t == 1:
+        x, y = g["coords"][0][:2]
+        return (f"<gml:Point><gml:pos>{_fmt(x)} {_fmt(y)}</gml:pos>"
+                "</gml:Point>")
+    if t == 2:
+        pos = " ".join(f"{_fmt(x)} {_fmt(y)}"
+                       for x, y in np.asarray(g["coords"])[:, :2])
+        return (f"<gml:LineString><gml:posList>{pos}</gml:posList>"
+                "</gml:LineString>")
+    if t == 3:
+        rings = g["rings"]
+        out = ["<gml:Polygon>"]
+        for k, ring in enumerate(rings):
+            tag = "exterior" if k == 0 else "interior"
+            pos = " ".join(f"{_fmt(x)} {_fmt(y)}"
+                           for x, y in np.asarray(ring)[:, :2])
+            out.append(f"<gml:{tag}><gml:LinearRing><gml:posList>"
+                       f"{pos}</gml:posList></gml:LinearRing>"
+                       f"</gml:{tag}>")
+        out.append("</gml:Polygon>")
+        return "".join(out)
+    if t in (4, 5, 6):
+        name = {4: "MultiPoint", 5: "MultiCurve", 6: "MultiSurface"}[t]
+        member = {4: "pointMember", 5: "curveMember",
+                  6: "surfaceMember"}[t]
+        parts = []
+        import struct as _s
+
+        n = _s.unpack_from("<I", buf, 5)[0]
+        off = 9
+        for _ in range(n):
+            sub = W.parse(buf, off)
+            parts.append(
+                f"<gml:{member}>{_gml_geom(buf[off:sub['end']])}"
+                f"</gml:{member}>")
+            off = sub["end"]
+        return f"<gml:{name}>{''.join(parts)}</gml:{name}>"
+    if t == 7:
+        import struct as _s
+
+        n = _s.unpack_from("<I", buf, 5)[0]
+        off = 9
+        parts = []
+        for _ in range(n):
+            sub = W.parse(buf, off)
+            parts.append("<gml:geometryMember>"
+                         + _gml_geom(buf[off:sub["end"]])
+                         + "</gml:geometryMember>")
+            off = sub["end"]
+        return f"<gml:MultiGeometry>{''.join(parts)}</gml:MultiGeometry>"
+    raise ValueError(f"GML writer: unsupported WKB type {t}")
+
+
+def write_gml_table(table: pa.Table, path: str,
+                    layer: str = "layer") -> None:
+    """Arrow table (ISO-WKB ``geometry`` column) → GML 3 simple
+    features in the reference's ogr: namespace layout."""
+    lines = [
+        '<?xml version="1.0" encoding="utf-8" ?>',
+        "<ogr:FeatureCollection",
+        '     xmlns:xsi="http://www.w3.org/2001/XMLSchema-instance"',
+        '     xmlns:ogr="http://ogr.maptools.org/"',
+        '     xmlns:gml="http://www.opengis.net/gml">',
+    ]
+    fields = [c for c in table.column_names if c != "geometry"]
+    for i in range(table.num_rows):
+        lines.append("  <gml:featureMember>")
+        lines.append(f'    <ogr:{layer} gml:id="{layer}.{i}">')
+        buf = table["geometry"][i].as_py() \
+            if "geometry" in table.column_names else None
+        if buf is not None:
+            lines.append("      <ogr:geometryProperty>"
+                         + _gml_geom(buf) + "</ogr:geometryProperty>")
+        for c in fields:
+            v = table[c][i].as_py()
+            if v is None:
+                continue
+            if isinstance(v, float):
+                v = _fmt(v)
+            lines.append(f"      <ogr:{c}>{_xml_escape(str(v))}"
+                         f"</ogr:{c}>")
+        lines.append(f"    </ogr:{layer}>")
+        lines.append("  </gml:featureMember>")
+    lines.append("</ogr:FeatureCollection>")
+    from gdal_ray.vsi import vsi_write_bytes
+
+    vsi_write_bytes(path, "\n".join(lines).encode("utf-8"))
+
+
+def write_gml(ds, path: str, layer: str = "layer") -> None:
+    """Dataset → one GML document (XML is a single-document format —
+    the serial driver-side sink mirrors the reference's single-file
+    writer; shard across MANY .gml files for scale, as with the
+    other single-document sinks)."""
+    t = pa.concat_tables(
+        ds.iter_batches(batch_format="pyarrow", batch_size=None))
+    write_gml_table(t, path, layer)

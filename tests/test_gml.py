@@ -98,3 +98,61 @@ def test_read_gml_dataset(ray_session):
     assert len(rows) == read_gml_local(
         D + "gnis_pop_100.gml").num_rows + read_gml_local(
         D + "gnis_pop_110.gml").num_rows
+
+
+class TestGmlWrite:
+    def test_roundtrip_all_types(self, tmp_path):
+        from gdal_ray.gml import write_gml_table
+
+        sq = W.polygon_wkb(
+            np.array([[0.0, 0.0], [4, 0], [4, 4], [0, 4], [0, 0]]),
+            [np.array([[1.0, 1], [2, 1], [2, 2], [1, 2], [1, 1]])])
+        geoms = [
+            W.point_wkb(2.5, 49.25),
+            W.linestring_wkb(np.array([[0.0, 0], [1, 1], [2, 0]])),
+            sq,
+        ]
+        t = pa.table({
+            "name": ["a", "b <&> c", "d"],
+            "n": [1, 2, 3],
+            "v": [0.5, None, 2.25],
+            "geometry": pa.array(geoms, pa.binary()),
+        })
+        p = str(tmp_path / "out.gml")
+        write_gml_table(t, p, layer="mylayer")
+        back = read_gml_local(p, "mylayer")
+        assert back.num_rows == 3
+        assert back["name"].to_pylist() == ["a", "b <&> c", "d"]
+        assert back["n"].to_pylist() == [1, 2, 3]
+        assert back["v"].to_pylist() == [0.5, None, 2.25]
+        for i in range(3):
+            assert back["geometry"][i].as_py() == geoms[i]
+
+    def test_multigeoms_roundtrip(self, tmp_path):
+        from gdal_ray.gml import write_gml_table
+
+        mp = W.multipolygon_wkb([
+            np.array([[0.0, 0], [1, 0], [1, 1], [0, 1], [0, 0]]),
+            np.array([[5.0, 5], [6, 5], [6, 6], [5, 6], [5, 5]]),
+        ])
+        t = pa.table({"geometry": pa.array([mp], pa.binary())})
+        p = str(tmp_path / "mp.gml")
+        write_gml_table(t, p)
+        back = read_gml_local(p)
+        g = W.parse(back["geometry"][0].as_py())
+        assert g["type"] == 6
+        assert back["geometry"][0].as_py() == mp
+
+    def test_dataset_write(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from gdal_ray.gml import write_gml
+
+        rows = [{"id": i,
+                 "geometry": W.point_wkb(float(i), float(-i))}
+                for i in range(10)]
+        p = str(tmp_path / "pts.gml")
+        write_gml(rd.from_items(rows), p, layer="pts")
+        back = read_gml_local(p, "pts")
+        assert back.num_rows == 10
+        assert back["id"].to_pylist() == list(range(10))
