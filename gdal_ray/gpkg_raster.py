@@ -310,9 +310,12 @@ def write_gpkg_raster(path: str, bands, gt, crs: str = "",
 def write_gpkg_raster_dataset(ds, path: str, table: str = "raster",
                               tile_size: int = 256) -> None:
     """Tile-table Dataset → GeoPackage: PNG ENCODING runs inside Ray
-    tasks (the expensive stage); the driver performs only the
-    SQLite inserts of finished blobs — SQLite is single-writer by
-    design, so the serial tail is O(tiles) prepared-blob inserts."""
+    tasks (the expensive stage); the driver STREAMS finished blobs
+    batch-by-batch into SQLite — single-writer by format design, so
+    the serial tail is O(tiles) inserts at O(one batch) driver memory.
+    Extent metadata is patched after the stream from the observed
+    max tile row/col (tile-table blocks of one (block_y, block_x)
+    travel together per the model's block-major layout)."""
     import pyarrow as pa
 
     from gdal_ray.raster import model
@@ -323,21 +326,19 @@ def write_gpkg_raster_dataset(ds, path: str, table: str = "raster",
     def encode(batch: pa.Table) -> pa.Table:
         # regroup rows of one block: encode each (block_y, block_x)
         rows = batch.to_pylist()
-        out = []
+        groups: dict[tuple, list] = {}
         for r in rows:
-            if r["band"] != 1:
-                continue  # multi-band blocks are assembled below
-            same = [q for q in rows
-                    if q["block_x"] == r["block_x"]
-                    and q["block_y"] == r["block_y"]]
+            groups.setdefault((r["block_y"], r["block_x"]), []).append(r)
+        out = []
+        for (_, _), same in sorted(groups.items()):
             same.sort(key=lambda q: q["band"])
             planes = [model.tile_array(q) for q in same]
             block = (np.dstack(planes) if len(planes) > 1
                      else planes[0])
             blob = _encode_tile_png(block.astype(np.uint8), 0, 0,
                                     tile_size, tile_size)
-            out.append({"col": r["x0"] // tile_size,
-                        "row": r["y0"] // tile_size,
+            out.append({"col": same[0]["x0"] // tile_size,
+                        "row": same[0]["y0"] // tile_size,
                         "png": blob})
         return pa.Table.from_pylist(out) if out else pa.table(
             {"col": pa.array([], pa.int64()),
@@ -345,18 +346,28 @@ def write_gpkg_raster_dataset(ds, path: str, table: str = "raster",
              "png": pa.array([], pa.binary())})
 
     encoded = ds.map_batches(encode, batch_format="pyarrow")
-    # derive extent from the tile grid: infer from max row/col below
-    rows = encoded.take_all()
-    if not rows:
-        raise ValueError("empty dataset")
-    w = (max(r["col"] for r in rows) + 1) * tile_size
-    h = (max(r["row"] for r in rows) + 1) * tile_size
     placeholder = np.zeros((1, 1), np.uint8)
     write_gpkg_raster(path, [placeholder], gt, crs=crs, table=table,
                       tile_size=tile_size)
+    max_col = max_row = -1
     con = sqlite3.connect(path)
     try:
         con.execute(f'DELETE FROM "{table}"')
+        for batch in encoded.iter_batches(batch_format="pyarrow"):
+            cols = batch.column("col").to_pylist()
+            trows = batch.column("row").to_pylist()
+            pngs = batch.column("png").to_pylist()
+            if cols:
+                max_col = max(max_col, max(cols))
+                max_row = max(max_row, max(trows))
+            con.executemany(
+                f'INSERT INTO "{table}" (zoom_level, tile_column, '
+                "tile_row, tile_data) VALUES (0, ?, ?, ?)",
+                list(zip(cols, trows, pngs)))
+        if max_col < 0:
+            raise ValueError("empty dataset")
+        w = (max_col + 1) * tile_size
+        h = (max_row + 1) * tile_size
         con.execute("UPDATE gpkg_contents SET min_y = ?, max_x = ? "
                     "WHERE table_name = ?",
                     (gt[3] + h * gt[5], gt[0] + w * gt[1], table))
@@ -366,10 +377,6 @@ def write_gpkg_raster_dataset(ds, path: str, table: str = "raster",
         con.execute("UPDATE gpkg_tile_matrix SET matrix_width = ?, "
                     "matrix_height = ? WHERE table_name = ?",
                     (w // tile_size, h // tile_size, table))
-        con.executemany(
-            f'INSERT INTO "{table}" (zoom_level, tile_column, '
-            "tile_row, tile_data) VALUES (0, ?, ?, ?)",
-            [(r["col"], r["row"], r["png"]) for r in rows])
         con.commit()
     finally:
         con.close()
