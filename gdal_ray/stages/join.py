@@ -279,38 +279,62 @@ def join_compose_safe(ds, num_blocks: int = 8):
     return ds.repartition(num_blocks)
 
 
-def semi_join_ds(left, right, key_col: str, right_key: str | None = None,
-                 num_partitions: int = 8):
-    """DISTRIBUTED semi join: keep left rows whose key appears in the
-    right Dataset — hash-partitioned ``Dataset.join(left_semi)``, no
-    driver-side key set (the broadcast ``semi_join`` above is the
-    small-side fast path; this is the 100-TB route: billions of keys
-    never leave the workers).  The right side is locally de-duplicated
-    per batch first to shrink the shuffle."""
+#: keys-side row bound under which membership joins broadcast the key
+#: set instead of shuffling — same trade as ``broadcast_hash_join``'s
+#: guard: the set lives ONCE per node in plasma, the big side streams.
+MEMBERSHIP_BROADCAST_ROWS = 2_000_000
+
+
+def _membership_join(left, right, key_col: str, right_key: str | None,
+                     num_partitions: int, negated: bool):
+    """Shared semi/anti core.  The right side is reduced to per-batch
+    -unique keys first.  If the deduped key set is small (bounded by
+    ``MEMBERSHIP_BROADCAST_ROWS``), membership is a broadcast
+    ``is_in`` filter — no shuffle, and immune to Ray 2.49's
+    zero-column empty right partitions (a hash join whose right side
+    has fewer distinct keys than partitions leaves some right
+    partitions EMPTY, and Acero then can't resolve the key FieldRef —
+    racy, seen on ``IN (SELECT source …)`` with ~4 distinct values).
+    Only a genuinely large key set takes the hash-partitioned
+    ``Dataset.join`` (billions of keys never leave the workers; with
+    that many distinct keys every partition is populated)."""
     right_key = right_key or key_col
     keys = right.map_batches(
         lambda t, c=right_key: pa.table({c: pc.unique(t[c])}),
         batch_format="pyarrow",
-    )
-    out = left.join(keys, join_type="left_semi",
+    ).materialize()
+    if keys.count() <= MEMBERSHIP_BROADCAST_ROWS:
+        chunks = [b[right_key] for b in
+                  keys.iter_batches(batch_format="pyarrow")]
+        if not chunks:  # empty subquery: IN () = none, NOT IN () = all
+            return left if negated else left.limit(0)
+        key_arr = pc.unique(pa.concat_arrays(
+            [c.combine_chunks() if isinstance(c, pa.ChunkedArray) else c
+             for c in chunks]))
+        return (anti_join if negated else semi_join)(left, key_arr, key_col)
+    out = left.join(keys, join_type="left_anti" if negated else "left_semi",
                     num_partitions=num_partitions,
                     on=(key_col,), right_on=(right_key,))
     return join_compose_safe(out, num_partitions)
+
+
+def semi_join_ds(left, right, key_col: str, right_key: str | None = None,
+                 num_partitions: int = 8):
+    """DISTRIBUTED semi join: keep left rows whose key appears in the
+    right Dataset.  Small deduped key sets broadcast (``is_in``);
+    large ones hash-partition through ``Dataset.join(left_semi)`` —
+    see ``_membership_join`` for the trade and the empty-partition
+    hazard the broadcast path sidesteps."""
+    return _membership_join(left, right, key_col, right_key,
+                            num_partitions, negated=False)
 
 
 def anti_join_ds(left, right, key_col: str, right_key: str | None = None,
                  num_partitions: int = 8):
-    """DISTRIBUTED anti join — ``Dataset.join(left_anti)``; see
-    ``semi_join_ds``."""
-    right_key = right_key or key_col
-    keys = right.map_batches(
-        lambda t, c=right_key: pa.table({c: pc.unique(t[c])}),
-        batch_format="pyarrow",
-    )
-    out = left.join(keys, join_type="left_anti",
-                    num_partitions=num_partitions,
-                    on=(key_col,), right_on=(right_key,))
-    return join_compose_safe(out, num_partitions)
+    """DISTRIBUTED anti join — drop left rows whose key appears in the
+    right Dataset; see ``semi_join_ds`` / ``_membership_join``."""
+    return _membership_join(left, right, key_col, right_key,
+                            num_partitions, negated=True)
 
 
 def broadcast_table(table: pa.Table) -> ray.ObjectRef:
