@@ -340,8 +340,53 @@ JOIN sh ON sh.doc_id = p.doc_id
 """
 
 
+def q_jaccard_ngram(sf_dir: str):
+    """EXACT all-pairs 4-gram Jaccard ≥ 0.5 via the distributed
+    inverted gram index (stages/dedup.py::jaccard_ngram_pairs) — the
+    dedup family's exact set-similarity join, complementing the
+    MinHash-LSH route (`near_dups`): no banding, so ANY threshold is
+    exact — 0.3 here, far below where 16-band LSH recall collapses
+    (recall at J=0.3 is ~1-(1-0.3^8)^16 ≈ 0.1%; this operator returns
+    all ~51k qualifying pairs, near_dups' regime returns 25).  Oracle: DuckDB recomputes the all-pairs
+    distinct-4-gram Jaccard from raw texts (ASCII corpus ⇒ byte
+    shingles ≡ character shingles; hashed-shingle Jaccard ≡ raw-gram
+    Jaccard barring 64-bit collisions, same contract as near_dups)."""
+    from gdal_ray.stages.dedup import jaccard_ngram_pairs
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                         columns=["doc_id", "text"])
+    return jaccard_ngram_pairs(ds, threshold=0.3)
+
+
+def sql_jaccard_ngram() -> str:
+    return """
+WITH docs AS (
+  SELECT doc_id,
+         CASE WHEN length(text) < 4 THEN rpad(text, 4, ' ') ELSE text END AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substr(t, CAST(s.i AS INT), 4) AS g
+  FROM docs, range(1, 65536) AS s(i)
+  WHERE s.i <= length(t) - 3
+),
+sizes AS (SELECT doc_id, count(*) AS c FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT g1.doc_id AS a, g2.doc_id AS b, count(*) AS ix
+  FROM grams g1 JOIN grams g2 ON g1.g = g2.g AND g1.doc_id < g2.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.a, i.b, CAST(i.ix AS DOUBLE) / (sa.c + sb.c - i.ix) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.a
+JOIN sizes sb ON sb.doc_id = i.b
+WHERE CAST(i.ix AS DOUBLE) / (sa.c + sb.c - i.ix) >= 0.3
+"""
+
+
 ML_QUERIES = {
     "embed_topk": (q_embed_topk, sql_embed_topk()),
+    "jaccard_ngram": (q_jaccard_ngram, sql_jaccard_ngram()),
     # embed_neardup (the exact O(n²) driver-side baseline) is retired
     # from the 50-slot registry: its oracle row was literally redundant
     # with embed_neardup_lsh (same 22 pairs, same SQL) and the slot now

@@ -285,6 +285,124 @@ def near_duplicates(
     return cand.map_batches(verify, batch_format="pyarrow")
 
 
+def jaccard_ngram_pairs(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 4,
+    threshold: float = 0.5,
+    num_partitions: int = 16,
+):
+    """EXACT all-pairs distinct-k-gram Jaccard via a distributed
+    inverted gram index — the classic set-similarity-join shape
+    (gram → posting list → co-grouped pair counting), no minhash
+    approximation anywhere, so any threshold is exact (LSH recall at
+    the boundary is probabilistic by design; this operator has no
+    such caveat).  Reference role: the GNM fuzzy string matching the
+    reference exposes through SQLITE_HAS_SPELLFIX (ogrsqlitevfs role)
+    — re-expressed as a corpus-scale pair join.
+
+    Three stages, each the repo's coarse-partition-combine shape:
+
+    1. ``map_batches``: per-doc distinct gram hashes (vectorized
+       sliding-window rolling hash) flattened to (gram, doc, size)
+       postings; partition key = gram % P (the gram IS already a
+       hash).
+    2. one vectorized pair expansion per gram partition: lexsort by
+       (gram, doc), run-length boundaries, triu-index expansion —
+       emits (a, b, sa, sb) with a < b by construction; partition key
+       = pair hash % P.
+    3. one vectorized combine per pair partition: rows per (a, b) =
+       |grams(a) ∩ grams(b)|; Jaccard = ix / (sa + sb - ix); filter.
+
+    Scale contract: exact all-pairs is inherently O(Σ_g df(g)²) pair
+    rows — hot grams (stopword shingles) dominate.  This is the
+    algorithm's cost, not an implementation artifact; at web scale
+    use ``near_duplicates`` (MinHash-LSH) and reserve this operator
+    for exact audits / oracle-grade comparisons on bounded corpora.
+    Pair hashes collide only as partition skew, never as wrong
+    results (the combine groups on the real (a, b) values)."""
+
+    def postings(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        texts = t[text_col].to_pylist()
+        grams, docs, sizes = [], [], []
+        for i, tx in zip(ids, texts):
+            h = char_shingle_hashes(tx or "", k)
+            grams.append(h)
+            docs.append(np.full(len(h), i, np.int64))
+            sizes.append(np.full(len(h), len(h), np.int64))
+        g = np.concatenate(grams) if grams else np.empty(0, np.uint64)
+        d = np.concatenate(docs) if docs else np.empty(0, np.int64)
+        s = np.concatenate(sizes) if sizes else np.empty(0, np.int64)
+        return pa.table({
+            "g": pa.array(g.astype(np.int64)),  # arrow-friendly view
+            "d": pa.array(d), "s": pa.array(s),
+            "__part": pa.array((g % num_partitions).astype(np.int64)),
+        })
+
+    posts = ds.map_batches(postings, batch_format="pyarrow")
+
+    def expand(t: pa.Table) -> pa.Table:
+        g = t["g"].to_numpy(zero_copy_only=False)
+        d = t["d"].to_numpy(zero_copy_only=False)
+        s = t["s"].to_numpy(zero_copy_only=False)
+        if len(g) == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "sa": pa.array([], pa.int64()), "sb": pa.array([], pa.int64()),
+                "__part": pa.array([], pa.int64()),
+            })
+        order = np.lexsort((d, g))
+        g, d, s = g[order], d[order], s[order]
+        n = len(g)
+        starts = np.flatnonzero(np.r_[True, g[1:] != g[:-1]])
+        lens = np.diff(np.r_[starts, n])
+        ends = np.repeat(starts + lens, lens)  # run end per element
+        idx = np.arange(n)
+        rep = ends - idx - 1  # pairs led by each element
+        a_idx = np.repeat(idx, rep)
+        cum = np.concatenate(([0], np.cumsum(rep)))
+        off = np.arange(int(cum[-1])) - np.repeat(cum[:-1], rep)
+        b_idx = a_idx + 1 + off
+        a, b = d[a_idx], d[b_idx]  # a < b: sorted by (g, d), distinct
+        ph = (a * np.int64(1000003) + b) % num_partitions
+        return pa.table({
+            "a": pa.array(a), "b": pa.array(b),
+            "sa": pa.array(s[a_idx]), "sb": pa.array(s[b_idx]),
+            "__part": pa.array(ph.astype(np.int64)),
+        })
+
+    pairs = posts.groupby("__part", num_partitions=num_partitions) \
+        .map_groups(expand, batch_format="pyarrow")
+
+    def combine(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy(zero_copy_only=False)
+        b = t["b"].to_numpy(zero_copy_only=False)
+        sa = t["sa"].to_numpy(zero_copy_only=False)
+        sb = t["sb"].to_numpy(zero_copy_only=False)
+        if len(a) == 0:
+            return pa.table({
+                "a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            })
+        order = np.lexsort((b, a))
+        a, b, sa, sb = a[order], b[order], sa[order], sb[order]
+        new = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        starts = np.flatnonzero(new)
+        ix = np.diff(np.r_[starts, len(a)])  # rows per pair = |∩|
+        a0, b0, sa0, sb0 = a[starts], b[starts], sa[starts], sb[starts]
+        jac = ix / (sa0 + sb0 - ix)
+        keep = jac >= threshold
+        return pa.table({
+            "a": pa.array(a0[keep]), "b": pa.array(b0[keep]),
+            "jaccard": pa.array(jac[keep], pa.float64()),
+        })
+
+    return pairs.groupby("__part", num_partitions=num_partitions) \
+        .map_groups(combine, batch_format="pyarrow")
+
+
 def connected_components(pairs_ds, max_iters: int = 10, num_partitions: int | None = None):
     """Min-label propagation over verified pairs → (id, component)
     rows. Each round: label[x] = min(label of all neighbors ∪ self);

@@ -60,6 +60,41 @@ class TestMinHash:
                     expected.add((i, j))
         assert found == expected
 
+    def test_jaccard_ngram_exact_all_pairs(self, ray_session):
+        # inverted-index exact join == brute force at EVERY threshold,
+        # including ones where LSH recall would collapse
+        import ray.data as rd
+
+        t = _docs_with_dups()
+        ds = rd.from_arrow(t)
+        texts = t["text"].to_pylist()
+        sh = [dedup.char_shingle_hashes(x, 4) for x in texts]
+        for thr in (0.1, 0.3, 0.5):
+            pairs = dedup.jaccard_ngram_pairs(
+                ds, threshold=thr, num_partitions=4).to_pandas()
+            got = {(r.a, r.b): r.jaccard for r in pairs.itertuples()}
+            expected = {}
+            for i in range(len(texts)):
+                for j in range(i + 1, len(texts)):
+                    jac = dedup.jaccard(sh[i], sh[j])
+                    if jac >= thr:
+                        expected[(i, j)] = jac
+            assert set(got) == set(expected), thr
+            for key, jac in expected.items():
+                assert abs(got[key] - jac) < 1e-12
+
+    def test_jaccard_ngram_empty_and_single(self, ray_session):
+        import ray.data as rd
+
+        one = pa.table({"doc_id": pa.array([7], pa.int64()),
+                        "text": pa.array(["lonely"], pa.string())})
+        out = dedup.jaccard_ngram_pairs(
+            rd.from_arrow(one), num_partitions=2).to_pandas()
+        # zero pairs; Ray 2.49 drops the schema of an all-empty
+        # groupby output (zero-column empty blocks), so only the
+        # row-count contract is asserted here
+        assert len(out) == 0
+
     def test_connected_components(self, ray_session):
         import ray.data as rd
 
