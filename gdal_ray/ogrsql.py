@@ -27,6 +27,7 @@ from __future__ import annotations
 import re
 from dataclasses import dataclass, field
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -1549,31 +1550,120 @@ def _compile(sel: Select, tables: dict):
     return ds
 
 
+def _contains_in_subquery(node) -> bool:
+    if isinstance(node, InSubquery):
+        return True
+    for attr in ("left", "right", "operand", "lo", "hi"):
+        child = getattr(node, attr, None)
+        if child is not None and _contains_in_subquery(child):
+            return True
+    if isinstance(node, Func):
+        return any(_contains_in_subquery(a) for a in node.args)
+    return False
+
+
+def _fusable_scan(p) -> bool:
+    """True when the branch is a plain project+filter over one named
+    table — the shape the fused single-scan UNION path can evaluate
+    per batch."""
+    return (isinstance(p, Select) and not isinstance(p, SetOp)
+            and not p.ctes and isinstance(p.table, str)
+            and not p.joins and not p.group_by and p.having is None
+            and not p.order_by and p.limit is None and not p.offset
+            and not p.distinct
+            and not any(isinstance(e, Col) and e.name == "*"
+                        for e, _a in p.columns)
+            and not any(_has_agg(e) or _has_window(e)
+                        for e, _a in p.columns)
+            and (p.where is None
+                 or (not _contains_in_subquery(p.where)
+                     and not _has_window(p.where))))
+
+
 def _compile_setop(u: SetOp, tables: dict):
     """UNION chain: branches align BY POSITION and take the first
-    branch's column names (standard SQL); Dataset.union appends
-    blocks (no shuffle), each non-ALL boundary runs the distinct
-    groupby."""
-    ds = _compile(u.parts[0], tables)
-    names = ds.schema().names
+    branch's column names (standard SQL).
 
-    def renamed(part):
-        d = _compile(part, tables)
-        pn = d.schema().names
-        if len(pn) != len(names):
-            raise ValueError(
-                f"UNION branches must have the same column count "
-                f"({len(names)} vs {len(pn)})")
-        if pn == names:
-            return d
-        return d.map_batches(
-            lambda t, _n=list(names): t.rename_columns(_n),
-            batch_format="pyarrow")
+    Fused fast path — when every branch is a plain project+filter
+    over the SAME table, the whole chain is ONE scan: each batch
+    evaluates every branch's filter+projection and concatenates (the
+    asof tag-union lesson: N branched scans of one table cost N
+    parquet reads plus N schema probes).  Distinct semantics collapse
+    algebraically: with j = the LAST non-ALL boundary, the chain
+    equals distinct(parts[0..j+1]) UNION ALL parts[j+2..] — a later
+    UNION's distinct subsumes every earlier boundary's multiplicity.
+    The dedup itself is the coarse-partition shape (per-batch local
+    distinct, hash(row)%P shuffle of 64-bit keys, one Arrow group_by
+    per partition) rather than a groupby on all — possibly string —
+    columns.  Mixed chains that don't fit fall back to per-branch
+    compile + Dataset.union."""
+    fused = (all(_fusable_scan(p) for p in u.parts)
+             and len({p.table for p in u.parts}) == 1
+             and u.parts[0].table in tables)
+    if fused:
+        # last non-ALL boundary: parts[0..jb+1] dedup, rest passthrough
+        jb = max((i for i, a in enumerate(u.alls) if not a), default=None)
+        n_dedup = 0 if jb is None else jb + 2
+        first = u.parts[0]
+        names = [a or _expr_name(e, k)
+                 for k, (e, a) in enumerate(first.columns)]
+        for p in u.parts[1:]:
+            if len(p.columns) != len(names):
+                raise ValueError(
+                    f"UNION branches must have the same column count "
+                    f"({len(names)} vs {len(p.columns)})")
+        parts = list(u.parts)
 
-    for part, is_all in zip(u.parts[1:], u.alls):
-        ds = ds.union(renamed(part))
-        if not is_all:
-            ds = _distinct_rows(ds)
+        def fused_eval(batch: pa.Table) -> pa.Table:
+            outs = []
+            for bi, p in enumerate(parts):
+                b = batch
+                if p.where is not None:
+                    mask = eval_expr(p.where, b)
+                    if isinstance(mask, pa.ChunkedArray):
+                        mask = mask.combine_chunks()
+                    b = b.filter(mask)
+                cols = {}
+                for k2, (e, _alias) in enumerate(p.columns):
+                    v = eval_expr(e, b)
+                    if isinstance(v, pa.Scalar):
+                        v = pa.nulls(b.num_rows).cast(v.type) \
+                            .fill_null(v)
+                    if isinstance(v, pa.ChunkedArray):
+                        v = v.combine_chunks()
+                    cols[f"c{k2}"] = v
+                out = pa.table(cols).rename_columns(names)
+                if n_dedup:
+                    out = out.append_column("__dd", pa.array(
+                        np.full(out.num_rows, bi < n_dedup)))
+                outs.append(out)
+            return pa.concat_tables(outs, promote_options="permissive")
+
+        base = tables[first.table]
+        ds = base.map_batches(fused_eval, batch_format="pyarrow")
+        if n_dedup:
+            ds = _distinct_flagged(ds, names)
+    else:
+        ds = _compile(u.parts[0], tables)
+        names = ds.schema().names
+
+        def renamed(part):
+            d = _compile(part, tables)
+            pn = d.schema().names
+            if len(pn) != len(names):
+                raise ValueError(
+                    f"UNION branches must have the same column count "
+                    f"({len(names)} vs {len(pn)})")
+            if pn == names:
+                return d
+            return d.map_batches(
+                lambda t, _n=list(names): t.rename_columns(_n),
+                batch_format="pyarrow")
+
+        for part, is_all in zip(u.parts[1:], u.alls):
+            ds = ds.union(renamed(part))
+            if not is_all:
+                ds = _distinct_rows(ds)
     if u.order_by:
         ds = ds.sort([c for c, _d in u.order_by],
                      descending=[d for _c, d in u.order_by])
@@ -1584,15 +1674,76 @@ def _compile_setop(u: SetOp, tables: dict):
     return ds
 
 
-def _distinct_rows(ds):
-    """Distinct over all output columns via groupby (no driver set)."""
-    names = ds.schema().names
-    from ray.data.aggregate import Count as _C
+_DISTINCT_PARTS = 8
 
-    ds = ds.groupby(names).aggregate(_C(alias_name="__n"))
-    return ds.map_batches(
-        lambda t: t.drop_columns(["__n"]), batch_format="pyarrow"
-    )
+
+def _row_hash_mod(t: pa.Table, names: list, mod: int) -> np.ndarray:
+    """Deterministic per-row 64-bit hash of the named columns mod
+    ``mod`` (pandas hash_pandas_object — fixed seed, process-stable;
+    the dtype drift of the pandas VIEW is value-deterministic, so
+    identical rows land in identical partitions)."""
+    import pandas as pd
+
+    h = pd.util.hash_pandas_object(
+        t.select(names).to_pandas(), index=False).to_numpy()
+    return (h % mod).astype(np.int64)
+
+
+def _distinct_flagged(ds, names: list):
+    """distinct(rows with __dd) ∪all (rows without): per-batch local
+    Arrow group_by dedup of the flagged subset, hash(row)%P shuffle,
+    one Arrow group_by per partition.  Arrow group_by treats nulls as
+    equal (SQL DISTINCT semantics); output dtypes never round-trip
+    through pandas (the pandas hash is used for PARTITIONING only)."""
+
+    def local(t: pa.Table) -> pa.Table:
+        mask = t["__dd"].combine_chunks() if isinstance(
+            t["__dd"], pa.ChunkedArray) else t["__dd"]
+        ft = t.filter(mask).select(names)
+        ft = ft.group_by(names).aggregate([]).select(names)
+        ft = ft.append_column("__dd", pa.array(
+            np.full(ft.num_rows, True)))
+        rest = t.filter(pc.invert(mask)).select(names)
+        rest = rest.append_column("__dd", pa.array(
+            np.full(rest.num_rows, False)))
+        out = pa.concat_tables([ft, rest],
+                               promote_options="permissive")
+        return out.append_column("__part", pa.array(
+            _row_hash_mod(out, names, _DISTINCT_PARTS)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        mask = g["__dd"].combine_chunks() if isinstance(
+            g["__dd"], pa.ChunkedArray) else g["__dd"]
+        ft = g.filter(mask).select(names)
+        ft = ft.group_by(names).aggregate([]).select(names)
+        rest = g.filter(pc.invert(mask)).select(names)
+        return pa.concat_tables([ft, rest],
+                                promote_options="permissive")
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("__part", num_partitions=_DISTINCT_PARTS) \
+        .map_groups(combine, batch_format="pyarrow")
+
+
+def _distinct_rows(ds):
+    """Distinct over all output columns — per-batch local Arrow
+    group_by dedup, hash(row)%P 64-bit-key shuffle, one Arrow
+    group_by per partition (no driver set; the shuffle ships 64-bit
+    partition ids + surviving rows, not all-columns group keys)."""
+    names = ds.schema().names
+
+    def local(t: pa.Table) -> pa.Table:
+        d = t.select(names).group_by(names).aggregate([]).select(names)
+        return d.append_column("__part", pa.array(
+            _row_hash_mod(d, names, _DISTINCT_PARTS)))
+
+    def combine(g: pa.Table) -> pa.Table:
+        return g.select(names).group_by(names).aggregate([]) \
+            .select(names)
+
+    return ds.map_batches(local, batch_format="pyarrow") \
+        .groupby("__part", num_partitions=_DISTINCT_PARTS) \
+        .map_groups(combine, batch_format="pyarrow")
 
 
 def _row_to_ds(row: dict):
