@@ -237,6 +237,29 @@ def build_pipeline(spec: str):
                     float(a.get("max-angle", 4.0)),
                 )
             )
+        elif name == "near-dups":
+            # MinHash-LSH near-duplicate pairs (web-scale route)
+            from gdal_ray.stages.dedup import near_duplicates
+
+            transforms.append(
+                lambda ds, a=args: near_duplicates(
+                    ds, text_col=a.get("text", "text"),
+                    id_col=a.get("id", "doc_id"),
+                    threshold=float(a.get("threshold", 0.8)),
+                )
+            )
+        elif name == "jaccard-ngram":
+            # exact inverted-index n-gram Jaccard pairs (audit route)
+            from gdal_ray.stages.dedup import jaccard_ngram_pairs
+
+            transforms.append(
+                lambda ds, a=args: jaccard_ngram_pairs(
+                    ds, text_col=a.get("text", "text"),
+                    id_col=a.get("id", "doc_id"),
+                    k=int(a.get("k", 4)),
+                    threshold=float(a.get("threshold", 0.5)),
+                )
+            )
         elif name == "sql":
             # full OGR SQL dialect statement over the piped dataset
             # (`gdal vector sql` surface; table name: input)

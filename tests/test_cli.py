@@ -43,6 +43,22 @@ def test_run_pipeline_chain(ray_session, sf_small):
     assert n == expected
 
 
+def test_dedup_steps(ray_session, sf_small):
+    # both dedup pair routes through the `!` pipeline protocol agree
+    # on the corpus's high-similarity pairs
+    ds, kind = cli.run_pipeline(
+        f"read {sf_small}/documents.parquet --cols doc_id,text "
+        "! near-dups --threshold 0.8"
+    )
+    lsh = set(map(tuple, ds.to_pandas()[["a", "b"]].to_numpy()))
+    ds2, _ = cli.run_pipeline(
+        f"read {sf_small}/documents.parquet --cols doc_id,text "
+        "! jaccard-ngram --threshold 0.8"
+    )
+    exact = set(map(tuple, ds2.to_pandas()[["a", "b"]].to_numpy()))
+    assert lsh == exact and kind == "collect"
+
+
 def test_geoparse_tile_steps(ray_session, sf_small, tmp_path):
     # pages fixture through geoparse + tile-encode + pip-join steps
     import pyarrow.parquet as pq
