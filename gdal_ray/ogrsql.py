@@ -47,7 +47,7 @@ _KEYWORDS = {
     "SELECT", "DISTINCT", "FROM", "WHERE", "GROUP", "ORDER", "BY",
     "ASC", "DESC", "LIMIT", "OFFSET", "AS", "AND", "OR", "NOT", "IN",
     "BETWEEN", "LIKE", "ILIKE", "ESCAPE", "IS", "NULL", "CAST", "JOIN", "ON",
-    "INNER", "LEFT", "HAVING", "UNION", "ALL",
+    "INNER", "LEFT", "HAVING", "UNION", "ALL", "EXISTS",
 }
 
 
@@ -112,6 +112,21 @@ class CastExpr:
 class InExpr:
     operand: object
     values: list = field(default_factory=list)
+    negated: bool = False
+
+
+@dataclass
+class ExistsSubquery:
+    """``[NOT] EXISTS (SELECT … FROM t WHERE t.k = outer.k [AND …])``
+    — the single correlated equality compiles to a distributed
+    semi / anti join on the correlation key (stages/join.py
+    membership core); the remaining inner conjuncts stay as the
+    subquery's own filter.  An UNcorrelated EXISTS is an existence
+    gate evaluated once at compile time (``limit(1).count()`` — O(1)
+    driver work).  Only legal as a top-level AND conjunct of WHERE,
+    same contract as ``InSubquery``."""
+
+    select: object           # Select
     negated: bool = False
 
 
@@ -219,9 +234,20 @@ class _Parser:
         return left
 
     def _not(self):
+        if self.peek() == ("kw", "EXISTS"):
+            return self._exists(False)
         if self.accept("kw", "NOT"):
+            if self.peek() == ("kw", "EXISTS"):
+                return self._exists(True)
             return Un("NOT", self._not())
         return self._cmp()
+
+    def _exists(self, negated: bool):
+        self.expect("kw", "EXISTS")
+        self.expect("op", "(")
+        sub = _parse_select_body(self)
+        self.expect("op", ")")
+        return ExistsSubquery(sub, negated)
 
     def _cmp(self):
         left = self._add()
@@ -659,10 +685,11 @@ def eval_expr(node, batch: pa.Table):
         return batch[node.name]
     if isinstance(node, Lit):
         return pa.scalar(node.value)
-    if isinstance(node, InSubquery):
+    if isinstance(node, (InSubquery, ExistsSubquery)):
         raise ValueError(
-            "IN (SELECT …) is only supported as a top-level AND "
-            "conjunct of WHERE (it compiles to a semi/anti join)")
+            "IN (SELECT …) / EXISTS (SELECT …) are only supported as "
+            "top-level AND conjuncts of WHERE (they compile to "
+            "semi/anti joins)")
     if isinstance(node, Un):
         v = eval_expr(node.operand, batch)
         if node.op == "-":
@@ -1352,9 +1379,12 @@ def _compile(sel: Select, tables: dict):
                 "window expressions are not allowed in WHERE — filter "
                 "in an outer query (SELECT … FROM (SELECT …, "
                 "ROW_NUMBER() OVER (…) AS rn FROM t) WHERE rn <= k)")
-        # IN (SELECT …) conjuncts become distributed semi/anti joins
+        # IN / EXISTS (SELECT …) conjuncts → distributed semi/anti joins
         plain = []
         for conj in _split_conjuncts(sel.where):
+            if isinstance(conj, ExistsSubquery):
+                ds = _compile_exists(ds, conj, tables)
+                continue
             if not isinstance(conj, InSubquery):
                 plain.append(conj)
                 continue
@@ -1550,8 +1580,65 @@ def _compile(sel: Select, tables: dict):
     return ds
 
 
+def _compile_exists(ds, conj: ExistsSubquery, tables: dict):
+    """[NOT] EXISTS conjunct → semi/anti join on the single correlated
+    equality (see ``ExistsSubquery``).  The correlation conjunct is
+    identified structurally: an ``inner = outer`` column equality
+    where exactly one side belongs to the subquery's FROM table (by
+    alias/table qualifier, or by schema membership when unqualified).
+    Uncorrelated EXISTS gates on ``limit(1).count()`` at compile time
+    (O(1) driver work, documented eager step)."""
+    from gdal_ray.stages.join import anti_join_ds, semi_join_ds
+
+    sub = conj.select
+    if not isinstance(sub.table, str) or sub.table not in tables:
+        raise ValueError("EXISTS subquery must select FROM a known table")
+    inner_names = set(tables[sub.table].schema().names)
+    inner_alias = sub.table_alias or sub.table
+
+    def _side(col: Col):
+        """'inner' | 'outer' classification of one equality side."""
+        qual, _, name = col.name.rpartition(".")
+        if qual:
+            return "inner" if qual == inner_alias else "outer"
+        return "inner" if name in inner_names else "outer"
+
+    corr = None
+    rest = []
+    conjs = _split_conjuncts(sub.where) if sub.where is not None else []
+    for c in conjs:
+        if (corr is None and isinstance(c, Bin) and c.op == "="
+                and isinstance(c.left, Col) and isinstance(c.right, Col)):
+            sl, sr = _side(c.left), _side(c.right)
+            if sl == "inner" and sr == "outer":
+                corr = (c.right.name.split(".")[-1],
+                        c.left.name.split(".")[-1])
+                continue
+            if sr == "inner" and sl == "outer":
+                corr = (c.left.name.split(".")[-1],
+                        c.right.name.split(".")[-1])
+                continue
+        rest.append(c)
+    inner_where = None
+    for c in rest:
+        inner_where = c if inner_where is None else Bin("AND",
+                                                        inner_where, c)
+    if corr is None:
+        # uncorrelated existence gate
+        gate = Select(columns=[(Lit(1), "one")], table=sub.table,
+                      table_alias=sub.table_alias, where=inner_where)
+        nonempty = _compile(gate, tables).limit(1).count() > 0
+        return ds if nonempty != conj.negated else ds.limit(0)
+    outer_col, inner_col = corr
+    keysel = Select(columns=[(Col(inner_col), None)], table=sub.table,
+                    table_alias=sub.table_alias, where=inner_where)
+    right = _compile(keysel, tables)
+    fn = anti_join_ds if conj.negated else semi_join_ds
+    return fn(ds, right, outer_col, right_key=inner_col)
+
+
 def _contains_in_subquery(node) -> bool:
-    if isinstance(node, InSubquery):
+    if isinstance(node, (InSubquery, ExistsSubquery)):
         return True
     for attr in ("left", "right", "operand", "lo", "hi"):
         child = getattr(node, attr, None)

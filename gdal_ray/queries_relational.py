@@ -657,6 +657,37 @@ def q_sql_in_subquery(sf_dir: str):
     return ogrsql.execute(SQL_IN_SUBQUERY, {"documents": ds})
 
 
+SQL_EXISTS = """
+SELECT c_custkey, c_name, c_acctbal
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 250000)
+  AND NOT EXISTS (SELECT 1 FROM orders o2
+                  WHERE o2.o_custkey = c.c_custkey
+                    AND o2.o_orderstatus = 'F'
+                    AND o2.o_totalprice < 50000)
+  AND c_acctbal > 0
+"""
+
+
+def q_sql_exists(sf_dir: str):
+    """Correlated [NOT] EXISTS through the SQL dialect (round 5):
+    each correlated equality compiles to the distributed semi/anti
+    membership join (stages/join.py — broadcast under the 2M-key
+    bound, hash-partitioned above it); the oracle statement runs
+    VERBATIM through ogrsql."""
+    from gdal_ray import ogrsql
+
+    cust = _read(sf_dir, "customer",
+                 columns=["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders",
+                   columns=["o_custkey", "o_totalprice",
+                            "o_orderstatus"])
+    return ogrsql.execute(SQL_EXISTS,
+                          {"customer": cust, "orders": orders})
+
+
 SQL_SCALAR_FUNCS = """
 SELECT p_partkey,
        UPPER(SUBSTR(p_name, 1, 5)) AS name5,
@@ -1200,6 +1231,7 @@ RELATIONAL_QUERIES = {
     "like_escape": (q_like_escape, SQL_LIKE_ESCAPE),
     "sql_union": (q_sql_union, SQL_UNION),
     "sql_in_subquery": (q_sql_in_subquery, SQL_IN_SUBQUERY),
+    "sql_exists": (q_sql_exists, SQL_EXISTS),
     "asof_join": (q_asof_join, SQL_ASOF_JOIN),
     "box_overlay": (q_box_overlay, _sql_box_overlay()),
     "range_join": (q_range_join, _sql_range_join()),

@@ -786,3 +786,82 @@ class TestInSubquery:
                 "(SELECT grp, val FROM t)",
                 {"t": rd.from_arrow(self._tbl())},
             )
+
+
+class TestExistsSubquery:
+    """[NOT] EXISTS (SELECT …) — single correlated equality compiled
+    to the distributed semi/anti membership join; uncorrelated EXISTS
+    is a compile-time existence gate.  Value-checked against DuckDB."""
+
+    def _tbls(self):
+        rng = np.random.default_rng(61)
+        left = pa.table({
+            "id": pa.array(np.arange(300, dtype=np.int64)),
+            "k": pa.array(rng.integers(0, 40, 300)),
+            "v": pa.array(rng.integers(0, 100, 300)),
+        })
+        right = pa.table({
+            "k2": pa.array(rng.integers(0, 40, 150)),
+            "w": pa.array(rng.integers(0, 100, 150)),
+        })
+        return left, right
+
+    def _chk(self, sql):
+        import duckdb
+        import pandas as pd
+        import ray.data as rd
+
+        left, right = self._tbls()
+        got = ogrsql.execute(sql, {
+            "l": rd.from_arrow(left), "r": rd.from_arrow(right),
+        }).to_pandas()
+        con = duckdb.connect()
+        con.register("l", left)
+        con.register("r", right)
+        want = con.execute(sql).fetchdf()
+        assert len(got) == len(want)
+        if len(want) == 0:
+            # Ray 2.49 drops the schema of an all-empty pipeline
+            # (zero-column blocks); row-count parity is the contract
+            return
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        want = want[cols].sort_values(cols).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    def test_exists_correlated_qualified(self, ray_session):
+        self._chk("SELECT id, k FROM l a WHERE EXISTS "
+                  "(SELECT 1 FROM r b WHERE b.k2 = a.k AND b.w > 80)")
+
+    def test_not_exists_correlated(self, ray_session):
+        self._chk("SELECT id FROM l WHERE NOT EXISTS "
+                  "(SELECT 1 FROM r WHERE k2 = k)")
+
+    def test_exists_unqualified_inner_resolution(self, ray_session):
+        # inner side resolved by schema membership (k2 ∈ r, k ∉ r)
+        self._chk("SELECT id FROM l WHERE EXISTS "
+                  "(SELECT 1 FROM r WHERE k2 = k AND w < 20)")
+
+    def test_exists_uncorrelated_gates(self, ray_session):
+        self._chk("SELECT id FROM l WHERE EXISTS "
+                  "(SELECT 1 FROM r WHERE w > 98) AND v < 10")
+        self._chk("SELECT id FROM l WHERE NOT EXISTS "
+                  "(SELECT 1 FROM r WHERE w > 5000)")
+        self._chk("SELECT id FROM l WHERE EXISTS "
+                  "(SELECT 1 FROM r WHERE w > 5000)")
+
+    def test_exists_with_other_conjuncts(self, ray_session):
+        self._chk("SELECT id, v FROM l a WHERE a.v > 30 AND EXISTS "
+                  "(SELECT 1 FROM r b WHERE b.k2 = a.k) AND a.v < 90")
+
+    def test_exists_not_conjunct_rejected(self, ray_session):
+        import ray.data as rd
+
+        left, right = self._tbls()
+        with pytest.raises(Exception, match="conjunct"):
+            ogrsql.execute(
+                "SELECT id FROM l WHERE v = 0 OR EXISTS "
+                "(SELECT 1 FROM r WHERE k2 = k)",
+                {"l": rd.from_arrow(left), "r": rd.from_arrow(right)},
+            ).materialize()
