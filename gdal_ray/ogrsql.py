@@ -116,6 +116,18 @@ class InExpr:
 
 
 @dataclass
+class ScalarSubquery:
+    """``(SELECT <one value> FROM …)`` used as an expression —
+    UNcorrelated only: evaluated ONCE at compile time (the sub-plan
+    runs distributed; only the single resulting value lands on the
+    driver) and substituted as a literal into the outer expression
+    tree.  SQL scalar-subquery semantics: zero rows → NULL, more
+    than one row → error."""
+
+    select: object           # Select
+
+
+@dataclass
 class ExistsSubquery:
     """``[NOT] EXISTS (SELECT … FROM t WHERE t.k = outer.k [AND …])``
     — the single correlated equality compiles to a distributed
@@ -344,6 +356,10 @@ class _Parser:
         t = self.peek()
         if t[0] == "op" and t[1] == "(":
             self.next()
+            if self.peek() == ("kw", "SELECT"):
+                sub = _parse_select_body(self)
+                self.expect("op", ")")
+                return ScalarSubquery(sub)
             e = self.parse_expr()
             self.expect("op", ")")
             return e
@@ -1338,6 +1354,13 @@ def _compile(sel: Select, tables: dict):
             tables[name] = _compile(sub, tables)
     if isinstance(sel, SetOp):
         return _compile_setop(sel, tables)
+    # uncorrelated scalar subqueries become literals before anything
+    # else sees the expression trees (distributed sub-plan, O(1)
+    # driver result)
+    sel.columns = [(_resolve_scalar_subqueries(e, tables), a)
+                   for e, a in sel.columns]
+    sel.where = _resolve_scalar_subqueries(sel.where, tables)
+    sel.having = _resolve_scalar_subqueries(sel.having, tables)
     if isinstance(sel.table, Select):
         ds = _compile(sel.table, tables)
     elif sel.table not in tables:
@@ -1578,6 +1601,45 @@ def _compile(sel: Select, tables: dict):
         # driver (ADVICE r2: previously take_all + slice)
         ds = ds.split_at_indices([sel.offset])[1]
     return ds
+
+
+def _resolve_scalar_subqueries(node, tables: dict):
+    """Rewrite every ScalarSubquery in the expression tree to the
+    Lit it evaluates to (see ScalarSubquery).  Returns the (possibly
+    new) node."""
+    if node is None:
+        return None
+    if isinstance(node, ScalarSubquery):
+        rows = _compile(node.select, tables).take(2)
+        if len(rows) > 1:
+            raise ValueError(
+                "scalar subquery returned more than one row")
+        if not rows:
+            return Lit(None)
+        vals = list(rows[0].values())
+        if len(vals) != 1:
+            raise ValueError(
+                "scalar subquery must produce exactly one column")
+        v = vals[0]
+        if hasattr(v, "item"):  # numpy scalar → python
+            v = v.item()
+        return Lit(v)
+    for attr in ("left", "right", "operand", "lo", "hi", "default"):
+        child = getattr(node, attr, None)
+        if child is not None:
+            setattr(node, attr, _resolve_scalar_subqueries(child, tables))
+    if isinstance(node, Func):
+        node.args = [_resolve_scalar_subqueries(a, tables)
+                     for a in node.args]
+    if isinstance(node, CaseExpr):
+        node.whens = [
+            (_resolve_scalar_subqueries(c, tables),
+             _resolve_scalar_subqueries(r, tables))
+            for c, r in node.whens]
+    if isinstance(node, InExpr):
+        node.values = [_resolve_scalar_subqueries(v, tables)
+                       for v in node.values]
+    return node
 
 
 def _compile_exists(ds, conj: ExistsSubquery, tables: dict):

@@ -788,6 +788,62 @@ class TestInSubquery:
             )
 
 
+class TestScalarSubquery:
+    """(SELECT <one value> FROM …) as an expression — distributed
+    sub-plan, single value substituted as a literal at compile time.
+    Value-checked against DuckDB."""
+
+    def _tbl(self):
+        rng = np.random.default_rng(5)
+        return pa.table({
+            "id": pa.array(np.arange(200, dtype=np.int64)),
+            "v": pa.array(rng.integers(0, 1000, 200).astype(np.float64)),
+            "g": pa.array(rng.integers(0, 4, 200)),
+        })
+
+    def _chk(self, sql):
+        import duckdb
+        import ray.data as rd
+
+        t = self._tbl()
+        got = ogrsql.execute(sql, {"t": rd.from_arrow(t)}).to_pandas()
+        con = duckdb.connect()
+        con.register("t", t)
+        want = con.execute(sql).fetchdf()
+        cols = sorted(got.columns)
+        assert cols == sorted(want.columns)
+        ga = got[cols].sort_values(cols, ignore_index=True)
+        wa = want[cols].sort_values(cols, ignore_index=True)
+        assert len(ga) == len(wa)
+        for c in cols:
+            np.testing.assert_allclose(
+                ga[c].to_numpy().astype(float),
+                wa[c].to_numpy().astype(float), rtol=1e-12)
+
+    def test_in_where(self, ray_session):
+        self._chk("SELECT id, v FROM t WHERE v > (SELECT AVG(v) FROM t)")
+
+    def test_in_projection(self, ray_session):
+        self._chk("SELECT id, v - (SELECT MIN(v) FROM t) AS centered "
+                  "FROM t WHERE id < 20")
+
+    def test_as_between_bounds(self, ray_session):
+        self._chk("SELECT id FROM t WHERE v BETWEEN "
+                  "(SELECT MIN(v) FROM t WHERE g = 1) AND "
+                  "(SELECT AVG(v) FROM t WHERE g = 1)")
+
+    def test_in_having(self, ray_session):
+        self._chk("SELECT g, COUNT(*) AS n FROM t GROUP BY g "
+                  "HAVING COUNT(*) > (SELECT COUNT(*) FROM t) / 5")
+
+    def test_multi_row_rejected(self, ray_session):
+        import ray.data as rd
+
+        with pytest.raises(ValueError, match="more than one row"):
+            ogrsql.execute("SELECT id FROM t WHERE v > (SELECT v FROM t)",
+                           {"t": rd.from_arrow(self._tbl())})
+
+
 class TestExistsSubquery:
     """[NOT] EXISTS (SELECT …) — single correlated equality compiled
     to the distributed semi/anti membership join; uncorrelated EXISTS
