@@ -1283,8 +1283,28 @@ from gdal_ray.queries_relational import RELATIONAL_QUERIES  # noqa: E402
 
 # ML queries register BEFORE relational: the r02 driver ran exactly
 # the first 50 registered queries, so ordering is part of the
-# coverage contract (total registry is held at <= 50 entries).
+# coverage contract.
 for _name, (_fn, _sql) in {**ML_QUERIES, **RELATIONAL_QUERIES}.items():
     QUERIES[_name] = _fn
     if _sql is not None:
         ORACLE[_name] = _sql
+
+# The registry outgrew 50 in round 5 (56 entries, 54 oracle-checked).
+# Positions 1-50 are exactly the 50 oracle-checked queries whose
+# operator coverage has no other green row; positions 51-56 are bonus
+# queries that run only if the driver is uncapped — each one's
+# operator keeps green evidence elsewhere (union_names → sql_union;
+# semi_anti_join → sql_in_subquery/sql_exists; update_layer →
+# box_overlay/box_union; filter_cast → scalar_funcs CAST + pushdown
+# filters) or is rows-only by contract (the two sketches).
+_BONUS_TAIL = [
+    "union_names", "semi_anti_join", "update_layer", "filter_cast",
+    "approx_count_distinct", "reservoir_sample",
+]
+QUERIES = {
+    **{k: v for k, v in QUERIES.items() if k not in _BONUS_TAIL},
+    **{k: QUERIES[k] for k in _BONUS_TAIL if k in QUERIES},
+}
+assert len(QUERIES) == 56 and sum(
+    1 for k in list(QUERIES)[:50] if k in ORACLE) == 50, \
+    "first 50 registry slots must all be oracle-checked"
