@@ -163,6 +163,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.proj.nadcon import read_loslas
 
         return read_loslas(path)
+    if low.endswith((".lan", ".gis")):
+        from gdal_ray.raster.lan import read_lan
+
+        return read_lan(path)
+    if low.endswith(".byn"):
+        from gdal_ray.raster.byn import read_byn
+
+        return read_byn(path)
     if low.endswith((".nc", ".cdf")):
         from gdal_ray.raster.netcdf import read_netcdf_array
 
