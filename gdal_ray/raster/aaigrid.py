@@ -117,8 +117,23 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.vrt import read_vrt_array
 
         return read_vrt_array(path)
-    if low.endswith((".asc", ".grd")):
+    if low.endswith(".grd"):
+        # .grd is claimed by both AAIGrid and the Golden Software
+        # Surfer family — dispatch on the Surfer magic
+        from gdal_ray.vsi import vsi_read_bytes
+
+        head = vsi_read_bytes(path)[:4]
+        if head in (b"DSAA", b"DSBB", b"DSRB"):
+            from gdal_ray.raster.surfer import read_surfer
+
+            return read_surfer(path)
         return read_aaigrid(path)
+    if low.endswith(".asc"):
+        return read_aaigrid(path)
+    if low.endswith((".sdat", ".sgrd", ".sg-grd-z")):
+        from gdal_ray.raster.saga import read_saga
+
+        return read_saga(path)
     if low.endswith(".xyz"):
         from gdal_ray.vsi import vsi_read_bytes
 
