@@ -186,6 +186,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.byn import read_byn
 
         return read_byn(path)
+    if low.endswith(".dem"):
+        from gdal_ray.raster.usgsdem import read_usgsdem
+
+        return read_usgsdem(path)
+    if low.endswith((".rst", ".rdc")):
+        from gdal_ray.raster.idrisi import read_rst
+
+        return read_rst(path)
     if low.endswith((".nc", ".cdf")):
         from gdal_ray.raster.netcdf import read_netcdf_array
 
