@@ -16,6 +16,8 @@ pixel_per_line.asc → 1123).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 _HEADER_KEYS = frozenset(
@@ -122,11 +124,15 @@ def load_raster(path: str) -> dict:
         # Surfer family — dispatch on the Surfer magic
         from gdal_ray.vsi import vsi_read_bytes
 
-        head = vsi_read_bytes(path)[:4]
-        if head in (b"DSAA", b"DSBB", b"DSRB"):
+        head = vsi_read_bytes(path)[:16]
+        if head[:4] in (b"DSAA", b"DSBB", b"DSRB"):
             from gdal_ray.raster.surfer import read_surfer
 
             return read_surfer(path)
+        if head.lstrip()[:1] == b"[":  # R raster INI header
+            from gdal_ray.raster.rraster import read_rraster
+
+            return read_rraster(path)
         return read_aaigrid(path)
     if low.endswith(".asc"):
         return read_aaigrid(path)
@@ -187,9 +193,21 @@ def load_raster(path: str) -> dict:
 
         return read_byn(path)
     if low.endswith(".dem"):
+        if os.path.exists(path + ".rsc"):  # ROI_PAC sidecar wins
+            from gdal_ray.raster.insar import read_roipac
+
+            return read_roipac(path)
         from gdal_ray.raster.usgsdem import read_usgsdem
 
         return read_usgsdem(path)
+    if low.endswith((".slc", ".unw", ".cor", ".amp", ".flg")):
+        if os.path.exists(path + ".xml"):
+            from gdal_ray.raster.insar import read_isce
+
+            return read_isce(path)
+        from gdal_ray.raster.insar import read_roipac
+
+        return read_roipac(path)
     if low.endswith((".rst", ".rdc")):
         from gdal_ray.raster.idrisi import read_rst
 
