@@ -212,6 +212,18 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.idrisi import read_rst
 
         return read_rst(path)
+    if low.endswith((".ter", ".terrain")):
+        from gdal_ray.raster.terragen import read_terragen
+
+        return read_terragen(path)
+    if low.endswith(".mem"):
+        from gdal_ray.raster.jdem import read_jdem
+
+        return read_jdem(path)
+    if low.endswith(".gxf"):
+        from gdal_ray.raster.gxf import read_gxf
+
+        return read_gxf(path)
     if low.endswith((".nc", ".cdf")):
         from gdal_ray.raster.netcdf import read_netcdf_array
 
