@@ -129,6 +129,10 @@ def load_raster(path: str) -> dict:
             from gdal_ray.raster.surfer import read_surfer
 
             return read_surfer(path)
+        if head[:4] == b"HGPC":  # Northwood / Vertical Mapper
+            from gdal_ray.raster.nwtgrd import read_nwt_grd
+
+            return read_nwt_grd(path)
         if head.lstrip()[:1] == b"[":  # R raster INI header
             from gdal_ray.raster.rraster import read_rraster
 
@@ -224,6 +228,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.gxf import read_gxf
 
         return read_gxf(path)
+    if low.endswith(".grc"):
+        from gdal_ray.raster.nwtgrd import read_nwt_grc
+
+        return read_nwt_grc(path)
     if low.endswith((".nc", ".cdf")):
         from gdal_ray.raster.netcdf import read_netcdf_array
 
