@@ -232,6 +232,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.nwtgrd import read_nwt_grc
 
         return read_nwt_grc(path)
+    if low.endswith(".ers"):
+        from gdal_ray.raster.ers import read_ers
+
+        return read_ers(path)
+    if low.endswith(".mpr"):
+        from gdal_ray.raster.ilwis import read_ilwis
+
+        return read_ilwis(path)
     if low.endswith((".nc", ".cdf")):
         from gdal_ray.raster.netcdf import read_netcdf_array
 
