@@ -133,6 +133,10 @@ def build_pipeline(spec: str):
 
         source = lambda: gml.read_gml(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.endswith(".mif"):
+        from gdal_ray import mif
+
+        source = lambda: mif.read_mif_dataset(src_path)  # noqa: E731
     elif low.endswith(".kml"):
         from gdal_ray import kmlgpx
 
@@ -307,6 +311,12 @@ def run_pipeline(spec: str):
             from gdal_ray import gml
 
             gml.write_gml(ds, arg)
+        elif low.endswith(".mif"):
+            import pyarrow as pa
+
+            from gdal_ray import mif
+
+            mif.write_mif(arg, pa.Table.from_pylist(ds.take_all()))
         elif low.endswith(".fgb"):
             import pyarrow as pa
 
