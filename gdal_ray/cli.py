@@ -137,6 +137,11 @@ def build_pipeline(spec: str):
         from gdal_ray import mif
 
         source = lambda: mif.read_mif_dataset(src_path)  # noqa: E731
+    elif low.endswith(".topojson"):
+        from gdal_ray import topojson
+
+        source = lambda: topojson.read_topojson_dataset(  # noqa: E731
+            src_path, layer=src_args.get("layer"))
     elif low.endswith(".kml"):
         from gdal_ray import kmlgpx
 
