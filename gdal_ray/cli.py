@@ -142,6 +142,13 @@ def build_pipeline(spec: str):
 
         source = lambda: topojson.read_topojson_dataset(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.endswith(".gmt"):
+        import ray.data as rd
+
+        from gdal_ray import gmtvector
+
+        source = lambda: rd.from_arrow(  # noqa: E731
+            gmtvector.read_gmt(src_path))
     elif low.endswith(".kml"):
         from gdal_ray import kmlgpx
 
@@ -322,6 +329,12 @@ def run_pipeline(spec: str):
             from gdal_ray import mif
 
             mif.write_mif(arg, pa.Table.from_pylist(ds.take_all()))
+        elif low.endswith(".gmt"):
+            import pyarrow as pa
+
+            from gdal_ray import gmtvector
+
+            gmtvector.write_gmt(arg, pa.Table.from_pylist(ds.take_all()))
         elif low.endswith(".fgb"):
             import pyarrow as pa
 
