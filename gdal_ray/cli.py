@@ -84,6 +84,19 @@ def build_pipeline(spec: str):
     terminal)."""
     import ray.data as rd
 
+    def _sniff_jsonfg(path: str) -> bool:
+        """JSON-FG shares .json with GeoJSON; identify by content
+        (conformsTo json-fg, or place/coordRefSys members), the
+        reference driver's Identify rule."""
+        try:
+            from gdal_ray.vsi import vsi_read_bytes
+
+            head = vsi_read_bytes(path)[:4096].decode("utf-8", "replace")
+        except Exception:
+            return False
+        return ("json-fg" in head or '"place"' in head
+                or '"coordRefSys"' in head)
+
     steps = [shlex.split(s.strip()) for s in spec.split("!") if s.strip()]
     if not steps or steps[0][0] != "read":
         raise ValueError("pipeline must start with: read PATH")
@@ -97,7 +110,12 @@ def build_pipeline(spec: str):
     # .geojson/.json → GeoJSON, .geojsonl/.ndjson → GeoJSONSeq,
     # .csv → CSV with WKT column, default parquet
     low = src_path.lower()
-    if low.endswith((".geojson", ".json")):
+    if low.endswith((".geojson", ".json")) and _sniff_jsonfg(src_path):
+        from gdal_ray import jsonfg
+
+        source = lambda: jsonfg.read_jsonfg(  # noqa: E731
+            src_path, layer=src_args.get("layer"), columns=col_list)
+    elif low.endswith((".geojson", ".json")):
         from gdal_ray import formats
 
         source = lambda: formats.read_geojson(  # noqa: E731
@@ -303,6 +321,10 @@ def run_pipeline(spec: str):
             from gdal_ray import formats
 
             formats.write_geojson_seq(ds, arg)
+        elif low.endswith(".jsonfg"):
+            from gdal_ray import jsonfg
+
+            jsonfg.write_jsonfg(ds, arg)
         elif low.endswith(".geojson"):
             from gdal_ray import formats
 

@@ -31,6 +31,9 @@ COMPOUNDCURVE = 9
 CURVEPOLYGON = 10
 MULTICURVE = 11
 MULTISURFACE = 12
+# ISO surface containers (ogr/ogr_core.h:513-524)
+POLYHEDRALSURFACE = 15
+TIN = 16
 
 _EWKB_Z = 0x80000000
 _EWKB_M = 0x40000000
@@ -259,6 +262,12 @@ def multisurface_wkb(parts: list[bytes], dims: str = "xy") -> bytes:
             + b"".join(parts))
 
 
+def polyhedralsurface_wkb(polys: list[bytes], dims: str = "xy") -> bytes:
+    """Polygon WKBs → POLYHEDRALSURFACE container (ISO type 15)."""
+    return (struct.pack("<BII", 1, _iso_code(POLYHEDRALSURFACE, dims),
+                        len(polys)) + b"".join(polys))
+
+
 # ---------------------------------------------------------------------------
 # generic parser (python; small sides only)
 
@@ -326,7 +335,7 @@ def parse(buf: bytes, offset: int = 0) -> dict:
         return out
     if base in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON,
                 GEOMETRYCOLLECTION, COMPOUNDCURVE, CURVEPOLYGON,
-                MULTICURVE, MULTISURFACE):
+                MULTICURVE, MULTISURFACE, POLYHEDRALSURFACE, TIN):
         (nparts,) = struct.unpack_from(bo + "I", buf, pos)
         pos += 4
         parts = []

@@ -81,7 +81,10 @@ def _node_to_wkt(g: dict) -> str:
         ls = ", ".join(f"({_coords_to_wkt(_node_full(p))})"
                        for p in g["parts"])
         return f"MULTILINESTRING {tok}({ls})"
-    if t == gwkb.MULTIPOLYGON:
+    if t in (gwkb.MULTIPOLYGON, gwkb.POLYHEDRALSURFACE, gwkb.TIN):
+        name = {gwkb.MULTIPOLYGON: "MULTIPOLYGON",
+                gwkb.POLYHEDRALSURFACE: "POLYHEDRALSURFACE",
+                gwkb.TIN: "TIN"}[t]
         polys = ", ".join(
             "(" + ", ".join(
                 f"({_coords_to_wkt(_ring_full(p, i))})"
@@ -89,7 +92,7 @@ def _node_to_wkt(g: dict) -> str:
             ) + ")"
             for p in g["parts"]
         )
-        return f"MULTIPOLYGON {tok}({polys})"
+        return f"{name} {tok}({polys})"
     if t in (gwkb.COMPOUNDCURVE, gwkb.CURVEPOLYGON, gwkb.MULTICURVE,
              gwkb.MULTISURFACE):
         name = {gwkb.COMPOUNDCURVE: "COMPOUNDCURVE",
@@ -262,7 +265,7 @@ def _parse_geom(p: _P) -> bytes:
         d = _infer(dims, parts[0])
         return container(gwkb.MULTILINESTRING,
                          [gwkb.linestring_wkb_d(c, d) for c in parts], d)
-    if kind == "MULTIPOLYGON":
+    if kind in ("MULTIPOLYGON", "POLYHEDRALSURFACE", "TIN"):
         p.expect("(")
         polys = []
         while True:
@@ -276,7 +279,10 @@ def _parse_geom(p: _P) -> bytes:
                 break
         p.expect(")")
         d = _infer(dims, polys[0][0])
-        return container(gwkb.MULTIPOLYGON,
+        code = {"MULTIPOLYGON": gwkb.MULTIPOLYGON,
+                "POLYHEDRALSURFACE": gwkb.POLYHEDRALSURFACE,
+                "TIN": gwkb.TIN}[kind]
+        return container(code,
                          [gwkb.polygon_wkb_d(rings, d) for rings in polys], d)
     if kind == "COMPOUNDCURVE":
         p.expect("(")
