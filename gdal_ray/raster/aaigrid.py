@@ -172,6 +172,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.srtmhgt import read_srtmhgt
 
         return read_srtmhgt(path)
+    if low.endswith((".fits", ".fit")) or path.startswith('FITS:"'):
+        from gdal_ray.raster.fits import read_fits
+
+        return read_fits(path)
     if low.endswith((".pgm", ".ppm", ".pbm", ".pnm")):
         from gdal_ray.raster.pnm import read_pnm
 
