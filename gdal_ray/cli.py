@@ -129,6 +129,10 @@ def build_pipeline(spec: str):
         from gdal_ray import formats
 
         source = lambda: formats.read_csv_geom(src_path)  # noqa: E731
+    elif low.endswith(".dxf"):
+        from gdal_ray import dxf
+
+        source = lambda: dxf.read_dxf(src_path)  # noqa: E731
     elif low.endswith(".shp"):
         from gdal_ray import shapefile
 
