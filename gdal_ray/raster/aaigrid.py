@@ -176,6 +176,21 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.fits import read_fits
 
         return read_fits(path)
+    if low.endswith(".ter"):
+        from gdal_ray.raster.leveller import read_leveller
+
+        return read_leveller(path)
+    if low.endswith(".bin"):
+        from gdal_ray.raster.ngsgeoid import read_ngsgeoid
+
+        return read_ngsgeoid(path)
+    import os as _os
+
+    if (_os.path.isdir(path)
+            or low.endswith(("hdr.adf", "w001001.adf", "prj.adf"))):
+        from gdal_ray.raster.aig import read_aig
+
+        return read_aig(path)
     if low.endswith((".pgm", ".ppm", ".pbm", ".pnm")):
         from gdal_ray.raster.pnm import read_pnm
 
