@@ -180,6 +180,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.leveller import read_leveller
 
         return read_leveller(path)
+    if low.endswith(".lbl"):
+        from gdal_ray.raster.pds import read_pds
+
+        return read_pds(path)
     if low.endswith(".bin"):
         from gdal_ray.raster.ngsgeoid import read_ngsgeoid
 
