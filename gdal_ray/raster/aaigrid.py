@@ -184,6 +184,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.pds import read_pds
 
         return read_pds(path)
+    if low.endswith((".rsw", ".mtw")):
+        from gdal_ray.raster.rmf import read_rmf
+
+        return read_rmf(path)
     if low.endswith(".bin"):
         from gdal_ray.raster.ngsgeoid import read_ngsgeoid
 
