@@ -259,6 +259,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.nwtgrd import read_nwt_grc
 
         return read_nwt_grc(path)
+    if low.endswith((".kap", ".nos")):
+        from gdal_ray.raster.bsb import read_bsb
+
+        return read_bsb(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
