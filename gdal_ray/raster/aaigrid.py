@@ -177,9 +177,17 @@ def load_raster(path: str) -> dict:
 
         return read_fits(path)
     if low.endswith(".ter"):
-        from gdal_ray.raster.leveller import read_leveller
+        # .ter is claimed by both Leveller ("trrn") and Terragen
+        # ("TERRAGEN") — dispatch on the magic
+        from gdal_ray.vsi import vsi_read_bytes
 
-        return read_leveller(path)
+        if vsi_read_bytes(path)[:4] == b"trrn":
+            from gdal_ray.raster.leveller import read_leveller
+
+            return read_leveller(path)
+        from gdal_ray.raster.terragen import read_terragen
+
+        return read_terragen(path)
     if low.endswith(".lbl"):
         from gdal_ray.raster.pds import read_pds
 
@@ -194,7 +202,8 @@ def load_raster(path: str) -> dict:
         return read_ngsgeoid(path)
     import os as _os
 
-    if (_os.path.isdir(path)
+    if ((_os.path.isdir(path)
+         and _os.path.exists(_os.path.join(path, "hdr.adf")))
             or low.endswith(("hdr.adf", "w001001.adf", "prj.adf"))):
         from gdal_ray.raster.aig import read_aig
 
@@ -259,6 +268,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.nwtgrd import read_nwt_grc
 
         return read_nwt_grc(path)
+    if low.endswith((".vic", ".vicar")):
+        from gdal_ray.raster.vicar import read_vicar
+
+        return read_vicar(path)
     if low.endswith((".kap", ".nos")):
         from gdal_ray.raster.bsb import read_bsb
 
