@@ -188,7 +188,19 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.terragen import read_terragen
 
         return read_terragen(path)
-    if low.endswith(".lbl"):
+    if low.endswith((".lbl", ".cub")):
+        # .lbl/.cub are claimed by PDS3, ISIS3 and ISIS2 — sniff
+        from gdal_ray.vsi import vsi_read_bytes
+
+        head = vsi_read_bytes(path)[:2048]
+        if b"IsisCube" in head:
+            from gdal_ray.raster.isis import read_isis3
+
+            return read_isis3(path)
+        if low.endswith(".cub"):
+            from gdal_ray.raster.isis import read_isis2
+
+            return read_isis2(path)
         from gdal_ray.raster.pds import read_pds
 
         return read_pds(path)
