@@ -148,7 +148,16 @@ def load_raster(path: str) -> dict:
         from gdal_ray.vsi import vsi_read_bytes
 
         return decode_xyz(vsi_read_bytes(path))
-    if low.endswith((".img", ".dat")):
+    if low.endswith((".img", ".dat", ".aux", ".rrd")):
+        # .img is claimed by both HFA (Erdas Imagine) and ENVI — sniff
+        from gdal_ray.vsi import vsi_read_bytes
+
+        if vsi_read_bytes(path)[:15] == b"EHFA_HEADER_TAG":
+            from gdal_ray.raster.hfa import read_hfa
+
+            return read_hfa(path)
+        if low.endswith((".aux", ".rrd")):
+            raise ValueError(f"{path}: not an HFA file")
         from gdal_ray.raster.envi import read_envi
 
         return read_envi(path)
