@@ -150,6 +150,11 @@ def build_pipeline(spec: str):
 
         source = lambda: gpkg.read_gpkg(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.rstrip("/").endswith(".gdb"):
+        from gdal_ray import filegdb
+
+        source = lambda: filegdb.read_filegdb(  # noqa: E731
+            src_path, layer=src_args.get("layer"))
     elif low.endswith(".gml"):
         from gdal_ray import gml
 
