@@ -155,6 +155,10 @@ def build_pipeline(spec: str):
 
         source = lambda: filegdb.read_filegdb(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.endswith(".tab"):
+        from gdal_ray import tab
+
+        source = lambda: tab.read_tab(src_path)  # noqa: E731
     elif low.endswith(".gml"):
         from gdal_ray import gml
 

@@ -180,13 +180,101 @@ def _parse_geometry(src: _Lines):
         for _ in range(n):
             g = _parse_geometry(src)
             _skip_style(src)
+            if isinstance(g, tuple):
+                g = g[1]
             if g is not None:
                 parts.append(g)
         return W.geometrycollection_wkb(parts)
     if kw in ("roundrect", "ellipse", "arc", "text"):
-        raise NotImplementedError(
-            f"MIF: {kw} records need MapInfo's arc/text discretization "
-            "— not replicated (documented boundary)")
+        # MapInfo's exact discretizations (mitab_feature.cpp roles),
+        # shared with the TAB binary driver
+        import math
+
+        from gdal_ray.tab import _close_ring, _gen_arc
+        if kw == "ellipse":
+            x1, y1, x2, y2 = (float(v) for v in t[1:5])
+            xmin, xmax = min(x1, x2), max(x1, x2)
+            ymin, ymax = min(y1, y2), max(y1, y2)
+            ring = _close_ring(_gen_arc(
+                (xmin + xmax) / 2, (ymin + ymax) / 2,
+                (xmax - xmin) / 2, (ymax - ymin) / 2,
+                0.0, 2 * math.pi, 180))
+            return W.polygon_wkb(ring)
+        if kw == "roundrect":
+            x1, y1, x2, y2 = (float(v) for v in t[1:5])
+            rad = (float(t[5]) if len(t) > 5
+                   else float(src.next().split()[0])) / 2.0
+            xmin, xmax = min(x1, x2), max(x1, x2)
+            ymin, ymax = min(y1, y2), max(y1, y2)
+            if rad == 0.0:
+                return W.box_polygon_wkb(xmin, ymin, xmax, ymax)
+            rx = min(rad, (xmax - xmin) / 2)
+            ry = min(rad, (ymax - ymin) / 2)
+            ring = np.vstack([
+                _gen_arc(xmin + rx, ymin + ry, rx, ry,
+                         math.pi, 1.5 * math.pi, 45),
+                _gen_arc(xmax - rx, ymin + ry, rx, ry,
+                         1.5 * math.pi, 2 * math.pi, 45),
+                _gen_arc(xmax - rx, ymax - ry, rx, ry,
+                         0.0, 0.5 * math.pi, 45),
+                _gen_arc(xmin + rx, ymax - ry, rx, ry,
+                         0.5 * math.pi, math.pi, 45)])
+            return W.polygon_wkb(_close_ring(ring))
+        if kw == "arc":
+            x1, y1, x2, y2 = (float(v) for v in t[1:5])
+            if len(t) > 6:
+                a0, a1 = float(t[5]), float(t[6])
+            else:
+                nt = src.next().split()
+                a0, a1 = float(nt[0]), float(nt[1])
+            xmin, xmax = min(x1, x2), max(x1, x2)
+            ymin, ymax = min(y1, y2), max(y1, y2)
+            if a1 < a0:
+                npts = max(2, int(abs((a1 + 360.0) - a0) / 2.0 + 1))
+            else:
+                npts = max(2, int(abs(a1 - a0) / 2.0 + 1))
+            return W.linestring_wkb(_gen_arc(
+                (xmin + xmax) / 2, (ymin + ymax) / 2,
+                (xmax - xmin) / 2, (ymax - ymin) / 2,
+                a0 * math.pi / 180, a1 * math.pi / 180, npts))
+        # text: string (same or next line), then the unrotated box;
+        # geometry = rotated lower-left anchor (TABText MIF role)
+        rest = line.split(None, 1)
+        if len(rest) > 1 and rest[1].strip():
+            s = rest[1].strip()
+        else:
+            s = src.next().strip()
+        text = s.strip('"')
+        nt = src.next().split()
+        x1, y1, x2, y2 = (float(v) for v in nt[:4])
+        xmin, xmax = min(x1, x2), max(x1, x2)
+        ymin, ymax = min(y1, y2), max(y1, y2)
+        height = ymax - ymin
+        angle = 0.0
+        while True:
+            p = src.peek()
+            if p is None:
+                break
+            w0 = p.split()[0].lower().split("(")[0]
+            if w0 == "angle":
+                angle = float(src.next().split()[1])
+            elif w0 in _STYLE_WORDS or w0 in ("spacing", "justify",
+                                              "label"):
+                src.next()
+            else:
+                break
+        s_, c_ = (math.sin(angle * math.pi / 180),
+                  math.cos(angle * math.pi / 180))
+        if s_ > 0 and c_ > 0:
+            x, y = xmin + height * s_, ymin
+        elif s_ > 0 and c_ < 0:
+            x, y = xmax, ymin - height * c_
+        elif s_ < 0 and c_ < 0:
+            x, y = xmax + height * s_, ymax
+        else:
+            x, y = xmin, ymax - height * c_
+        g = W.point_wkb(x, y)
+        return ("text", g, text)
     raise ValueError(f"MIF: unknown record {line!r}")
 
 
@@ -236,8 +324,15 @@ def read_mif(path: str) -> pa.Table:
             continue
         src.next()
     geoms = []
+    texts = []
     while src.peek() is not None:
-        geoms.append(_parse_geometry(src))
+        g = _parse_geometry(src)
+        if isinstance(g, tuple) and g[0] == "text":
+            geoms.append(g[1])
+            texts.append(g[2])
+        else:
+            geoms.append(g)
+            texts.append(None)
         _skip_style(src)
     # attributes
     midpath = None
@@ -267,6 +362,8 @@ def read_mif(path: str) -> pa.Table:
         vals += [None] * (len(geoms) - len(vals))
         out[name] = pa.array(vals, _TYPE_MAP[typ])
     out["geometry"] = pa.array(geoms, pa.binary())
+    if any(texts):
+        out["mi_text"] = pa.array(texts, pa.string())
     tbl = pa.table(out)
     if coordsys:
         tbl = tbl.replace_schema_metadata({b"mif_coordsys":

@@ -98,12 +98,26 @@ NONE
         g = W.parse(t["geometry"][6].as_py())
         assert len(g["rings"]) == 2
 
-    def test_arc_family_raises(self, tmp_path):
-        p = tmp_path / "a.mif"
-        p.write_text("Version 300\nColumns 0\nData\n\n"
-                     "Ellipse -1 -1 1 1\n")
-        with pytest.raises(NotImplementedError, match="ellipse"):
-            read_mif(str(p))
+    def test_arc_family_vs_golden(self):
+        """Ellipse/Arc/RoundRect/Text records match the reference's
+        all_geoms.mif.golden.csv discretizations exactly."""
+        import csv
+        import re
+        from gdal_ray.geom import wkt as gwkt
+        with open(D + "all_geoms.mif.golden.csv") as f:
+            exp = list(csv.DictReader(f))
+        t = read_mif(D + "all_geoms.mif")
+        assert t.num_rows == len(exp) == 16
+        num = r"-?[\d.]+(?:[eE][-+]?\d+)?"
+        for i in range(t.num_rows):
+            g = t["geometry"][i].as_py()
+            got = gwkt.to_wkt(g) if g else None
+            gn = [float(x) for x in re.findall(num, got or "")]
+            wn = [float(x) for x in re.findall(num, exp[i]["WKT"])]
+            assert len(gn) == len(wn), (i, got, exp[i]["WKT"])
+            assert all(abs(a - b) <= max(1e-9, abs(b) * 1e-9)
+                       for a, b in zip(gn, wn)), i
+        assert t["mi_text"][12].as_py() == "text"
 
 
 class TestWriteRoundtrip:
