@@ -159,6 +159,10 @@ def build_pipeline(spec: str):
         from gdal_ray import tab
 
         source = lambda: tab.read_tab(src_path)  # noqa: E731
+    elif low.endswith(".dgn"):
+        from gdal_ray import dgn
+
+        source = lambda: dgn.read_dgn(src_path)  # noqa: E731
     elif low.endswith(".gml"):
         from gdal_ray import gml
 
