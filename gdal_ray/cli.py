@@ -163,6 +163,12 @@ def build_pipeline(spec: str):
         from gdal_ray import dgn
 
         source = lambda: dgn.read_dgn(src_path)  # noqa: E731
+    elif low.startswith("gtfs:") or low.endswith(".zip") and "gtfs" in low:
+        from gdal_ray import gtfs
+
+        source = lambda: gtfs.read_gtfs(  # noqa: E731
+            src_path.split(":", 1)[-1] if low.startswith("gtfs:")
+            else src_path, layer=src_args.get("layer") or "stops")
     elif low.endswith(".gml"):
         from gdal_ray import gml
 
