@@ -163,6 +163,11 @@ def build_pipeline(spec: str):
         from gdal_ray import dgn
 
         source = lambda: dgn.read_dgn(src_path)  # noqa: E731
+    elif low.endswith(".000"):
+        from gdal_ray import s57
+
+        source = lambda: s57.read_s57(  # noqa: E731
+            src_path, layer=src_args.get("layer") or "DSID")
     elif low.startswith("gtfs:") or low.endswith(".zip") and "gtfs" in low:
         from gdal_ray import gtfs
 

@@ -1,0 +1,386 @@
+"""S-57 ENC (Electronic Navigational Chart) reader — the OGR S57 role.
+
+From-scratch assembly of the IHO S-57 vector model on top of the
+generic ISO 8211 reader (reference roles:
+ogr/ogrsf_frmts/s57/s57reader.cpp ReadVector/ReadFeature +
+AssembleLineGeometry/AssembleAreaGeometry/AssemblePointGeometry,
+ogrs57layer.cpp layer split; object/attribute names from the IHO
+catalogue in s57_catalog.py).
+
+Model: a cell holds vector records (VRID keyed by RCNM/RCID —
+110 isolated node, 120 connected node, 130 edge) carrying SG2D/SG3D
+integer coordinates scaled by DSPM.COMF (depths by SOMF) and VRPT
+links (an edge's two connected nodes), plus feature records
+(FRID/FOID/ATTF/NATF/FSPT).  Features assemble per PRIM:
+
+- P: referenced node's coordinates → POINT, or MULTIPOINT Z from a
+  node's SG3D soundings (SOUNDG);
+- L: each FSPT edge expands to start-node + SG2D + end-node,
+  reversed when ORNT=2, then touching chains merge → LINESTRING /
+  MULTILINESTRING;
+- A: edges chained into closed rings; USAG=2 rings become holes →
+  POLYGON.
+
+One layer per object class (OBJL → catalogue acronym) plus the DSID
+metadata layer.  Fields: RCID, PRIM, GRUP, OBJL, RVER, AGEN, FIDN,
+FIDS, LNAM (AGEN/FIDN/FIDS hex), attributes by catalogue acronym
+(list-type attributes as string lists, NATF at lexical level 2
+decoded from UCS-2).  ENC update files (.001+) and the FFPT
+relationship fields are named boundaries.
+
+Scale: one read task per cell; an ENC archive of thousands of cells
+parallelizes across files (per-file shard contract).
+"""
+from __future__ import annotations
+
+import os
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+from gdal_ray import iso8211
+from gdal_ray.geom import wkb as gwkb
+from gdal_ray.s57_catalog import ATTRIBUTES, OBJECT_CLASSES
+
+RCNM_VI, RCNM_VC, RCNM_VE, RCNM_VF = 110, 120, 130, 140
+
+
+def _same(a, b) -> bool:
+    """Vertex equality: integer UOR coords divided by one COMF are
+    bit-identical when equal — exact compare (np.allclose's default
+    rtol would merge distinct nearby vertices)."""
+    return bool(np.array_equal(np.asarray(a), np.asarray(b)))
+
+
+class _Vector:
+    __slots__ = ("coords", "depths", "links")
+
+    def __init__(self):
+        self.coords: np.ndarray | None = None
+        self.depths: np.ndarray | None = None
+        self.links: list[tuple[int, int, int, int]] = []  # rcnm,rcid,ornt,usag
+
+
+def _name_ref(raw: bytes):
+    """FSPT/VRPT NAME B(40): byte RCNM + uint32 RCID."""
+    return raw[0], int.from_bytes(raw[1:5], "little")
+
+
+class S57Cell:
+    def __init__(self, path: str):
+        self.reader = iso8211.read_ddf(path)
+        self.comf = 1.0
+        self.somf = 1.0
+        self.aall = 1  # ATTF lexical level
+        self.nall = 1  # NATF lexical level
+        self.dsid: dict = {}
+        self.vectors: dict[tuple[int, int], _Vector] = {}
+        self.features: list[dict] = []
+        self._load()
+
+    def _load(self):
+        for rec in self.reader.records:
+            if "DSID" in rec.fields:
+                self.dsid.update({f"DSID_{k}": v for k, v in
+                                  rec.first("DSID").items()})
+                if "DSSI" in rec.fields:
+                    dssi = rec.first("DSSI")
+                    self.aall = dssi.get("AALL", 1)
+                    self.nall = dssi.get("NALL", 1)
+                    self.dsid.update({f"DSSI_{k}": v
+                                      for k, v in dssi.items()})
+            elif "DSPM" in rec.fields:
+                dspm = rec.first("DSPM")
+                self.comf = float(dspm.get("COMF") or 1.0)
+                self.somf = float(dspm.get("SOMF") or 1.0)
+            elif "VRID" in rec.fields:
+                self._load_vector(rec)
+            elif "FRID" in rec.fields:
+                self._load_feature(rec)
+
+    def _load_vector(self, rec: iso8211.Record):
+        vrid = rec.first("VRID")
+        key = (vrid["RCNM"], vrid["RCID"])
+        v = _Vector()
+        sg2 = rec.all("SG2D")
+        sg3 = rec.all("SG3D")
+        if sg2:
+            a = np.array([[p["XCOO"], p["YCOO"]] for p in sg2], np.float64)
+            v.coords = a / self.comf
+        if sg3:
+            a = np.array([[p["XCOO"], p["YCOO"], p["VE3D"]] for p in sg3],
+                         np.float64)
+            a[:, :2] /= self.comf
+            a[:, 2] /= self.somf
+            v.coords = a[:, :2]
+            v.depths = a[:, 2]
+        for p in rec.all("VRPT"):
+            rcnm, rcid = _name_ref(p["NAME"])
+            v.links.append((rcnm, rcid, p.get("ORNT", 1),
+                            p.get("USAG", 1)))
+        self.vectors[key] = v
+
+    def _decode_atvl(self, val, lexical: int) -> str:
+        if isinstance(val, str) and lexical == 2:
+            return val  # already decoded text path
+        return val
+
+    def _load_feature(self, rec: iso8211.Record):
+        frid = rec.first("FRID")
+        foid = rec.first("FOID") or {}
+        feat = {
+            "RCID": frid["RCID"], "PRIM": frid["PRIM"],
+            "GRUP": frid["GRUP"], "OBJL": frid["OBJL"],
+            "RVER": frid["RVER"],
+            "AGEN": foid.get("AGEN"), "FIDN": foid.get("FIDN"),
+            "FIDS": foid.get("FIDS"),
+        }
+        if foid:
+            feat["LNAM"] = "%04X%08X%04X" % (foid.get("AGEN", 0),
+                                             foid.get("FIDN", 0),
+                                             foid.get("FIDS", 0))
+        attrs = {}
+        for p in rec.all("ATTF"):
+            code = p.get("ATTL")
+            name, atype = ATTRIBUTES.get(code, (f"ATTR_{code}", "S"))
+            val = p.get("ATVL", "")
+            if atype == "L":
+                val = [x for x in str(val).split(",")]
+            elif atype == "I":
+                try:
+                    val = int(val)
+                except (TypeError, ValueError):
+                    val = None
+            elif atype == "F":
+                try:
+                    val = float(val)
+                except (TypeError, ValueError):
+                    val = None
+            attrs[name] = val
+        if self.nall == 2 and "NATF" in rec.raw:
+            # lexical level 2: ATVL is UCS-2LE with a 2-byte (1F 00)
+            # unit terminator the generic decoder can't know — reparse
+            raw = rec.raw["NATF"]
+            pos = 0
+            while pos + 2 <= len(raw):
+                code = int.from_bytes(raw[pos:pos + 2], "little")
+                pos += 2
+                end = pos
+                while end + 2 <= len(raw) and \
+                        raw[end:end + 2] != b"\x1f\x00":
+                    end += 2
+                val = raw[pos:end].decode("utf-16-le", "replace")
+                pos = end + 2
+                name, _t = ATTRIBUTES.get(code, (f"ATTR_{code}", "S"))
+                attrs[name] = val
+        else:
+            for p in rec.all("NATF"):
+                code = p.get("ATTL")
+                name, _t = ATTRIBUTES.get(code, (f"ATTR_{code}", "S"))
+                attrs[name] = p.get("ATVL", "")
+        feat["attrs"] = attrs
+        feat["fspt"] = [( *_name_ref(p["NAME"]), p.get("ORNT", 1),
+                         p.get("USAG", 1), p.get("MASK", 1))
+                        for p in rec.all("FSPT")]
+        self.features.append(feat)
+
+    # -- geometry assembly ----------------------------------------------------
+
+    def _edge_line(self, rcid: int, ornt: int) -> np.ndarray | None:
+        v = self.vectors.get((RCNM_VE, rcid))
+        if v is None:
+            return None
+        pts = []
+        start = end = None
+        nodes = [l for l in v.links if l[0] == RCNM_VC]
+        if nodes:
+            start = self.vectors.get((RCNM_VC, nodes[0][1]))
+            if len(nodes) > 1:
+                end = self.vectors.get((RCNM_VC, nodes[1][1]))
+        if start is not None and start.coords is not None:
+            pts.append(start.coords)
+        if v.coords is not None:
+            pts.append(v.coords)
+        if end is not None and end.coords is not None:
+            pts.append(end.coords)
+        if not pts:
+            return None
+        line = np.vstack(pts)
+        return line[::-1] if ornt == 2 else line
+
+    def _merge_chains(self, lines: list[np.ndarray]) -> list[np.ndarray]:
+        chains: list[np.ndarray] = []
+        for ln in lines:
+            if chains and _same(chains[-1][-1], ln[0]):
+                chains[-1] = np.vstack([chains[-1], ln[1:]])
+            else:
+                chains.append(ln)
+        # second pass: try joining non-adjacent chains
+        merged = True
+        while merged and len(chains) > 1:
+            merged = False
+            for i in range(len(chains)):
+                for j in range(len(chains)):
+                    if i == j:
+                        continue
+                    if _same(chains[i][-1], chains[j][0]):
+                        chains[i] = np.vstack([chains[i], chains[j][1:]])
+                        chains.pop(j)
+                        merged = True
+                        break
+                if merged:
+                    break
+        return chains
+
+    def geometry(self, feat: dict) -> bytes | None:
+        prim = feat["PRIM"]
+        fspt = feat["fspt"]
+        if prim == 1:  # point
+            pts2 = []
+            snd = []
+            for rcnm, rcid, _o, _u, _m in fspt:
+                v = self.vectors.get((rcnm, rcid))
+                if v is None or v.coords is None:
+                    continue
+                if v.depths is not None:
+                    for (x, y), z in zip(v.coords, v.depths):
+                        snd.append((x, y, z))
+                else:
+                    pts2.extend(v.coords.tolist())
+            if snd:
+                parts = [gwkb.point_wkb_d([x, y, z], "xyz")
+                         for x, y, z in snd]
+                return (struct.pack("<BII", 1, 1004, len(parts))
+                        + b"".join(parts))
+            if not pts2:
+                return None
+            if len(pts2) == 1:
+                return gwkb.point_wkb(pts2[0][0], pts2[0][1])
+            parts = [gwkb.point_wkb(x, y) for x, y in pts2]
+            return (struct.pack("<BII", 1, 4, len(parts))
+                    + b"".join(parts))
+
+        if prim == 2:  # line: ORNT applied, FSPT order (reference
+            # AssembleLineGeometry role)
+            lines = []
+            for rcnm, rcid, ornt, _u, _m in fspt:
+                if rcnm != RCNM_VE:
+                    continue
+                ln = self._edge_line(rcid, ornt)
+                if ln is not None and len(ln) >= 2:
+                    lines.append(ln)
+            if not lines:
+                return None
+            chains = self._merge_chains(lines)
+            if len(chains) == 1:
+                return gwkb.linestring_wkb(chains[0])
+            segs = [gwkb.linestring_wkb(c) for c in chains]
+            return (struct.pack("<BII", 1, 5, len(segs)) + b"".join(segs))
+
+        # area: natural edge direction (ORNT ignored), rings chained by
+        # endpoint matching from the first edge on (the reference's
+        # AssembleAreaGeometry → OGRBuildPolygonFromEdges path)
+        ext = []
+        inter = []
+        for rcnm, rcid, _o, usag, _m in fspt:
+            if rcnm != RCNM_VE:
+                continue
+            ln = self._edge_line(rcid, 1)
+            if ln is not None and len(ln) >= 2:
+                (inter if usag == 2 else ext).append(ln)
+        rings = []
+        for group in (ext, inter):
+            while group:
+                chain = [group.pop(0)]
+                head = chain[0][0]
+                while group and not _same(head, chain[-1][-1]):
+                    tail = chain[-1][-1]
+                    found = False
+                    # first connecting edge in FSPT scan order, joined
+                    # at the tail (OGRBuildPolygonFromEdges behavior)
+                    for i, ln in enumerate(group):
+                        if _same(ln[0], tail):
+                            chain.append(group.pop(i)[1:])
+                            found = True
+                            break
+                        if _same(ln[-1], tail):
+                            chain.append(group.pop(i)[::-1][1:])
+                            found = True
+                            break
+                    if not found:
+                        break
+                ring = np.vstack(chain)
+                if not _same(ring[0], ring[-1]):
+                    ring = np.vstack([ring, ring[:1]])
+                rings.append(ring)
+        if not rings:
+            return None
+        return gwkb.polygon_wkb(rings[0], rings[1:])
+
+
+_LIST_ATTRS = [name for code, (name, t) in ATTRIBUTES.items() if t == "L"]
+
+
+def list_layers(path: str) -> list[str]:
+    cell = S57Cell(path)
+    names = ["DSID"]
+    seen = []
+    for f in cell.features:
+        acr = OBJECT_CLASSES.get(f["OBJL"], (f"OBJL_{f['OBJL']}",))[0]
+        if acr not in seen:
+            seen.append(acr)
+    return names + sorted(seen)
+
+
+def read_s57_local(path: str, layer: str,
+                   geom_col: str = "geometry") -> pa.Table:
+    cell = S57Cell(path)
+    if layer == "DSID":
+        vals = {k: [v] for k, v in cell.dsid.items()
+                if isinstance(v, (int, float, str))}
+        return pa.table(vals)
+    feats = [f for f in cell.features
+             if OBJECT_CLASSES.get(f["OBJL"],
+                                   (f"OBJL_{f['OBJL']}",))[0] == layer]
+    cols: dict[str, list] = {
+        "RCID": [], "PRIM": [], "GRUP": [], "OBJL": [], "RVER": [],
+        "AGEN": [], "FIDN": [], "FIDS": [], "LNAM": [],
+    }
+    attr_names: list[str] = []
+    for f in feats:
+        for a in f["attrs"]:
+            if a not in attr_names:
+                attr_names.append(a)
+    geoms = []
+    for f in feats:
+        for k in ("RCID", "PRIM", "GRUP", "OBJL", "RVER", "AGEN", "FIDN",
+                  "FIDS"):
+            cols[k].append(f.get(k))
+        cols["LNAM"].append(f.get("LNAM"))
+        geoms.append(cell.geometry(f))
+    out = {k: pa.array(v) for k, v in cols.items()}
+    for a in attr_names:
+        vals = [f["attrs"].get(a) for f in feats]
+        if a in _LIST_ATTRS:
+            out[a] = pa.array(
+                [v if isinstance(v, list) else (None if v is None else [v])
+                 for v in vals], pa.list_(pa.string()))
+        else:
+            out[a] = pa.array([None if v is None else v for v in vals])
+    out[geom_col] = pa.array(geoms, pa.binary())
+    return pa.table(out)
+
+
+def read_s57(path: str, layer: str, geom_col: str = "geometry"):
+    """Ray Dataset over one object-class layer — one task per cell."""
+    import ray.data as rd
+    paths = [path] if isinstance(path, str) else list(path)
+    ds = rd.from_items([{"path": p} for p in paths])
+
+    def load(batch: pa.Table) -> pa.Table:
+        return pa.concat_tables(
+            [read_s57_local(p.as_py(), layer, geom_col)
+             for p in batch["path"]], promote_options="permissive")
+
+    return ds.map_batches(load, batch_format="pyarrow")
