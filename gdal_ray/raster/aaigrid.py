@@ -169,6 +169,11 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.dted import read_dted
 
         return read_dted(path)
+    if low.endswith((".grb", ".grb2", ".grib", ".grib2", ".bin")) and \
+            b"GRIB" in __import__("gdal_ray.vsi", fromlist=["vsi"]).vsi_read_bytes(path)[:4096]:
+        from gdal_ray.raster.grib import read_grib_raster
+
+        return read_grib_raster(path)
     if low.endswith(".gtx"):
         from gdal_ray.raster.gtx import read_gtx
 

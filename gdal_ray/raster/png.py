@@ -106,8 +106,12 @@ def decode_png(data: bytes) -> np.ndarray:
             w, h, depth, ctype, comp, filt, inter = struct.unpack(
                 ">IIBBBBB", payload
             )
-            if depth != 8 or inter != 0 or comp != 0 or filt != 0:
-                raise ValueError("only baseline 8-bit non-interlaced")
+            if inter != 0 or comp != 0 or filt != 0:
+                raise ValueError("only baseline non-interlaced")
+            if depth != 8 and ctype != 0:
+                raise ValueError("non-8-bit depth only for grayscale")
+            if depth not in (1, 2, 4, 8, 16):
+                raise ValueError(f"unsupported bit depth {depth}")
             channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
             if channels is None:
                 raise ValueError(f"unsupported colortype {ctype}")
@@ -117,9 +121,25 @@ def decode_png(data: bytes) -> np.ndarray:
             break
         pos += 12 + ln
     raw = np.frombuffer(zlib.decompress(idat), dtype=np.uint8)
-    stride = w * channels
+    if depth == 8:
+        stride = w * channels
+        bpp = channels
+    elif depth == 16:
+        stride = w * 2
+        bpp = 2
+    else:  # 1/2/4-bit grayscale (GRIB template 5.41 small nbits)
+        stride = (w * depth + 7) // 8
+        bpp = 1
     if len(raw) != h * (1 + stride):
         raise ValueError("bad IDAT length")
-    out = _unfilter(raw, h, stride, channels)
+    out = _unfilter(raw, h, stride, bpp)
+    if depth == 16:
+        return out.reshape(h, stride).view(">u2").astype(np.uint16) \
+            .reshape(h, w)
+    if depth < 8:
+        bits = np.unpackbits(out.reshape(h, stride), axis=1)
+        samples = bits[:, :w * depth].reshape(h, w, depth)
+        weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+        return (samples * weights).sum(axis=2).astype(np.uint8)
     img = out.reshape(h, w, channels)
     return img[:, :, 0] if channels == 1 else img
