@@ -174,6 +174,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.grib import read_grib_raster
 
         return read_grib_raster(path)
+    if low.endswith((".ntf", ".nsf", ".nitf")):
+        from gdal_ray.raster.nitf import read_nitf
+
+        return read_nitf(path)
     if low.endswith(".gtx"):
         from gdal_ray.raster.gtx import read_gtx
 
