@@ -163,6 +163,11 @@ def build_pipeline(spec: str):
         from gdal_ray import dgn
 
         source = lambda: dgn.read_dgn(src_path)  # noqa: E731
+    elif low.endswith(".xlsx"):
+        from gdal_ray import xlsx
+
+        source = lambda: xlsx.read_xlsx_dataset(  # noqa: E731
+            src_path, sheet=src_args.get("layer"))
     elif low.endswith(".000"):
         from gdal_ray import s57
 
