@@ -65,7 +65,8 @@ def test_copy_mode_srid_quoting(tmp_path, poly_table):
         poly_table, str(tmp_path / "t2.sql"), 'xx"yyy',
         schema='ano"ther_schema', srid=4326, geom_name='the_"geom',
         geom_type="POLYGON", use_copy=True, lineformat="CRLF")
-    sql = (tmp_path / "t2.sql").read_text(newline="")
+    with open(tmp_path / "t2.sql", newline="") as f:
+        sql = f.read()
     _check_sequence(sql, [
         'CREATE SCHEMA "ano""ther_schema";',
         'DROP TABLE IF EXISTS "ano""ther_schema"."xx""yyy" CASCADE;',
