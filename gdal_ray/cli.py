@@ -188,6 +188,11 @@ def build_pipeline(spec: str):
         from gdal_ray import mif
 
         source = lambda: mif.read_mif_dataset(src_path)  # noqa: E731
+    elif low.endswith(".e00"):
+        from gdal_ray import avc
+
+        source = lambda: avc.read_avc(  # noqa: E731
+            src_path, layer=src_args.get("layer") or "ARC")
     elif low.endswith(".topojson"):
         from gdal_ray import topojson
 
