@@ -17,6 +17,7 @@ pixel_per_line.asc → 1123).
 from __future__ import annotations
 
 import os
+import re
 
 import numpy as np
 
@@ -149,9 +150,13 @@ def load_raster(path: str) -> dict:
 
         return decode_xyz(vsi_read_bytes(path))
     if low.endswith((".img", ".dat", ".aux", ".rrd")):
-        # .img is claimed by both HFA (Erdas Imagine) and ENVI — sniff
+        # .img is claimed by HFA (Erdas Imagine), ENVI and CPG — sniff
         from gdal_ray.vsi import vsi_read_bytes
 
+        if low.endswith("sirc.img"):
+            from gdal_ray.raster.rawzoo import read_cpg_sirc
+
+            return read_cpg_sirc(path)
         if vsi_read_bytes(path)[:15] == b"EHFA_HEADER_TAG":
             from gdal_ray.raster.hfa import read_hfa
 
@@ -227,9 +232,63 @@ def load_raster(path: str) -> dict:
 
         return read_rmf(path)
     if low.endswith(".bin"):
+        # NSIDC sea-ice tiles are named nt_YYYYMMDD_*.bin
+        # (nsidcbindataset.cpp identity rule); everything else .bin
+        # falls through to NGS GEOID
+        if os.path.basename(low).startswith("nt_"):
+            from gdal_ray.raster.rawzoo import read_nsidcbin
+
+            return read_nsidcbin(path)
         from gdal_ray.raster.ngsgeoid import read_ngsgeoid
 
         return read_ngsgeoid(path)
+    if low.endswith(".hdr"):
+        # .hdr is claimed by CPG SIRC, SNODAS and Vexcel MFF — sniff
+        if low.endswith("sirc.hdr"):
+            from gdal_ray.raster.rawzoo import read_cpg_sirc
+
+            return read_cpg_sirc(path)
+        from gdal_ray.vsi import vsi_read_bytes
+
+        head = vsi_read_bytes(path)[:2048].decode("latin-1", "replace")
+        if "Data file pathname" in head:
+            from gdal_ray.raster.rawzoo import read_snodas
+
+            return read_snodas(path)
+        from gdal_ray.raster.mff import read_mff
+
+        return read_mff(path)
+    if low.endswith(".gsc"):
+        from gdal_ray.raster.rawzoo import read_gsc
+
+        return read_gsc(path)
+    if low.endswith(".doq"):
+        from gdal_ray.raster.rawzoo import read_doq1, read_doq2
+        from gdal_ray.vsi import vsi_read_bytes
+
+        if vsi_read_bytes(path)[:21] == b"BEGIN_USGS_DOQ_HEADER":
+            return read_doq2(path)
+        return read_doq1(path)
+    if low.endswith(".b"):
+        from gdal_ray.raster.rawzoo import read_noaa_b
+
+        return read_noaa_b(path)
+    if low.endswith(".bt"):
+        from gdal_ray.raster.rawzoo import read_bt
+
+        return read_bt(path)
+    if low.endswith(".kro"):
+        from gdal_ray.raster.rawzoo import read_kro
+
+        return read_kro(path)
+    if low.endswith(".ace2"):
+        from gdal_ray.raster.rawzoo import read_ace2
+
+        return read_ace2(path)
+    if re.search(r"\.h[0-9d]$", low):
+        from gdal_ray.raster.rawzoo import read_ndf
+
+        return read_ndf(path)
     import os as _os
 
     if ((_os.path.isdir(path)
@@ -238,6 +297,11 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.aig import read_aig
 
         return read_aig(path)
+    if _os.path.isdir(path) and _os.path.exists(
+            _os.path.join(path, "attrib")):
+        from gdal_ray.raster.rawzoo import read_mff2
+
+        return read_mff2(path)
     if low.endswith((".pgm", ".ppm", ".pbm", ".pnm")):
         from gdal_ray.raster.pnm import read_pnm
 
