@@ -42,7 +42,7 @@ is a plain stateless callable, safe at any ``concurrency``).
 
 from __future__ import annotations
 
-from html import escape
+from html import escape, unescape
 from html.parser import HTMLParser
 
 import pyarrow as pa
@@ -168,8 +168,13 @@ def _synth_paragraph(line: str, i: int, url: str) -> str:
     if v == 2:
         return f'<p><a href="{escape(url)}">{e}</a></p>'
     if v == 3 and line:
-        # first char as a numeric character reference
-        return f"<h2>&#{ord(line[0])};{escape(line[1:], quote=False)}</h2>"
+        # first char as a numeric character reference — but only when the
+        # HTML5 charref decode round-trips: parsers drop/remap charrefs to
+        # noncharacters, C1 controls etc. (html._invalid_codepoints), so
+        # those first chars fall through to the plain-escape variant.
+        ref = f"&#{ord(line[0])};"
+        if unescape(ref) == line[0]:
+            return f"<h2>{ref}{escape(line[1:], quote=False)}</h2>"
     return f"<p>{e}</p>"
 
 
