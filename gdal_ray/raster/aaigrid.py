@@ -187,6 +187,11 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.gtx import read_gtx
 
         return read_gtx(path)
+    if low.endswith((".jp2", ".j2k", ".jpc", ".jpx")):
+        from gdal_ray.raster.jp2 import decode_jp2
+        from gdal_ray.vsi import vsi_read_bytes
+
+        return decode_jp2(vsi_read_bytes(path))
     if low.endswith(".tga"):
         from gdal_ray.raster.tga import read_tga
 
