@@ -426,9 +426,19 @@ def _make_band(discipline, sec1, sec3, sec4, sec5, sec6, sec7):
             vals = np.full(ndata, np.float32(ref)
                            * np.float32(10.0 ** -ddec), np.float64)
         else:
-            raise NotImplementedError(
-                "GRIB2 template 5.40 (JPEG 2000) — no J2K codec in-repo "
-                "(named boundary)")
+            # the section-7 payload (after its 5-byte header) is a raw
+            # J2K codestream of one unsigned component; decode with
+            # the in-repo T.800 decoder and apply simple-packing
+            # scaling Y = (R + X·2^E)·10^-D
+            from gdal_ray.raster.jp2 import decode_j2k
+
+            codes = decode_j2k(bytes(sec7[5:]))[0].astype(
+                np.float64).ravel()[:ndata]
+            ref = struct.unpack_from(">f", sec5, 11)[0]
+            bscale = _sign_mag(_u(sec5, 15, 2), 16)
+            ddec = _sign_mag(_u(sec5, 17, 2), 16)
+            vals = (np.float64(ref) + codes * 2.0 ** bscale) \
+                * 10.0 ** -ddec
     else:
         raise NotImplementedError(f"GRIB2 data template 5.{drt}")
     b.nodata = UNDEFINED if (sec6 is not None and sec6[5] == 0) or \

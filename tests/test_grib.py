@@ -73,11 +73,29 @@ class TestGrib2:
         assert vals[0] == pytest.approx(0.01)
         assert vals[1] == 9999.0
 
-    def test_jpeg2000_bands_skipped(self):
-        """Real J2K-packed fields skip (no in-repo codec, like GDAL
-        without a JP2 driver) without killing the file read."""
+    def test_jpeg2000_packing(self):
+        """Template 5.40: J2K-packed fields decode through the in-repo
+        T.800 codec — GDAL's test_grib_grib2_sidecar checksums."""
         bands = grib.read_grib(f"{DATA}/gfs.t06z.pgrb2.10p0.f010.grib2")
-        assert isinstance(bands, list)  # no exception; j2k bands absent
+        assert len(bands) == 6
+        assert cs(bands[0]) == 59985
+        assert cs(bands[1]) == 59986
+        assert cs(bands[5]) == 206
+
+    def test_jpeg2000_satellite(self):
+        """Template 4.32 HWRF brightness temperature, J2K packed —
+        test_grib_grib2_read_template_4_32 pins."""
+        import numpy as np
+
+        bands = grib.read_grib(
+            f"{DATA}/twenty-se27w.2017102006.hwrfsat.core.0p02."
+            "f000_truncated.grb2")
+        b = bands[0]
+        assert (b.nx, b.ny) == (501, 501)
+        assert cs(b) == 48230
+        arr = np.asarray(b.data, dtype=float)
+        assert float(np.nanmin(arr)) == pytest.approx(-9.765, rel=1e-3)
+        assert float(np.nanmax(arr)) == pytest.approx(2.415, rel=1e-3)
 
 
 class TestGrib1:
