@@ -12,8 +12,9 @@ full subheader decode (PVTYPE/IREP/ABPP, ICORDS+IGEOLO geographic and
 decimal-degree corner coords, band LUTs skipped over, blocked layout
 NBPR×NBPC of NPPBH×NPPBV), IMODE B/P/S, IC=NC/NM uncompressed (1/8/
 16/32-bit incl. the bit-packed 1-bit form), IC=C3/M3 JPEG blocks via
-the in-repo T.81 decoder with the M3 block-offset mask table.
-IC=C1 bilevel fax, C8 JPEG2000, and ARIDPCM are named boundaries.
+the in-repo T.81 decoder with the M3 block-offset mask table,
+IC=C8/M8 JPEG 2000 segments via the in-repo T.800 decoder
+(raster/jp2.py).  IC=C1 bilevel fax and ARIDPCM are named boundaries.
 
 Scale: one read task per image segment (file × segment sharding, the
 raster tile-table contract).
@@ -223,10 +224,20 @@ class NitfFile:
                     pos = end
             return [o[:h, :w] for o in out]
 
+        if ic in ("C8", "M8"):
+            # IC=C8: the whole image segment is one JPEG 2000
+            # codestream (either raw J2K or JP2-wrapped) — decode with
+            # the in-repo T.800 codec (raster/jp2.py)
+            from gdal_ray.raster.jp2 import decode_j2k, find_codestream
+
+            seg_end = pos + img.data_size if img.data_size else len(d)
+            arrs = decode_j2k(find_codestream(bytes(d[pos:seg_end])))
+            return [np.asarray(a, np.float64)[:h, :w] for a in arrs]
+
         if ic not in ("NC", "NM"):
             raise NotImplementedError(
                 f"NITF IC={ic} ({img.comrat}) — named boundary "
-                "(bilevel fax / JPEG2000 / ARIDPCM codecs not in-repo)")
+                "(bilevel fax / ARIDPCM codecs not in-repo)")
 
         dt = self._DTYPES.get((img.pvtype, img.nbpp))
         if img.nbpp == 1:

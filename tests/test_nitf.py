@@ -59,3 +59,16 @@ def test_geotransform():
     gt = r["geotransform"]
     assert gt is not None
     assert gt[1] > 0 and gt[5] < 0
+
+
+def test_jp2_c8_segment():
+    """IC=C8 JPEG 2000 image segment — the reference's
+    nitf_check_created_file(test_jp2_ecw33.ntf) checksums."""
+    import numpy as np
+
+    from gdal_ray.raster.checksum import checksum_array
+    from gdal_ray.raster.nitf import read_nitf
+
+    d = read_nitf(DATA + "/test_jp2_ecw33.ntf")
+    assert [checksum_array(np.asarray(b)) for b in d["bands"]] == [
+        32398, 42502, 38882]
