@@ -5,14 +5,18 @@ delegates to libwebp in frmts/webp/; no line correspondence here).
 Scope: full VP8L decode — all four transforms (predictor, color,
 subtract-green, color-indexing incl. pixel bundling), color cache,
 meta prefix codes, LZ77 with the 2-D distance map, simple and
-code-length-coded prefix codes. Lossy VP8 stays an honest boundary
-(raise) — it needs the full VP8 intra codec.
+code-length-coded prefix codes.  Lossy "VP8 " chunks decode through
+the from-scratch RFC 6386 keyframe decoder (raster/vp8.py) — the
+round-4 boundary is closed — with ALPH-chunk alpha planes (raw and
+headerless-VP8L compression, all four prediction filters).
 
-No VP8L sample ships in the offline reference checkout (its .webp
-fixtures are lossy "VP8 "), so correctness is pinned the way the MVT
-codec was: hand-assembled bitstreams from the spec with known pixel
-output (tests/test_webp.py) + encoder↔decoder roundtrips on random
-images through the normal-prefix-code path.
+VP8L correctness is pinned the way the MVT codec was: hand-assembled
+bitstreams from the spec with known pixel output (tests/test_webp.py)
++ encoder↔decoder roundtrips on random images through the
+normal-prefix-code path.  Lossy VP8 correctness is pinned per-pixel
+against libwebp itself (present as a system library, driven via
+ctypes in tests/test_webp_vp8.py) on the reference's own rgbsmall
+fixture and on freshly encoded streams.
 
 Distance map: the spec's 120-entry 2-D neighborhood. It is exactly
 the (dx, dy) pairs with dy∈[0,7], dx∈[-8,8] (dx≥1 when dy=0) sorted
@@ -528,31 +532,76 @@ def decode_vp8l(data: bytes) -> np.ndarray:
     return out
 
 
+def _decode_alpha(body: bytes, w: int, h: int) -> np.ndarray:
+    """ALPH chunk → (h, w) alpha plane.  Container-spec layout: one
+    header byte (compression bits 0-1, filter 2-3, preprocessing 4-5),
+    then either raw bytes or a headerless VP8L stream whose GREEN
+    channel carries the alpha values."""
+    comp = body[0] & 0x03
+    filt = (body[0] >> 2) & 0x03
+    if comp == 0:
+        a = np.frombuffer(body[1:1 + w * h], np.uint8).reshape(h, w).copy()
+    elif comp == 1:
+        br = BitReader(body, 1)
+        img, transforms = _decode_entropy_image(br, w, h, True)
+        for ttype, arg, timg in reversed(transforms):
+            if ttype == 3:
+                img = _inv_color_indexing(img, arg, timg, w)
+            elif ttype == 2:
+                img = _inv_subtract_green(img)
+            elif ttype == 1:
+                img = _inv_color_transform(img, arg, timg)
+            else:
+                img = _inv_predictor(img, arg, timg)
+        a = ((img >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise ValueError(f"WebP ALPH: unknown compression {comp}")
+    if filt:
+        a = a.astype(np.int32)
+        for y in range(h):
+            for x in range(w):
+                left = a[y, x - 1] if x > 0 else (a[y - 1, 0] if y else 0)
+                top = a[y - 1, x] if y > 0 else (a[0, x - 1] if x else 0)
+                if filt == 1:
+                    p = left
+                elif filt == 2:
+                    p = top
+                else:
+                    tl = a[y - 1, x - 1] if (x > 0 and y > 0) else \
+                        (a[0, 0] if (x or y) else 0)
+                    p = min(255, max(0, int(left) + int(top) - int(tl)))
+                a[y, x] = (a[y, x] + p) & 0xFF
+        a = a.astype(np.uint8)
+    return a
+
+
 def decode_webp(data: bytes) -> np.ndarray:
-    """RIFF container → RGBA array (VP8L only; lossy VP8 is an honest
-    boundary)."""
+    """RIFF container → RGBA array.  VP8L lossless and lossy VP8
+    keyframes (raster/vp8.py, RFC 6386) both decode; an ALPH chunk
+    supplies the alpha plane of a lossy image."""
     if data[:4] != b"RIFF" or data[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     pos = 12
+    alph = None
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (size,) = struct.unpack_from("<I", data, pos + 4)
         body = data[pos + 8 : pos + 8 + size]
-        if tag == b"VP8L":
+        if tag == b"ALPH":
+            alph = body
+        elif tag == b"VP8L":
             return decode_vp8l(body)
-        if tag == b"VP8 ":
-            raise NotImplementedError(
-                "lossy VP8 WebP is a SIGNED PERMANENT BOUNDARY "
-                "(COVERAGE.md round 5): the RFC 6386 decoder is "
-                "normatively defined by ~2500 empirical constants "
-                "(default token probabilities §13.5, keyframe B-mode "
-                "probabilities §11.2, quantizer lookup tables §14.1) "
-                "that cannot be re-derived from first principles in "
-                "this offline environment, and no reference decoder "
-                "exists here to validate against — unlike VP8L, whose "
-                "prefix-code tables are constructively read from the "
-                "stream (supported)."
-            )
+        elif tag == b"VP8 ":
+            from gdal_ray.raster.vp8 import decode_vp8, yuv420_to_rgb
+
+            y, u, v = decode_vp8(body)
+            rgb = yuv420_to_rgb(y, u, v)
+            h, w = y.shape
+            out = np.empty((h, w, 4), np.uint8)
+            out[..., :3] = rgb
+            out[..., 3] = _decode_alpha(alph, w, h) if alph is not None \
+                else 255
+            return out
         pos += 8 + size + (size & 1)
     raise ValueError("WebP: no image chunk found")
 

@@ -54,9 +54,14 @@ def test_world_multi_tile():
     assert "bounds" in md
 
 
-def test_webp_lossy_signed_boundary():
-    with pytest.raises(NotImplementedError, match="VP8"):
-        read_mbtiles_array(D + "world_l1_webp.mbtiles")
+def test_webp_tiles():
+    """Lossy-WebP tile set — test_mbtiles_webp_read band checksums."""
+    from gdal_ray.raster.checksum import checksum_array
+
+    d = read_mbtiles_array(D + "world_l1_webp.mbtiles")
+    assert [b.shape for b in d["bands"]] == [(510, 512)] * 4
+    assert [checksum_array(np.asarray(b)) for b in d["bands"]] == [
+        37747, 54303, 13117, 58907]
 
 
 def test_roundtrip(tmp_path):

@@ -220,13 +220,16 @@ class TestHandCraftedStreams:
                     else [r0, g0, b0, 255])
             assert (out[0, k] == want).all(), k
 
-    def test_lossy_vp8_is_honest_boundary(self):
+    def test_lossy_vp8_decodes(self):
+        # round-5: the lossy boundary is closed (raster/vp8.py);
+        # per-pixel oracle parity lives in test_webp_vp8.py
         data = open(
             "/root/reference/autotest/gdrivers/data/webp/rgbsmall.webp",
             "rb",
         ).read()
-        with pytest.raises(NotImplementedError):
-            W.decode_webp(data)
+        out = W.decode_webp(data)
+        assert out.shape == (50, 50, 4)
+        assert (out[..., 3] == 255).all()
 
 
 class TestDistanceMap:
