@@ -3,15 +3,17 @@ boundary the r2 verdict asked to lift (reference role: GDAL's JPEG
 driver delegating to libjpeg; frmts/jpeg).  Decoder supports baseline
 SOF0/1 AND progressive SOF2 (spectral selection + successive
 approximation, DC/AC first + refinement scans with EOB runs — T.81
-G.2 / libjpeg jdphuff.c semantics), 8-bit, grayscale and YCbCr with
-4:4:4 / 4:2:2 / 4:2:0 sampling, restart intervals; the encoder
-(grayscale / 4:4:4 baseline) exists for round-trip testing and
-synthetic media generation.
+G.2 / libjpeg jdphuff.c semantics), 8-bit AND 12-bit precision
+(T.81 allows both; 12-bit shifts/clamps at 2048/4095 and returns
+uint16 — round 5, the reference's test_jpeg_10/test_nitf_41 stats
+pins), grayscale and YCbCr with 4:4:4 / 4:2:2 / 4:2:0 sampling,
+restart intervals; the encoder (grayscale / 4:4:4 baseline) exists
+for round-trip testing and synthetic media generation.
 
-Not implemented (raise): arithmetic coding, lossless SOF3, 12-bit
-precision.  Chroma upsampling is box replication (libjpeg's "fancy"
-triangular filter is a documented divergence: pixel values may differ
-by ±1 near chroma edges).
+Not implemented (raise): arithmetic coding, lossless SOF3.  Chroma
+upsampling is box replication (libjpeg's "fancy" triangular filter is
+a documented divergence: pixel values may differ by ±1 near chroma
+edges).
 
 Tables below are the ITU-T T.81 Annex K examples (public spec
 constants): K.1 luminance / K.2 chrominance quantization, K.3
@@ -246,14 +248,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             (restart,) = struct.unpack_from(">H", seg, 0)
         elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
             prec, h, w, nc = seg[0], *struct.unpack_from(">HH", seg, 1), seg[5]
-            if prec != 8:
-                raise NotImplementedError("only 8-bit JPEG")
+            if prec not in (8, 12):
+                raise NotImplementedError(f"{prec}-bit JPEG")
             comps = []
             for c in range(nc):
                 cid, samp, tq = seg[6 + 3 * c: 9 + 3 * c]
                 comps.append({"id": cid, "h": samp >> 4, "v": samp & 0xF,
                               "tq": tq})
-            frame = {"h": h, "w": w, "comps": comps,
+            frame = {"h": h, "w": w, "comps": comps, "prec": prec,
                      "progressive": marker == 0xC2}
             if frame["progressive"]:
                 hmax = max(c["h"] for c in comps)
@@ -459,15 +461,23 @@ def _finish_progressive(frame, coeffs, qt):
                 blk = np.zeros(64, np.int64)
                 blk[ZIGZAG] = store[by, bx]
                 plane[by * 8: by * 8 + 8, bx * 8: bx * 8 + 8] = (
-                    _idct2(blk.reshape(8, 8) * q) + 128.0
+                    _idct2(blk.reshape(8, 8) * q)
+                    + float(1 << (frame.get("prec", 8) - 1))
                 )
         planes.append(plane)
     return _planes_to_image(frame, planes)
 
 
 def _planes_to_image(frame, planes):
-    """Shared tail: upsample subsampled planes, crop, color-convert."""
+    """Shared tail: upsample subsampled planes, crop, color-convert.
+    12-bit frames (ITU T.81 allows 8 or 12) shift/clamp at 2048/4095
+    and come back as uint16 (the reference's JPEG driver reports
+    GDT_UInt16 for them)."""
     h, w = frame["h"], frame["w"]
+    prec = frame.get("prec", 8)
+    half = float(1 << (prec - 1))
+    maxv = (1 << prec) - 1
+    dtype = np.uint8 if prec == 8 else np.uint16
     comps = frame["comps"]
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -479,13 +489,13 @@ def _planes_to_image(frame, planes):
             p = np.repeat(np.repeat(p, ry, axis=0), rx, axis=1)
         full.append(p[:h, :w])
     if len(full) == 1:
-        return np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
-    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+        return np.clip(np.round(full[0]), 0, maxv).astype(dtype)
+    y, cb, cr = full[0], full[1] - half, full[2] - half
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=-1)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return np.clip(np.round(rgb), 0, maxv).astype(dtype)
 
 
 def _decode_scan(data, pos, frame, scan, qt, huff, restart):
@@ -537,7 +547,8 @@ def _decode_scan(data, pos, frame, scan, qt, huff, restart):
                             k += 1
                         blk = np.zeros(64, np.int64)
                         blk[ZIGZAG] = coef
-                        px = _idct2(blk.reshape(8, 8) * q) + 128.0
+                        px = _idct2(blk.reshape(8, 8) * q) \
+                            + float(1 << (frame.get("prec", 8) - 1))
                         y0 = (my * c["v"] + by) * 8
                         x0 = (mx * c["h"] + bx) * 8
                         planes[ci][y0:y0 + 8, x0:x0 + 8] = px

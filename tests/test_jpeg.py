@@ -443,3 +443,19 @@ class TestProgressive:
             "/root/reference/autotest/gdrivers/data/jpeg/"
             "arcgis_geodataxform_gcp.jpg", "rb").read())
         assert g.shape == (30, 30)
+
+
+def test_12bit_precision():
+    """12bit_rose_extract.jpg — the reference's test_jpeg_10 pins the
+    band mean in [3613, 3614] and GDT_UInt16."""
+    import numpy as np
+
+    from gdal_ray.raster.jpeg import decode_jpeg
+
+    a = decode_jpeg(open(
+        "/root/reference/autotest/gdrivers/data/jpeg/"
+        "12bit_rose_extract.jpg", "rb").read())
+    assert a.dtype == np.uint16
+    assert a.shape == (50, 50)
+    assert a.max() <= 4095
+    assert 3613 <= float(a.mean()) <= 3614

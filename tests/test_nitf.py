@@ -48,10 +48,15 @@ def test_nitf_1x_rejected():
         nitf.read_nitf(f"{DATA}/U_0002A.NTF")
 
 
-def test_12bit_jpeg_boundary():
-    """U_4017A: 12-bit JPEG — honest named boundary."""
-    with pytest.raises(NotImplementedError):
-        nitf.read_nitf(f"{DATA}/U_4017A.NTF")
+def test_12bit_jpeg():
+    """U_4017A: 12-bit JPEG blocks — test_nitf_41 pins the band mean
+    in [2385, 2386] (boundary closed round 5)."""
+    import numpy as np
+
+    d = nitf.read_nitf(f"{DATA}/U_4017A.NTF")
+    b = np.asarray(d["bands"][0])
+    assert b.shape == (64, 64)
+    assert 2385 <= float(b.mean()) <= 2386
 
 
 def test_geotransform():
