@@ -365,8 +365,11 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
     fmt = tags.get(_T_SAMPLE_FMT, (1,) * spp)
     if len(set(bits)) != 1 or len(set(fmt[:len(bits)])) != 1:
         raise ValueError("mixed per-band sample types not supported")
-    dt = _dtype_of(bits[0], fmt[0]).newbyteorder(bo)
     comp = tags.get(_T_COMP, (1,))[0]
+    if comp in (2, 3, 4):  # CCITT bilevel: 1-bit indices come back u8
+        dt = np.dtype(np.uint8)
+    else:
+        dt = _dtype_of(bits[0], fmt[0]).newbyteorder(bo)
     planar = tags.get(_T_PLANAR, (1,))[0]
     predictor = tags.get(_T_PREDICTOR, (1,))[0]
     itemsize = dt.itemsize
@@ -442,6 +445,29 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
             else:
                 for b in range(spp):
                     bands[b][y0 : y0 + vh, x0 : x0 + vw] = arr[:vh, :vw, b]
+            continue
+        if comp in (2, 3, 4):
+            # CCITT G3/G4 fax (raster/ccitt.py): strips/tiles are
+            # independently coded; output bits ARE the band indices
+            # (white run colour = 0) for every photometric
+            from gdal_ray.raster.ccitt import (
+                decode_g3,
+                decode_g4,
+                decode_mh,
+            )
+
+            if comp == 4:
+                tile = decode_g4(bytes(raw), bw, full_h)
+            elif comp == 3:
+                t4opts = tags.get(292, (0,))[0]
+                tile = decode_g3(bytes(raw), bw, full_h,
+                                 two_d=bool(t4opts & 1))
+            else:
+                tile = decode_mh(bytes(raw), bw, full_h)
+            vh = min(bh, h - y0)
+            vw = min(bw, w - x0)
+            tgt = plane if planar == 2 else 0
+            bands[tgt][y0:y0 + vh, x0:x0 + vw] = tile[:vh, :vw]
             continue
         if comp in (8, 32946):
             raw = zlib.decompress(raw)
