@@ -17,8 +17,11 @@ big-endian float32.  Integer adds use unsigned-rollover semantics.
 Zero-length index entries are whole-nodata blocks
 (ESRI_GRID_NO_DATA = -2147483647).  Statistics drive the byte
 narrowing: int grids with 0 <= min, max <= 255 present as uint8 with
-nodata 255 (aigdataset.cpp:150).  CCITT RLE blocks (magic 0xFF) are a
-named boundary.  A ``.clr`` colormap beside or inside the coverage is
+nodata 255 (aigdataset.cpp:150).  CCITT RLE blocks (magic 0xFF)
+decode through raster/ccitt.py's modified-Huffman codec — no local
+fixture exercises them, but the codec itself is libtiff-oracle-tested
+(round 5; gridlib.c AIGProcessFFBlock role).  A ``.clr`` colormap
+beside or inside the coverage is
 exposed as a 256-entry color table; ``prj.adf`` (ESRI PRJ text) maps
 to WKT for the common UTM/geographic datum table.
 """
@@ -108,8 +111,14 @@ def _decode_block(buf: bytes, bxs: int, bys: int, cell_float: bool,
         vals = np.frombuffer(body, dtype=">i4", count=n)
         out[:] = vals.astype(np.int64) + nmin
     elif magic == 0xFF:
-        raise NotImplementedError(
-            "AIG CCITT RLE (0xFF) blocks: named boundary (COVERAGE.md)")
+        # CCITT RLE bitstream → 1-bit plane (gridlib.c
+        # AIGProcessFFBlock consumes libtiff's CCITTRLE = 1-D modified
+        # Huffman with byte-aligned rows; raster/ccitt.py decode_mh is
+        # that codec, libtiff-oracle-tested).  Bit set ⇒ nmin+1.
+        from gdal_ray.raster.ccitt import decode_mh
+
+        bits = decode_mh(bytes(body), bxs, bys)
+        out[:] = bits.ravel().astype(np.int64)[:n] + nmin
     else:
         out = _decode_rle(body, magic, nmin, n)
     # rollover semantics
