@@ -1183,13 +1183,17 @@ def _syn_2d(ll, hl, lh, hh, tx0, ty0, tx1, ty1, reversible):
 # ---------------------------------------------------------------------------
 
 
-def _decode_tilecomp(tc: _TileComp, guard: int) -> np.ndarray:
+def _decode_tilecomp(tc: _TileComp, guard: int,
+                     reduce: int = 0) -> np.ndarray:
     """Decode one tile-component to its spatial-domain array over
-    [tc.x0, tc.x1) × [tc.y0, tc.y1)."""
+    [tc.x0, tc.x1) × [tc.y0, tc.y1); ``reduce`` skips that many
+    highest resolution levels (the overview / thumbnail path — every
+    JPEG 2000 codestream embeds its own pyramid)."""
     reversible = tc.cod.transform == 1
     N = tc.cod.levels
     ll = None
-    for r, res in enumerate(tc.resolutions):
+    upto = len(tc.resolutions) - min(reduce, N)
+    for r, res in enumerate(tc.resolutions[:upto]):
         band_arrays = []
         for bi, b in enumerate(res.bands):
             bw = b.x1 - b.x0
@@ -1227,17 +1231,20 @@ def _np_dtype(depth: int, signed: bool):
     return np.int32 if signed else np.uint32
 
 
-def decode_j2k(data: bytes) -> list[np.ndarray]:
+def decode_j2k(data: bytes, reduce: int = 0) -> list[np.ndarray]:
     """Decode a raw JPEG 2000 codestream → one 2D array per component
-    (component sample grids may differ under subsampling)."""
+    (component sample grids may differ under subsampling).  ``reduce``
+    decodes the embedded overview ``reduce`` levels down (dimensions
+    divide by 2^reduce, ceil)."""
     cs = parse_codestream(data)
     ncomp = len(cs.comps)
+    sc = 1 << reduce
     ntx = _ceil_div(cs.xsiz - cs.xtosiz, cs.xtsiz)
     nty = _ceil_div(cs.ysiz - cs.ytosiz, cs.ytsiz)
     out = []
     for ci, (depth, signed, dx, dy) in enumerate(cs.comps):
-        cw = _ceil_div(cs.xsiz, dx) - _ceil_div(cs.xosiz, dx)
-        ch = _ceil_div(cs.ysiz, dy) - _ceil_div(cs.yosiz, dy)
+        cw = _ceil_div(cs.xsiz, dx * sc) - _ceil_div(cs.xosiz, dx * sc)
+        ch = _ceil_div(cs.ysiz, dy * sc) - _ceil_div(cs.yosiz, dy * sc)
         out.append(np.zeros((ch, cw), np.float64))
     for t in range(ntx * nty):
         if t not in cs.tiles:
@@ -1261,7 +1268,7 @@ def decode_j2k(data: bytes) -> list[np.ndarray]:
         planes = []
         for ci, tc in enumerate(tcomps):
             qcd_ci = tdict.get("qcc", {}).get(ci) or cs.qcc.get(ci) or qcd
-            planes.append(_decode_tilecomp(tc, qcd_ci.guard))
+            planes.append(_decode_tilecomp(tc, qcd_ci.guard, reduce))
         # inverse multi-component transform over the first 3 components
         if cod.mct == 1 and ncomp >= 3:
             y0, y1, y2 = (p.astype(np.float64) if cod.transform == 0 else p
@@ -1285,9 +1292,10 @@ def decode_j2k(data: bytes) -> list[np.ndarray]:
             if p.dtype.kind == "f":
                 p = np.rint(p)
             p = np.clip(p, lo, hi)
-            # paste into the component image
-            ox = tc.x0 - _ceil_div(cs.xosiz, dxc)
-            oy = tc.y0 - _ceil_div(cs.yosiz, dyc)
+            # paste into the component image (reduced coords divide
+            # by 2^reduce with the same ceil rule)
+            ox = _ceil_div(tc.x0, sc) - _ceil_div(cs.xosiz, dxc * sc)
+            oy = _ceil_div(tc.y0, sc) - _ceil_div(cs.yosiz, dyc * sc)
             out[ci][oy:oy + p.shape[0], ox:ox + p.shape[1]] = p
     return [o.astype(_np_dtype(d, s))
             for o, (d, s, _, _) in zip(out, cs.comps)]

