@@ -14,7 +14,9 @@ NBPR×NBPC of NPPBH×NPPBV), IMODE B/P/S, IC=NC/NM uncompressed (1/8/
 16/32-bit incl. the bit-packed 1-bit form), IC=C3/M3 JPEG blocks via
 the in-repo T.81 decoder with the M3 block-offset mask table,
 IC=C8/M8 JPEG 2000 segments via the in-repo T.800 decoder
-(raster/jp2.py).  IC=C1 bilevel fax and ARIDPCM are named boundaries.
+(raster/jp2.py), IC=C1/M1 bilevel fax via the in-repo CCITT G3 codec
+(raster/ccitt.py; 2-D when COMRAT starts with '2', the
+nitfbilevel.cpp rule).  ARIDPCM is a named boundary.
 
 Scale: one read task per image segment (file × segment sharding, the
 raster tile-table contract).
@@ -223,6 +225,17 @@ class NitfFile:
                 if mask_offsets is None:
                     pos = end
             return [o[:h, :w] for o in out]
+
+        if ic in ("C1", "M1"):
+            # bilevel fax: CCITT G3, 2-D when COMRAT starts with '2'
+            # (nitfbilevel.cpp wraps the bytes in a CCITTFAX3 TIFF)
+            from gdal_ray.raster.ccitt import decode_g3
+
+            seg_end = pos + img.data_size if img.data_size else len(d)
+            bits = decode_g3(bytes(d[pos:seg_end]), img.nbpr * bh,
+                             img.nbpc * bv,
+                             two_d=img.comrat.startswith("2"))
+            return [bits[:h, :w].astype(np.float64)]
 
         if ic in ("C8", "M8"):
             # IC=C8: the whole image segment is one JPEG 2000

@@ -77,3 +77,16 @@ def test_jp2_c8_segment():
     d = read_nitf(DATA + "/test_jp2_ecw33.ntf")
     assert [checksum_array(np.asarray(b)) for b in d["bands"]] == [
         32398, 42502, 38882]
+
+
+def test_c1_bilevel_fax():
+    """U_1050A: IC=C1 CCITT G3 — test_nitf_19 checksum 65024."""
+    import numpy as np
+
+    from gdal_ray.raster.checksum import checksum_array
+    from gdal_ray.raster.nitf import read_nitf
+
+    d = read_nitf(f"{DATA}/U_1050A.NTF")
+    b = np.asarray(d["bands"][0])
+    assert b.shape == (1024, 1024)
+    assert checksum_array(b) == 65024
