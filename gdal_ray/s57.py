@@ -78,6 +78,7 @@ class S57Cell:
         self.vectors: dict[tuple[int, int], _Vector] = {}
         self.features: list[dict] = []
         self._load()
+        self._apply_updates(path)
 
     def _load(self):
         for rec in self.reader.records:
@@ -98,6 +99,124 @@ class S57Cell:
                 self._load_vector(rec)
             elif "FRID" in rec.fields:
                 self._load_feature(rec)
+
+    def _apply_updates(self, path: str):
+        """ENC update files: <cell>.001, .002, … beside the base .000
+        are applied in sequence (s57reader.cpp FindAndApplyUpdates
+        role).  DSID updates patch the dataset-id fields (UPDN/UADT/
+        ISDT — gdal #2498); VRID/FRID records apply the RUIN
+        instruction: 1 = insert, 2 = delete, 3 = modify (attributes
+        replaced per ATTF/ATTV; FSPT pointer lists rewritten via the
+        FSPC control field; SG2D coordinates via SGCC)."""
+        import os
+        import re
+
+        base, ext = os.path.splitext(path)
+        if not re.fullmatch(r"\.[0-9]{3}", ext):
+            return
+        n = int(ext[1:])
+        while True:
+            n += 1
+            up = f"{base}.{n:03d}"
+            if not os.path.exists(up):
+                break
+            for rec in iso8211.read_ddf(up).records:
+                if "DSID" in rec.fields:
+                    d = rec.first("DSID")
+                    for k in ("UPDN", "UADT", "ISDT", "EDTN"):
+                        if d.get(k) not in (None, ""):
+                            self.dsid[f"DSID_{k}"] = d[k]
+                elif "VRID" in rec.fields:
+                    self._update_vector(rec)
+                elif "FRID" in rec.fields:
+                    self._update_feature(rec)
+
+    def _update_vector(self, rec: iso8211.Record):
+        vrid = rec.first("VRID")
+        ruin = vrid.get("RUIN", 1)
+        key = (vrid["RCNM"], vrid["RCID"])
+        if ruin == 1:  # insert
+            self._load_vector(rec)
+            return
+        if ruin == 2:  # delete
+            self.vectors.pop(key, None)
+            return
+        v = self.vectors.get(key)
+        if v is None:
+            return
+        sgcc = rec.first("SGCC")
+        sg2 = rec.all("SG2D")
+        sg3 = rec.all("SG3D")
+        pts = None
+        if sg2:
+            pts = np.array([[p["XCOO"], p["YCOO"]] for p in sg2],
+                           np.float64) / self.comf
+        elif sg3:
+            a = np.array([[p["XCOO"], p["YCOO"], p["VE3D"]] for p in sg3],
+                         np.float64)
+            a[:, :2] /= self.comf
+            a[:, 2] /= self.somf
+            pts = a[:, :2]
+        if pts is not None and v.coords is not None and sgcc:
+            ccui = sgcc.get("CCUI", 1)
+            ccix = int(sgcc.get("CCIX", 1)) - 1
+            ccnc = int(sgcc.get("CCNC", len(pts)))
+            cur = v.coords
+            if ccui == 1:  # insert before CCIX
+                v.coords = np.concatenate(
+                    [cur[:ccix], pts, cur[ccix:]])
+            elif ccui == 2:  # delete CCNC from CCIX
+                v.coords = np.concatenate(
+                    [cur[:ccix], cur[ccix + ccnc:]])
+            else:  # modify in place
+                cur = cur.copy()
+                cur[ccix:ccix + len(pts)] = pts
+                v.coords = cur
+        elif pts is not None:
+            v.coords = pts
+        if rec.all("VRPT"):
+            v.links = [(*_name_ref(p["NAME"]), p.get("ORNT", 1),
+                        p.get("USAG", 1)) for p in rec.all("VRPT")]
+
+    def _update_feature(self, rec: iso8211.Record):
+        frid = rec.first("FRID")
+        ruin = frid.get("RUIN", 1)
+        rcid = frid["RCID"]
+        if ruin == 1:
+            self._load_feature(rec)
+            return
+        idx = next((i for i, f in enumerate(self.features)
+                    if f["RCID"] == rcid), None)
+        if ruin == 2:
+            if idx is not None:
+                del self.features[idx]
+            return
+        if idx is None:
+            return
+        feat = self.features[idx]
+        for p in rec.all("ATTF"):
+            code = p.get("ATTL")
+            name, _t = ATTRIBUTES.get(code, (f"ATTR_{code}", "S"))
+            feat["attrs"][name] = p.get("ATVL", "")
+        fspc = rec.first("FSPC")
+        new_fspt = [(*_name_ref(p["NAME"]), p.get("ORNT", 1),
+                     p.get("USAG", 1), p.get("MASK", 1))
+                    for p in rec.all("FSPT")]
+        if fspc and new_fspt is not None:
+            fsui = fspc.get("FSUI", 1)
+            fsix = int(fspc.get("FSIX", 1)) - 1
+            nspt = int(fspc.get("NSPT", len(new_fspt)))
+            cur = feat["fspt"]
+            if fsui == 1:
+                feat["fspt"] = cur[:fsix] + new_fspt + cur[fsix:]
+            elif fsui == 2:
+                feat["fspt"] = cur[:fsix] + cur[fsix + nspt:]
+            else:
+                cur = list(cur)
+                cur[fsix:fsix + len(new_fspt)] = new_fspt
+                feat["fspt"] = cur
+        elif new_fspt:
+            feat["fspt"] = new_fspt
 
     def _load_vector(self, rec: iso8211.Record):
         vrid = rec.first("VRID")

@@ -114,3 +114,17 @@ def test_fake_minimal():
 def test_ray_dataset(ray_session):
     ds = s57.read_s57(CELL, "DEPARE")
     assert ds.count() == 4
+
+
+def test_update_dsid():
+    """ENC .001 update application — gdal #2498 fixture: the update's
+    DSID patches UPDN/UADT/ISDT on the base cell."""
+    from gdal_ray.s57 import S57Cell
+
+    c = S57Cell(
+        "/root/reference/autotest/ogr/data/s57/"
+        "fake_s57_update_dsid.000")
+    assert c.dsid["DSID_EDTN"] == "0"
+    assert c.dsid["DSID_UPDN"] == "1"
+    assert c.dsid["DSID_UADT"] == "20190211"
+    assert c.dsid["DSID_ISDT"] == "20190212"
