@@ -107,6 +107,59 @@ class _Tape:
         self.i -= 1
 
 
+_BIN_SENTINEL = b"AutoCAD Binary DXF\r\n\x1a\x00"
+
+
+def _pairs_from_binary(data: bytes):
+    """Binary DXF (R13+ sentinel): 2-byte LE group codes, values typed
+    by the spec's group-code ranges; strings NUL-terminated, 310-319
+    binary chunks length-prefixed (re-encoded as hex like the text
+    form).  Produces the same (code, string) pairs as the text tape so
+    the rest of the reader is format-blind."""
+    import struct as _st
+
+    pos = len(_BIN_SENTINEL)
+    out = []
+    n = len(data)
+    while pos + 2 <= n:
+        code = _st.unpack_from("<H", data, pos)[0]
+        pos += 2
+        # value-type ranges exactly as the reference's binary reader
+        # (ogrdxfreader.cpp, credits ezdxf)
+        if 290 <= code <= 299:
+            out.append((code, str(data[pos])))
+            pos += 1
+        elif (60 <= code <= 79 or 170 <= code <= 179 or
+                270 <= code <= 289 or 370 <= code <= 389 or
+                400 <= code <= 409 or 1060 <= code <= 1070):
+            out.append((code, str(_st.unpack_from("<h", data, pos)[0])))
+            pos += 2
+        elif (90 <= code <= 99 or 420 <= code <= 429 or
+                440 <= code <= 459 or code == 1071):
+            out.append((code, str(_st.unpack_from("<i", data, pos)[0])))
+            pos += 4
+        elif 160 <= code <= 169:
+            out.append((code, str(_st.unpack_from("<q", data, pos)[0])))
+            pos += 8
+        elif (10 <= code <= 59 or 110 <= code <= 149 or
+                210 <= code <= 239 or 460 <= code <= 469 or
+                1010 <= code <= 1059):
+            out.append((code, repr(_st.unpack_from("<d", data, pos)[0])))
+            pos += 8
+        elif 310 <= code <= 319 or code == 1004:
+            ln = data[pos]
+            out.append((code, data[pos + 1:pos + 1 + ln].hex().upper()))
+            pos += 1 + ln
+        else:
+            # everything else: NUL-terminated string
+            end = data.find(b"\x00", pos)
+            if end < 0:
+                break
+            out.append((code, data[pos:end].decode("utf-8", "replace")))
+            pos = end + 1
+    return out
+
+
 def _pairs_from_text(text: str):
     lines = text.split("\n")
     out = []
@@ -764,6 +817,16 @@ def _text_unescape(s: str, mtext: bool) -> str:
 
 class DxfReader:
     def __init__(self, data: bytes | str):
+        if isinstance(data, bytes) and data.startswith(_BIN_SENTINEL):
+            self.header = {}
+            self.layers = {}
+            self.linetypes = {}
+            self.blocks = {}
+            self.text_styles = {}
+            self.dimstyles = {}
+            self._features = []
+            self._parse(_Tape(_pairs_from_binary(data)))
+            return
         if isinstance(data, bytes):
             # TextRecode role: $DWGCODEPAGE names the source encoding
             # (ANSI_1252 etc.); UTF-8 otherwise
@@ -1238,6 +1301,50 @@ class DxfReader:
         f.style = "BRUSH(" if brush else None  # marker for style pass
         if brush:
             f.prepare_line_style(self, None, brush=True)
+        return f
+
+    def _tr_wipeout(self, pairs):
+        """WIPEOUT image outline → POLYGON (TranslateWIPEOUT,
+        ogrdxflayer.cpp:2874): insertion point (10/20) is the first
+        ring vertex; boundary vertices (14/24) map through
+        offset + (0.5 + x)·uscale / offset + (0.5 − y)·vscale; point
+        format 71=1 is unsupported and skips the entity."""
+        f = _Feature()
+        xoff = yoff = 0.0
+        xs = ys = 1.0
+        x = 0.0
+        pts = []
+        for code, val in pairs:
+            if code == 10:
+                xoff = _atof(val)
+            elif code == 20:
+                yoff = _atof(val)
+                pts.append((xoff, yoff))
+            elif code == 11:
+                xs = _atof(val)
+            elif code == 22:
+                ys = _atof(val)
+            elif code == 71:
+                if _atoi(val) == 1:
+                    return None
+            elif code == 14:
+                x = _atof(val)
+            elif code == 24:
+                y = _atof(val)
+                pts.append((xoff + (0.5 + x) * xs,
+                            yoff + (0.5 - y) * ys))
+            elif code in (12, 21, 31, 32, 91, 281, 282, 293):
+                pass
+            else:
+                f.generic(code, val, self)
+        if not pts:
+            return None
+        if pts[0] != pts[-1]:
+            pts.append(pts[0])
+        f.geom = _G("polygon",
+                    [np.array([(px, py, 0.0) for px, py in pts])],
+                    False)
+        f.prepare_line_style(self, None)
         return f
 
     def _tr_3dface(self, pairs):

@@ -320,3 +320,45 @@ def test_read_dxf_dataset(ray_session):
         [b for b in ds.iter_batches(batch_format="pyarrow")])
     assert t.num_rows > 0
     assert "geometry" in t.column_names
+
+
+WIPEOUT_EXPECTED = [
+    [(448381.028869725, 6913933.17804321),
+     (448381.232017696, 6913933.39891582),
+     (448380.807997101, 6913933.38119118),
+     (448381.028869725, 6913933.17804321),
+     (448381.011145071, 6913933.6020638),
+     (448381.232017696, 6913933.39891582),
+     (448381.028869725, 6913933.17804321)],
+    [(448380.538954307, 6913930.73282502),
+     (448380.538954307, 6913930.73282502),
+     (448380.538954307, 6913931.73282502),
+     (448381.538954307, 6913931.73282502),
+     (448381.538954307, 6913930.73282502),
+     (448380.538954307, 6913930.73282502)],
+]
+
+
+def _polygon_points(wkb):
+    import struct
+
+    n = struct.unpack_from("<I", wkb, 9)[0]
+    return [struct.unpack_from("<dd", wkb, 13 + 16 * i)
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("name", ["wipeout.dxf", "BINARY_wipeout.dxf"])
+def test_wipeout(name):
+    """WIPEOUT outline polygons (test_ogr_dxf_read_wipeout /
+    …_binary WKT pins) — the binary variant also exercises the
+    binary-DXF tape (2-byte codes, ezdxf value-type ranges)."""
+    from gdal_ray.dxf import read_dxf_table
+
+    t = read_dxf_table(f"{DATA}/{name}")
+    rows = t.to_pylist()
+    assert len(rows) == 2
+    for row, exp in zip(rows, WIPEOUT_EXPECTED):
+        pts = _polygon_points(row["geometry"])
+        assert len(pts) == len(exp)
+        for (a, b), (c, d) in zip(pts, exp):
+            assert abs(a - c) < 1e-7 and abs(b - d) < 1e-7
