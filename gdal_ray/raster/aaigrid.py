@@ -371,10 +371,22 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.vicar import read_vicar
 
         return read_vicar(path)
-    if low.endswith((".kap", ".nos")):
+    if low.endswith((".kap", ".nos", ".no1")):
         from gdal_ray.raster.bsb import read_bsb
 
         return read_bsb(path)
+    if low.endswith((".zmap", ".zycor")):
+        from gdal_ray.raster.zmap import read_zmap
+
+        return read_zmap(path)
+    if low.endswith((".hf2", ".hfz", ".hf2.gz")):
+        from gdal_ray.raster.hf2 import read_hf2
+
+        return read_hf2(path)
+    if low.endswith((".cal", ".ct1")):
+        from gdal_ray.raster.cals import read_cals
+
+        return read_cals(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 

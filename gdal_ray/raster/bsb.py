@@ -38,7 +38,9 @@ an affine geotransform (GDALGCPsToGeoTransform role; exact for 3
 points, least squares beyond).  Pinned against the reference
 autotest fixtures (checksum 30321 ×3, the transverse_mercator
 geotransform to 1e-8 relative, the australia4c cutline verbatim).
-NOS/.NO1 sidecar decryption is out of scope (no fixture).
+NOS/.NO1 obfuscated files are supported (round 5): BSBGetc-path
+bytes are stored +9 mod 256 while the tail offset table stays raw
+(bsb_read.c bNO1); tested by re-obfuscating the reference fixture.
 """
 
 from __future__ import annotations
@@ -139,6 +141,13 @@ def read_bsb(path: str) -> dict:
     from gdal_ray.vsi import vsi_read_bytes
 
     data = vsi_read_bytes(path)
+    idx_src = data  # raw bytes — the tail index table is NOT shifted
+    if data[:4] == bytes((c + 9) & 0xFF for c in b"NOS/"):
+        # .NO1 obfuscated variant (bsb_read.c BSBGetc bNO1 role):
+        # every byte read through the record/scanline path is stored
+        # +9 mod 256; only the trailing big-endian offset table is raw
+        data = (np.frombuffer(data, np.uint8).astype(np.int16) - 9
+                ).astype(np.uint8).tobytes()
     hdr, hend = _parse_header(data)
     w, h = hdr["size"]
     if not (0 < w and 0 < h):
@@ -182,13 +191,13 @@ def read_bsb(path: str) -> dict:
     # ---- index table from the tail (validated like the reference) ----
     offsets: list[int] = [-1] * h
     if n >= 4:
-        idx_off = int.from_bytes(data[n - 4:n], "big")
+        idx_off = int.from_bytes(idx_src[n - 4:n], "big")
         if idx_off > 0:
             if idx_off + 4 * (h - 1) == n - 4:
                 h -= 1  # one-row-short NOAA variant
                 offsets = offsets[:h]
             if first_line_off < idx_off and idx_off + 4 * h <= n - 4:
-                offs = np.frombuffer(data, dtype=">u4", count=h,
+                offs = np.frombuffer(idx_src, dtype=">u4", count=h,
                                      offset=idx_off).astype(np.int64)
                 ok = bool(np.all(offs >= first_line_off)
                           and np.all(offs < idx_off)

@@ -299,3 +299,112 @@ def decode_g3(data: bytes, w: int, h: int, two_d: bool = False) -> np.ndarray:
         ref = [t for t in cur if t < w] + [w, w]
         y += 1
     return out
+
+
+# ---------------------------------------------------------------------------
+# G4 ENCODER (T.6 coder, the libtiff Fax3Encode2DRow role) — used by the
+# CALS writer and CCITT-compressed TIFF output.  Input is an (h, w) uint8
+# 0/1 index array (0 = white), output a byte-aligned T.6 stream closed by
+# EOFB (two EOLs).
+
+_ENC_WHITE = {run: (n, code) for run, n, code in
+              _WHITE_TERM + _WHITE_MAKEUP + _EXT_MAKEUP}
+_ENC_BLACK = {run: (n, code) for run, n, code in
+              _BLACK_TERM + _BLACK_MAKEUP + _EXT_MAKEUP}
+
+
+class _BitWriter:
+    __slots__ = ("acc", "nbits", "out")
+
+    def __init__(self):
+        self.acc = 0
+        self.nbits = 0
+        self.out = bytearray()
+
+    def put(self, code: int, n: int):
+        self.acc = (self.acc << n) | (code & ((1 << n) - 1))
+        self.nbits += n
+        while self.nbits >= 8:
+            self.nbits -= 8
+            self.out.append((self.acc >> self.nbits) & 0xFF)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.out.append((self.acc << (8 - self.nbits)) & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.out)
+
+
+def _put_run(bw: _BitWriter, run: int, white: bool):
+    table = _ENC_WHITE if white else _ENC_BLACK
+    while run >= 64:
+        if run >= 2624:
+            makeup = 2560
+        else:
+            makeup = (run // 64) * 64
+        n, code = table[makeup]
+        bw.put(code, n)
+        run -= makeup
+    n, code = table[run]
+    bw.put(code, n)
+
+
+def _transitions(row: np.ndarray, w: int) -> list:
+    """Changing-element positions (colour differs from pixel to the
+    left; position 0 counts if the row starts black)."""
+    d = np.flatnonzero(np.diff(row.astype(np.int8))) + 1
+    if row[0]:
+        return [0] + d.tolist()
+    return d.tolist()
+
+
+def encode_g4(arr: np.ndarray) -> bytes:
+    """T.6 two-dimensional coding of an (h, w) 0/1 uint8 array
+    (0 = white).  Emits vertical / horizontal / pass modes against the
+    previous row (imaginary all-white row above row 0) and closes with
+    EOFB, byte-aligned."""
+    a = np.ascontiguousarray(arr, np.uint8)
+    h, w = a.shape
+    bw = _BitWriter()
+    ref = [w, w]  # imaginary all-white reference row
+    for y in range(h):
+        cur = _transitions(a[y], w) + [w, w]
+        a0 = -1
+        color = 0
+        ci = 0  # index of a1 in cur
+        while a0 < w:
+            # b1: first ref transition > a0 with same parity as ci
+            bi = 0
+            n = len(ref)
+            while bi < n and (ref[bi] <= a0 or ((bi ^ ci) & 1)):
+                bi += 1
+            b1 = ref[bi] if bi < n else w
+            b2 = ref[bi + 1] if bi + 1 < n else w
+            a1 = cur[ci] if ci < len(cur) else w
+            if b2 < a1:
+                bw.put(0x1, 4)  # pass: 0001
+                a0 = b2
+                continue
+            d = a1 - b1
+            if -3 <= d <= 3:
+                # vertical codes V0/VR/VL
+                bw.put((0x1, 0x3, 0x03, 0x03)[abs(d)] if d >= 0
+                       else (0, 0x2, 0x02, 0x02)[-d],
+                       (1, 3, 6, 7)[abs(d)])
+                a0 = a1
+                ci += 1
+                color ^= 1
+                continue
+            # horizontal: 001 + run(a0a1) + run(a1a2)
+            a2 = cur[ci + 1] if ci + 1 < len(cur) else w
+            bw.put(0x1, 3)
+            s = a0 if a0 > 0 else 0
+            _put_run(bw, a1 - s, color == 0)
+            _put_run(bw, a2 - a1, color != 0)
+            a0 = a2
+            ci += 2
+        ref = [t for t in cur if t < w] + [w, w]
+    bw.put(0x001, 12)  # EOFB
+    bw.put(0x001, 12)
+    return bw.flush()

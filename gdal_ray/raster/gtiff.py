@@ -366,7 +366,11 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
     if len(set(bits)) != 1 or len(set(fmt[:len(bits)])) != 1:
         raise ValueError("mixed per-band sample types not supported")
     comp = tags.get(_T_COMP, (1,))[0]
+    packed_bits = None  # sub-byte samples (1/4-bit packed rows)
     if comp in (2, 3, 4):  # CCITT bilevel: 1-bit indices come back u8
+        dt = np.dtype(np.uint8)
+    elif bits[0] in (1, 4) and fmt[0] == 1:
+        packed_bits = bits[0]
         dt = np.dtype(np.uint8)
     else:
         dt = _dtype_of(bits[0], fmt[0]).newbyteorder(bo)
@@ -407,7 +411,11 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
         ns = 1 if planar == 2 else spp
         # tiles are padded to full size; strips may be short
         full_h = bh if _T_TILE_OFF not in tags else bh
-        expect = full_h * bw * ns * itemsize
+        if packed_bits:
+            # sub-byte samples: each row padded to a byte boundary
+            expect = full_h * ((bw * ns * packed_bits + 7) // 8)
+        else:
+            expect = full_h * bw * ns * itemsize
         if comp == 7:
             # new-style JPEG-in-TIFF (frmts/gtiff JPEG codec role):
             # each block is an abbreviated JPEG stream; tag 347
@@ -478,6 +486,26 @@ def decode_geotiff(data: bytes, ifd_index: int = 0) -> dict:
         elif comp != 1:
             raise ValueError(f"unsupported TIFF compression {comp}")
         raw = raw[:expect].ljust(expect, b"\0")
+        if packed_bits:
+            # unpack 1-/4-bit rows (MSB-first, TIFF FillOrder 1)
+            rowbytes = (bw * ns * packed_bits + 7) // 8
+            rows = np.frombuffer(raw, np.uint8).reshape(full_h, rowbytes)
+            if packed_bits == 1:
+                arr = np.unpackbits(rows, axis=1)[:, :bw * ns]
+            else:  # 4-bit: high nibble first
+                arr = np.empty((full_h, rowbytes * 2), np.uint8)
+                arr[:, 0::2] = rows >> 4
+                arr[:, 1::2] = rows & 0x0F
+                arr = arr[:, :bw * ns]
+            arr = arr.reshape(full_h, bw, ns)
+            vh = min(bh, h - y0)
+            vw = min(bw, w - x0)
+            if planar == 2:
+                bands[plane][y0:y0 + vh, x0:x0 + vw] = arr[:vh, :vw, 0]
+            else:
+                for b in range(spp):
+                    bands[b][y0:y0 + vh, x0:x0 + vw] = arr[:vh, :vw, b]
+            continue
         if predictor == 3:
             # floating-point predictor (libtiff fpAcc semantics): per
             # row, byte-wise horizontal accumulation at sample stride,
@@ -577,6 +605,8 @@ def encode_geotiff(
     if compression == "jpeg" and (str(dt) != "uint8" or spp not in (1, 3)):
         raise ValueError("JPEG-in-TIFF write needs uint8 bands, 1 or 3 "
                          f"samples (got {dt}, {spp} bands)")
+    if compression == "ccittg4" and (str(dt) != "uint8" or spp != 1):
+        raise ValueError("CCITT G4 write needs a single uint8 0/1 band")
 
     # interleave chunky rows, strip of ~64 rows (JPEG: multiple of 8
     # rows so strip MCUs tile cleanly, libtiff's TIFFDefaultStripSize
@@ -584,6 +614,8 @@ def encode_geotiff(
     rps = max(1, min(h, 65536 // max(1, w * spp * dt.itemsize // 8)))
     if compression == "jpeg":
         rps = max(8, (rps + 7) // 8 * 8)
+    if compression == "ccittg4":
+        rps = h  # single G4-coded strip (the CALS/bilevel layout)
     rps = min(rps, h)
     stack = np.stack(bands, axis=2)  # (h, w, spp)
     jpeg_tables = None
@@ -599,6 +631,11 @@ def encode_geotiff(
                 jpeg_tables = encode_jpeg_tables(jpeg_quality, spp == 1)
             strips.append(encode_jpeg(img, jpeg_quality, tables=False))
             continue
+        if compression == "ccittg4":
+            from gdal_ray.raster.ccitt import encode_g4
+
+            strips.append(encode_g4(stack[y0:y0 + rps, :, 0] & 1))
+            continue
         raw = np.ascontiguousarray(
             stack[y0 : y0 + rps].astype(dt.newbyteorder("<"))
         ).tobytes()
@@ -609,7 +646,8 @@ def encode_geotiff(
         elif compression != "none":
             raise ValueError(f"unsupported compression {compression!r}")
         strips.append(raw)
-    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7}[compression]
+    comp_code = {"none": 1, "deflate": 8, "lzw": 5, "jpeg": 7,
+                 "ccittg4": 4}[compression]
 
     entries = []  # (tag, type, count, packed-or-bytes)
 
@@ -618,7 +656,8 @@ def encode_geotiff(
 
     entry(_T_WIDTH, 4, (w,))
     entry(_T_HEIGHT, 4, (h,))
-    entry(_T_BITS, 3, (bits,) * spp)
+    entry(_T_BITS, 3, ((1,) if compression == "ccittg4"
+                       else (bits,) * spp))
     entry(_T_COMP, 3, (comp_code,))
     # RGB photometric for 3+ bands (reference GTiff default for 3-band
     # byte); extra bands marked unassociated alpha. JPEG 3-band is
@@ -628,6 +667,8 @@ def encode_geotiff(
         if spp == 3:
             entry(_T_YCBCR_SUBSAMPLING, 3, (1, 1))
         entry(_T_JPEG_TABLES, 7, jpeg_tables)
+    elif compression == "ccittg4":
+        entry(_T_PHOTO, 3, (0,))  # min-is-white, fax convention
     else:
         entry(_T_PHOTO, 3, (2 if spp >= 3 else 1,))
     entry(_T_SPP, 3, (spp,))
