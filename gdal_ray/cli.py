@@ -150,6 +150,11 @@ def build_pipeline(spec: str):
 
         source = lambda: gpkg.read_gpkg(  # noqa: E731
             src_path, layer=src_args.get("layer"))
+    elif low.endswith((".sqlite", ".db")):
+        from gdal_ray import spatialite
+
+        source = lambda: spatialite.read_sqlite(  # noqa: E731
+            src_path, layer=src_args.get("layer"))
     elif low.rstrip("/").endswith(".gdb"):
         from gdal_ray import filegdb
 
@@ -375,6 +380,10 @@ def run_pipeline(spec: str):
             from gdal_ray import gpkg
 
             gpkg.write_gpkg(ds, arg)
+        elif low.endswith((".sqlite", ".db")):
+            from gdal_ray import spatialite
+
+            spatialite.write_sqlite(ds, arg)
         elif low.endswith(".kml"):
             from gdal_ray import kmlgpx
 
