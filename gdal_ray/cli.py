@@ -79,9 +79,11 @@ def _where_predicate(expr: str):
     return lambda t: fn(t[col], val)
 
 
-def build_pipeline(spec: str):
-    """Parse a `!`-separated step spec → (source_fn, [transforms],
-    terminal)."""
+def resolve_vector_source(src_path: str, layer: str | None = None,
+                          col_list: list[str] | None = None):
+    """Vector path → zero-arg callable producing a Ray Dataset — the
+    GDALDriverManager Identify role, shared by the CLI pipeline and
+    the OGR VRT driver (vrtvector.py)."""
     import ray.data as rd
 
     def _sniff_jsonfg(path: str) -> bool:
@@ -97,24 +99,20 @@ def build_pipeline(spec: str):
         return ("json-fg" in head or '"place"' in head
                 or '"coordRefSys"' in head)
 
-    steps = [shlex.split(s.strip()) for s in spec.split("!") if s.strip()]
-    if not steps or steps[0][0] != "read":
-        raise ValueError("pipeline must start with: read PATH")
-    transforms = []
-    terminal = ("collect", None)
-    src_args = _parse_args(steps[0][1:])
-    src_path = src_args["_args"][0]
-    cols = src_args.get("cols")
-    col_list = cols.split(",") if cols else None
     # format by extension (the GDALDriverManager Identify role):
     # .geojson/.json → GeoJSON, .geojsonl/.ndjson → GeoJSONSeq,
     # .csv → CSV with WKT column, default parquet
     low = src_path.lower()
-    if low.endswith((".geojson", ".json")) and _sniff_jsonfg(src_path):
+    if low.endswith(".vrt"):
+        from gdal_ray import vrtvector
+
+        source = lambda: vrtvector.read_vrt_vector(  # noqa: E731
+            src_path, layer=layer)
+    elif low.endswith((".geojson", ".json")) and _sniff_jsonfg(src_path):
         from gdal_ray import jsonfg
 
         source = lambda: jsonfg.read_jsonfg(  # noqa: E731
-            src_path, layer=src_args.get("layer"), columns=col_list)
+            src_path, layer=layer, columns=col_list)
     elif low.endswith((".geojson", ".json")):
         from gdal_ray import formats
 
@@ -133,7 +131,7 @@ def build_pipeline(spec: str):
         from gdal_ray import dxf
 
         source = lambda: dxf.read_dxf(src_path)  # noqa: E731
-    elif low.endswith(".shp"):
+    elif low.endswith((".shp", ".dbf")):
         from gdal_ray import shapefile
 
         source = lambda: shapefile.read_shapefile(src_path)  # noqa: E731
@@ -149,17 +147,17 @@ def build_pipeline(spec: str):
         from gdal_ray import gpkg
 
         source = lambda: gpkg.read_gpkg(  # noqa: E731
-            src_path, layer=src_args.get("layer"))
+            src_path, layer=layer)
     elif low.endswith((".sqlite", ".db")):
         from gdal_ray import spatialite
 
         source = lambda: spatialite.read_sqlite(  # noqa: E731
-            src_path, layer=src_args.get("layer"))
+            src_path, layer=layer)
     elif low.rstrip("/").endswith(".gdb"):
         from gdal_ray import filegdb
 
         source = lambda: filegdb.read_filegdb(  # noqa: E731
-            src_path, layer=src_args.get("layer"))
+            src_path, layer=layer)
     elif low.endswith(".tab"):
         from gdal_ray import tab
 
@@ -172,23 +170,23 @@ def build_pipeline(spec: str):
         from gdal_ray import xlsx
 
         source = lambda: xlsx.read_xlsx_dataset(  # noqa: E731
-            src_path, sheet=src_args.get("layer"))
+            src_path, sheet=layer)
     elif low.endswith(".000"):
         from gdal_ray import s57
 
         source = lambda: s57.read_s57(  # noqa: E731
-            src_path, layer=src_args.get("layer") or "DSID")
+            src_path, layer=layer or "DSID")
     elif low.startswith("gtfs:") or low.endswith(".zip") and "gtfs" in low:
         from gdal_ray import gtfs
 
         source = lambda: gtfs.read_gtfs(  # noqa: E731
             src_path.split(":", 1)[-1] if low.startswith("gtfs:")
-            else src_path, layer=src_args.get("layer") or "stops")
+            else src_path, layer=layer or "stops")
     elif low.endswith(".gml"):
         from gdal_ray import gml
 
         source = lambda: gml.read_gml(  # noqa: E731
-            src_path, layer=src_args.get("layer"))
+            src_path, layer=layer)
     elif low.endswith(".mif"):
         from gdal_ray import mif
 
@@ -197,15 +195,13 @@ def build_pipeline(spec: str):
         from gdal_ray import avc
 
         source = lambda: avc.read_avc(  # noqa: E731
-            src_path, layer=src_args.get("layer") or "ARC")
+            src_path, layer=layer or "ARC")
     elif low.endswith(".topojson"):
         from gdal_ray import topojson
 
         source = lambda: topojson.read_topojson_dataset(  # noqa: E731
-            src_path, layer=src_args.get("layer"))
+            src_path, layer=layer)
     elif low.endswith(".gmt"):
-        import ray.data as rd
-
         from gdal_ray import gmtvector
 
         source = lambda: rd.from_arrow(  # noqa: E731
@@ -218,13 +214,13 @@ def build_pipeline(spec: str):
         from gdal_ray import kmlgpx
 
         source = lambda: kmlgpx.read_gpx(  # noqa: E731
-            src_path, layer=src_args.get("layer") or "waypoints")
+            src_path, layer=layer or "waypoints")
     elif low.endswith((".pbf", ".osm")):
         from gdal_ray import osmpbf
 
         def source():  # one OGR-parity layer as a Dataset
-            layer = src_args.get("layer") or "points"
-            return rd.from_arrow(osmpbf.osm_layers(src_path)[layer])
+            return rd.from_arrow(
+                osmpbf.osm_layers(src_path)[layer or "points"])
     elif low.endswith((".warc", ".warc.gz")) or low.rstrip("/").endswith(
             ".warc.d"):
         from gdal_ray import warc
@@ -234,6 +230,25 @@ def build_pipeline(spec: str):
         source = lambda: rd.read_parquet(  # noqa: E731
             src_path, columns=col_list
         )
+    return source
+
+
+def build_pipeline(spec: str):
+    """Parse a `!`-separated step spec → (source_fn, [transforms],
+    terminal)."""
+    import ray.data as rd
+
+    steps = [shlex.split(s.strip()) for s in spec.split("!") if s.strip()]
+    if not steps or steps[0][0] != "read":
+        raise ValueError("pipeline must start with: read PATH")
+    transforms = []
+    terminal = ("collect", None)
+    src_args = _parse_args(steps[0][1:])
+    src_path = src_args["_args"][0]
+    cols = src_args.get("cols")
+    col_list = cols.split(",") if cols else None
+    source = resolve_vector_source(src_path, src_args.get("layer"),
+                                   col_list)
     for step in steps[1:]:
         name = step[0]
         args = _parse_args(step[1:])

@@ -282,6 +282,10 @@ def read_shapefile_local(shp_path: str, geom_col: str = "geometry") -> pa.Table:
     — sidecars are resolved through the same virtual filesystem."""
     from gdal_ray.vsi import vsi_exists, vsi_read_bytes
 
+    if shp_path.lower().endswith(".dbf"):
+        # bare .dbf = attribute-only layer (the reference's ESRI
+        # Shapefile driver opens .dbf without geometry)
+        return parse_dbf(vsi_read_bytes(shp_path))
     geoms = parse_shp(vsi_read_bytes(shp_path))
     base = shp_path[:-4]
     table = None
