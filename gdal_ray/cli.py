@@ -171,6 +171,11 @@ def resolve_vector_source(src_path: str, layer: str | None = None,
 
         source = lambda: xlsx.read_xlsx_dataset(  # noqa: E731
             src_path, sheet=layer)
+    elif low.endswith(".xls"):
+        from gdal_ray import xlsbiff
+
+        source = lambda: xlsbiff.read_xls_dataset(  # noqa: E731
+            src_path, sheet=layer)
     elif low.endswith(".000"):
         from gdal_ray import s57
 

@@ -334,6 +334,8 @@ def write_csv_geom(ds, out_dir: str, geom_col: str = "geometry",
     from gdal_ray.geom.wkt import to_wkt
 
     def conv(t: pa.Table) -> pa.Table:
+        if geom_col not in t.schema.names:
+            return t  # attribute-only layer (spreadsheets, .dbf)
         wkts = [
             None if b is None else to_wkt(b)
             for b in t[geom_col].to_pylist()

@@ -203,7 +203,9 @@ def _promote(a: str, b: str) -> str:
     order = {"int": 0, "int64": 1, "float": 2}
     if a in order and b in order:
         return a if order[a] >= order[b] else b
-    if {a, b} <= {"date", "datetime", "datetime_ms"}:
+    if {a, b} <= {"date", "time", "datetime", "datetime_ms"}:
+        # mixed date/time kinds widen to datetime (the reference's
+        # OGR field promotion: Date+Time/DateTime → DateTime)
         return "datetime_ms" if "datetime_ms" in (a, b) else "datetime"
     return "string"
 
@@ -219,12 +221,15 @@ def read_xlsx(path: str, sheet: str | None = None,
             raise ValueError(f"no sheet {sheet!r} in {path} "
                              f"(have {[s.name for s in sheets]})")
         sh = match[0]
-    rows = sh.rows
+    return rows_to_table(sh.rows, headers)
+
+
+def rows_to_table(rows: list, headers: str = "AUTO") -> pa.Table:
+    """(value, kind) row lists → typed Arrow table with the driver's
+    DetectHeaderLine + GetOGRFieldType promotion rules — shared by
+    the XLSX, ODS-style and XLS (BIFF8) spreadsheet readers."""
     if not rows:
         return pa.table({})
-
-    def row_kinds(r):
-        return [k for _v, k in r]
 
     first = rows[0]
     header = False
