@@ -387,6 +387,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.cals import read_cals
 
         return read_cals(path)
+    if low.endswith((".tpkx", "conf.xml", "root.json")):
+        from gdal_ray.raster.esric import read_esric
+
+        return read_esric(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 

@@ -87,14 +87,18 @@ def _unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(data: bytes) -> np.ndarray:
-    """PNG bytes → (H, W) or (H, W, C) uint8 (baseline 8-bit,
-    non-interlaced, colortypes 0/2/4/6)."""
+    """PNG bytes → (H, W) or (H, W, C) uint8 (baseline,
+    non-interlaced, colortypes 0/2/3/4/6; paletted images expand
+    through PLTE (+tRNS alpha) to RGB/RGBA like the reference's PNG
+    driver consumers do)."""
     if data[:8] != _SIG:
         raise ValueError("not a PNG")
     pos = 8
     w = h = None
     channels = None
     idat = b""
+    plte = None
+    trns = None
     while pos < len(data):
         (ln,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
@@ -108,13 +112,18 @@ def decode_png(data: bytes) -> np.ndarray:
             )
             if inter != 0 or comp != 0 or filt != 0:
                 raise ValueError("only baseline non-interlaced")
-            if depth != 8 and ctype != 0:
-                raise ValueError("non-8-bit depth only for grayscale")
+            if depth != 8 and ctype not in (0, 3):
+                raise ValueError("non-8-bit depth only for "
+                                 "grayscale/palette")
             if depth not in (1, 2, 4, 8, 16):
                 raise ValueError(f"unsupported bit depth {depth}")
-            channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(ctype)
+            channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(ctype)
             if channels is None:
                 raise ValueError(f"unsupported colortype {ctype}")
+        elif tag == b"PLTE":
+            plte = np.frombuffer(payload, np.uint8).reshape(-1, 3)
+        elif tag == b"tRNS":
+            trns = np.frombuffer(payload, np.uint8)
         elif tag == b"IDAT":
             idat += payload
         elif tag == b"IEND":
@@ -140,6 +149,18 @@ def decode_png(data: bytes) -> np.ndarray:
         bits = np.unpackbits(out.reshape(h, stride), axis=1)
         samples = bits[:, :w * depth].reshape(h, w, depth)
         weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
-        return (samples * weights).sum(axis=2).astype(np.uint8)
-    img = out.reshape(h, w, channels)
-    return img[:, :, 0] if channels == 1 else img
+        img = (samples * weights).sum(axis=2).astype(np.uint8)
+    else:
+        img = out.reshape(h, w, channels)
+        img = img[:, :, 0] if channels == 1 else img
+    if ctype == 3:
+        if plte is None:
+            raise ValueError("paletted PNG without PLTE")
+        idxs = np.clip(img, 0, len(plte) - 1)
+        rgb = plte[idxs]
+        if trns is not None:
+            alpha = np.full(len(plte), 255, np.uint8)
+            alpha[:len(trns)] = trns
+            return np.dstack([rgb, alpha[idxs]])
+        return rgb
+    return img
