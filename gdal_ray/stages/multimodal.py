@@ -302,8 +302,13 @@ def decode_wav(payload: bytes):
 
     Pure-stdlib RIFF walk: fmt chunk (PCM=1 u8/i16/i32, IEEE float=3
     f32/f64, WAVE_FORMAT_EXTENSIBLE resolved via the SubFormat GUID's
-    leading u16), data chunk; other chunks skipped. Compressed WAV
-    (ADPCM/MP3-in-WAV) stays an honest boundary."""
+    leading u16), data chunk; other chunks skipped.  Round 5 closes
+    the compressed-audio boundary for the telephony + ADPCM family:
+    A-law (6) and µ-law (7) per ITU-T G.711 (LUT decode, audioop
+    oracle) and IMA/DVI ADPCM (0x11) per the published IMA spec
+    (per-block predictor/index headers, interleaved 4-byte nibble
+    groups per channel).  MP3-in-WAV (0x55) remains an honest
+    boundary (no entropy-codec spec in scope)."""
     import struct
 
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
@@ -330,15 +335,134 @@ def decode_wav(payload: bytes):
         dt = {8: np.uint8, 16: np.int16, 32: np.int32}.get(bits)
     elif audio_fmt == 3:     # IEEE float
         dt = {32: np.float32, 64: np.float64}.get(bits)
+    elif audio_fmt == 6:     # ITU-T G.711 A-law
+        arr = _ALAW_LUT[np.frombuffer(data, np.uint8)]
+        n = len(arr) // channels
+        return arr[: n * channels].reshape(n, channels), int(rate)
+    elif audio_fmt == 7:     # ITU-T G.711 µ-law
+        arr = _ULAW_LUT[np.frombuffer(data, np.uint8)]
+        n = len(arr) // channels
+        return arr[: n * channels].reshape(n, channels), int(rate)
+    elif audio_fmt == 0x11:  # IMA / DVI ADPCM
+        spb = None
+        if len(fmt) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt, 18)
+        return (_ima_adpcm_decode(data, channels, _ba, spb),
+                int(rate))
     else:
         raise NotImplementedError(
-            f"WAV codec {audio_fmt:#x} (only PCM/IEEE-float supported)"
+            f"WAV codec {audio_fmt:#x} (PCM/IEEE-float/A-law/mu-law/"
+            f"IMA-ADPCM supported)"
         )
     if dt is None:
         raise NotImplementedError(f"WAV: {bits}-bit samples")
     arr = np.frombuffer(data, dtype=np.dtype(dt).newbyteorder("<"))
     n = len(arr) // channels
     return arr[: n * channels].reshape(n, channels), int(rate)
+
+
+def _build_ulaw_lut() -> np.ndarray:
+    # G.711 µ-law expansion (the closed form behind the published
+    # decode table): invert, split exponent/mantissa, bias 0x84
+    u = ~np.arange(256, dtype=np.int32) & 0xFF
+    sign = u & 0x80
+    exp = (u >> 4) & 0x07
+    mant = u & 0x0F
+    val = (((mant << 3) + 0x84) << exp) - 0x84
+    return np.where(sign, -val, val).astype(np.int16)
+
+
+def _build_alaw_lut() -> np.ndarray:
+    # G.711 A-law expansion (even-bit inversion 0x55)
+    a = np.arange(256, dtype=np.int32) ^ 0x55
+    sign = a & 0x80
+    exp = (a >> 4) & 0x07
+    mant = a & 0x0F
+    val = np.where(exp == 0, (mant << 4) + 8,
+                   ((mant << 4) + 0x108) << (exp - 1))
+    # A-law bit 7 SET means positive (opposite of µ-law)
+    return np.where(sign, val, -val).astype(np.int16)
+
+
+_ULAW_LUT = _build_ulaw_lut()
+_ALAW_LUT = _build_alaw_lut()
+
+# IMA ADPCM step-size + index-adjust tables (normative constants
+# from the published IMA Digital Audio Pack specification)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130,
+    143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449,
+    494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411,
+    1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660,
+    4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493,
+    10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385,
+    24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX = np.array([-1, -1, -1, -1, 2, 4, 6, 8], np.int32)
+
+
+def _ima_expand_nibbles(nibbles: np.ndarray, pred: int,
+                        index: int) -> np.ndarray:
+    """Sequential IMA ADPCM inner loop for one channel."""
+    out = np.empty(len(nibbles), np.int16)
+    for i, nib in enumerate(nibbles):
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if nib & 1:
+            diff += step >> 2
+        if nib & 2:
+            diff += step >> 1
+        if nib & 4:
+            diff += step
+        if nib & 8:
+            pred -= diff
+        else:
+            pred += diff
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+    return out
+
+
+def _ima_adpcm_decode(data: bytes, channels: int, block_align: int,
+                      samples_per_block: int | None) -> np.ndarray:
+    """IMA-in-WAV block layout: per channel a 4-byte header (i16
+    predictor, u8 step index, u8 reserved), then 4-byte nibble
+    groups interleaved channel by channel."""
+    import struct as _s
+
+    if block_align <= 0:
+        block_align = len(data)
+    chunks = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0:b0 + block_align]
+        if len(block) < 4 * channels:
+            break
+        chans = []
+        for c in range(channels):
+            pred, index, _r = _s.unpack_from("<hBB", block, 4 * c)
+            body = block[4 * channels:]
+            groups = np.frombuffer(body, np.uint8)
+            ngroups = len(groups) // 4
+            groups = groups[:ngroups * 4].reshape(-1, 4)
+            mine = groups[c::channels].reshape(-1)
+            nibbles = np.empty(len(mine) * 2, np.uint8)
+            nibbles[0::2] = mine & 0x0F
+            nibbles[1::2] = mine >> 4
+            dec = _ima_expand_nibbles(
+                nibbles, pred, max(0, min(88, index)))
+            # the header predictor is sample 0 of the block
+            chans.append(np.concatenate(([np.int16(pred)], dec)))
+        n = min(len(ch) for ch in chans)
+        if samples_per_block:
+            n = min(n, samples_per_block)
+        chunk = np.empty((n, channels), np.int16)
+        for c in range(channels):
+            chunk[:, c] = chans[c][:n]
+        chunks.append(chunk)
+    if not chunks:
+        return np.zeros((0, channels), np.int16)
+    return np.concatenate(chunks, axis=0)
 
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:

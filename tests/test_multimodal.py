@@ -368,3 +368,133 @@ class TestImageFeatures:
             .set_index("img_id")
         assert out.loc[1, "img_std"] == 0.0
         assert out.loc[2, "entropy_bits"] > 5.0  # near-uniform noise
+
+
+class TestCompressedAudio:
+    """Round-5 boundary close: G.711 A-law/µ-law (audioop oracle,
+    exact) and IMA/DVI ADPCM (spec forward-coder synthesis)."""
+
+    def _wav(self, fmt_code, channels, rate, bits, data, extra=b"",
+             block_align=None):
+        import struct
+
+        ba = block_align if block_align else channels * bits // 8
+        fmt = struct.pack("<HHIIHH", fmt_code, channels, rate, 0, ba,
+                          bits) + extra
+        return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", len(data)) + data)
+
+    def test_g711_luts_vs_audioop(self):
+        audioop = pytest.importorskip("audioop")
+        from gdal_ray.stages.multimodal import _ALAW_LUT, _ULAW_LUT
+
+        allb = bytes(range(256))
+        assert (np.frombuffer(audioop.ulaw2lin(allb, 2), "<i2")
+                == _ULAW_LUT).all()
+        assert (np.frombuffer(audioop.alaw2lin(allb, 2), "<i2")
+                == _ALAW_LUT).all()
+
+    def test_g711_wav_decode(self):
+        audioop = pytest.importorskip("audioop")
+        from gdal_ray.stages.multimodal import decode_wav
+
+        pcm = (np.sin(np.linspace(0, 20, 400)) * 20000).astype("<i2")
+        for code, enc_fn, dec_fn in (
+                (7, audioop.lin2ulaw, audioop.ulaw2lin),
+                (6, audioop.lin2alaw, audioop.alaw2lin)):
+            enc = enc_fn(pcm.tobytes(), 2)
+            arr, rate = decode_wav(self._wav(code, 1, 8000, 8, enc))
+            assert rate == 8000
+            assert (arr[:, 0] == np.frombuffer(dec_fn(enc, 2),
+                                               "<i2")).all()
+
+    @staticmethod
+    def _ima_encode(samples):
+        from gdal_ray.stages.multimodal import _IMA_INDEX, _IMA_STEPS
+
+        pred, index, nibbles = int(samples[0]), 0, []
+        for s in samples[1:]:
+            step = int(_IMA_STEPS[index])
+            diff = int(s) - pred
+            nib = 0
+            if diff < 0:
+                nib, diff = 8, -diff
+            if diff >= step:
+                nib |= 4
+                diff -= step
+            if diff >= step >> 1:
+                nib |= 2
+                diff -= step >> 1
+            if diff >= step >> 2:
+                nib |= 1
+            d = step >> 3
+            if nib & 1:
+                d += step >> 2
+            if nib & 2:
+                d += step >> 1
+            if nib & 4:
+                d += step
+            pred = pred - d if nib & 8 else pred + d
+            pred = max(-32768, min(32767, pred))
+            index = max(0, min(88, index + int(_IMA_INDEX[nib & 7])))
+            nibbles.append(nib)
+        return nibbles
+
+    @staticmethod
+    def _pack(nibs):
+        out = bytearray()
+        for i in range(0, len(nibs), 2):
+            out.append(nibs[i]
+                       | ((nibs[i + 1] if i + 1 < len(nibs) else 0)
+                          << 4))
+        return bytes(out)
+
+    def test_ima_adpcm_mono(self):
+        import struct
+
+        from gdal_ray.stages.multimodal import decode_wav
+
+        samples = (np.sin(np.linspace(0, 4 * np.pi, 2021))
+                   * 8000).astype(np.int16)
+        block = struct.pack("<hBB", int(samples[0]), 0, 0) \
+            + self._pack(self._ima_encode(samples))
+        w = self._wav(0x11, 1, 8000, 4, block,
+                      extra=struct.pack("<HH", 2, 2021),
+                      block_align=len(block))
+        arr, rate = decode_wav(w)
+        assert rate == 8000 and arr.shape[1] == 1
+        err = np.abs(arr[:, 0].astype(int)
+                     - samples[:len(arr)].astype(int))
+        assert arr[0, 0] == samples[0]  # header predictor verbatim
+        assert err.max() < 200  # ADPCM tracking error bound
+
+    def test_ima_adpcm_stereo_interleave(self):
+        import struct
+
+        from gdal_ray.stages.multimodal import decode_wav
+
+        s = (np.sin(np.linspace(0, 4 * np.pi, 2021))
+             * 8000).astype(np.int16)
+        pl = self._pack(self._ima_encode(s))
+        pr = self._pack(self._ima_encode((-s).astype(np.int16)))
+        body = bytearray()
+        for g in range(0, min(len(pl), len(pr)) // 4 * 4, 4):
+            body += pl[g:g + 4]
+            body += pr[g:g + 4]
+        block = (struct.pack("<hBB", int(s[0]), 0, 0)
+                 + struct.pack("<hBB", int(-s[0]), 0, 0) + bytes(body))
+        arr, _ = decode_wav(self._wav(0x11, 2, 8000, 4, block,
+                                      block_align=len(block)))
+        assert arr.shape[1] == 2
+        n = len(arr)
+        assert np.abs(arr[:, 0].astype(int)
+                      - s[:n].astype(int)).max() < 200
+        assert np.abs(arr[:, 1].astype(int)
+                      + s[:n].astype(int)).max() < 200
+
+    def test_mp3_still_boundary(self):
+        from gdal_ray.stages.multimodal import decode_wav
+
+        with pytest.raises(NotImplementedError):
+            decode_wav(self._wav(0x55, 1, 44100, 0, b"\x00" * 64))
