@@ -391,6 +391,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.esric import read_esric
 
         return read_esric(path)
+    if low.endswith(".dds"):
+        from gdal_ray.raster.dds import read_dds
+
+        return read_dds(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
