@@ -395,6 +395,11 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.dds import read_dds
 
         return read_dds(path)
+    if (low.endswith(".dim") or
+            re.search(r"(dim|vol)_[^/]*\.xml$", low)):
+        from gdal_ray.raster.dimap import read_dimap
+
+        return read_dimap(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
