@@ -400,6 +400,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.dimap import read_dimap
 
         return read_dimap(path)
+    if low.endswith((".prf", ".x-dem")):
+        from gdal_ray.raster.prf import read_prf
+
+        return read_prf(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
