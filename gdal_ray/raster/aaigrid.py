@@ -404,6 +404,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.prf import read_prf
 
         return read_prf(path)
+    if low.endswith((".gen", ".thf")) or path.startswith("ADRG:"):
+        from gdal_ray.raster.adrg import read_adrg
+
+        return read_adrg(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
