@@ -25,8 +25,9 @@ One layer per object class (OBJL → catalogue acronym) plus the DSID
 metadata layer.  Fields: RCID, PRIM, GRUP, OBJL, RVER, AGEN, FIDN,
 FIDS, LNAM (AGEN/FIDN/FIDS hex), attributes by catalogue acronym
 (list-type attributes as string lists, NATF at lexical level 2
-decoded from UCS-2).  ENC update files (.001+) and the FFPT
-relationship fields are named boundaries.
+decoded from UCS-2), plus LNAM_REFS/FFPT_RIND feature-relationship
+lists (round 5 — GenerateFFPTAttributes parity; the earlier FFPT
+boundary is closed).  ENC update files (.001+) apply sequentially.
 
 Scale: one read task per cell; an ENC archive of thousands of cells
 parallelizes across files (per-file shard contract).
@@ -259,6 +260,21 @@ class S57Cell:
             feat["LNAM"] = "%04X%08X%04X" % (foid.get("AGEN", 0),
                                              foid.get("FIDN", 0),
                                              foid.get("FIDS", 0))
+        # feature-to-feature relationships (s57reader.cpp
+        # GenerateFFPTAttributes: LNAM hex in the spec's byte
+        # permutation + RIND relationship-indicator list)
+        refs, rinds = [], []
+        for p in rec.all("FFPT"):
+            ln = p.get("LNAM")
+            if isinstance(ln, (bytes, bytearray)) and len(ln) >= 8:
+                refs.append(
+                    "%02X%02X%02X%02X%02X%02X%02X%02X" % (
+                        ln[1], ln[0], ln[5], ln[4], ln[3], ln[2],
+                        ln[7], ln[6]))
+                rinds.append(int(p.get("RIND", 0)))
+        if refs:
+            feat["LNAM_REFS"] = refs
+            feat["FFPT_RIND"] = rinds
         attrs = {}
         for p in rec.all("ATTF"):
             code = p.get("ATTL")
@@ -479,6 +495,11 @@ def read_s57_local(path: str, layer: str,
         cols["LNAM"].append(f.get("LNAM"))
         geoms.append(cell.geometry(f))
     out = {k: pa.array(v) for k, v in cols.items()}
+    if any("LNAM_REFS" in f for f in feats):
+        out["LNAM_REFS"] = pa.array(
+            [f.get("LNAM_REFS") for f in feats], pa.list_(pa.string()))
+        out["FFPT_RIND"] = pa.array(
+            [f.get("FFPT_RIND") for f in feats], pa.list_(pa.int32()))
     for a in attr_names:
         vals = [f["attrs"].get(a) for f in feats]
         if a in _LIST_ATTRS:

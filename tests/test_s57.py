@@ -128,3 +128,42 @@ def test_update_dsid():
     assert c.dsid["DSID_UPDN"] == "1"
     assert c.dsid["DSID_UADT"] == "20190211"
     assert c.dsid["DSID_ISDT"] == "20190212"
+
+
+class TestFFPTRelationships:
+    """Round-5 boundary close: LNAM_REFS/FFPT_RIND feature links
+    (s57reader.cpp GenerateFFPTAttributes byte permutation)."""
+
+    def test_lnam_refs_resolve(self):
+        from gdal_ray.s57 import read_s57_local
+
+        cell = ("/root/reference/autotest/ogr/data/s57/"
+                "bug2147_3R7D0889.000")
+        t = read_s57_local(cell, "boywtw")
+        assert "LNAM_REFS" in t.schema.names
+        assert "FFPT_RIND" in t.schema.names
+        refs = t.column("LNAM_REFS").to_pylist()
+        rinds = t.column("FFPT_RIND").to_pylist()
+        assert refs[0] is None  # first buoy carries no links
+        linked = [(a, b) for a, b in zip(refs, rinds) if a]
+        assert len(linked) == 3
+        assert all(r == [2] for _a, r in [(a, b) for a, b in linked])
+        # every referenced LNAM resolves to a real FOID in the cell
+        from gdal_ray import iso8211
+
+        all_lnams = set()
+        for rec in iso8211.read_ddf(cell).records:
+            foid = rec.first("FOID")
+            if foid and foid.get("AGEN") is not None:
+                all_lnams.add("%04X%08X%04X" % (
+                    foid["AGEN"], foid["FIDN"], foid["FIDS"]))
+        for lst, _r in linked:
+            assert all(ref in all_lnams for ref in lst)
+
+    def test_layers_without_links_unchanged(self):
+        from gdal_ray.s57 import read_s57_local
+
+        t = read_s57_local(
+            "/root/reference/autotest/ogr/data/s57/1B5X02NE.000",
+            "COALNE")
+        assert "LNAM_REFS" not in t.schema.names
