@@ -38,10 +38,15 @@ strings straight out of autotest/ogr/ogr_dxf.py):
   as the reference renders it, including its color-7-as-black
   plotting choice).
 
-Unsupported entity types (HATCH pattern fills, DIMENSION block
-generation, LEADER/MULTILEADER, WIPEOUT, ACIS 3DSOLID/REGION, helix)
-are skipped with a named boundary in COVERAGE.md - the reference
-generates synthetic geometry for those from renderer metrics.
+LEADER/MULTILEADER landed in round 5 (ogrdxf_leader.cpp parity:
+DIMSTYLE + ACAD-xdata overrides, default/custom/suppressed
+arrowheads with the special-block endpoint rule, interpolated cubic
+B-spline paths with tangent rows, doglegs/breaks/DIMBREAK, block
+content incl. attribute labels, under-text extensions).  Still
+unsupported (named boundary in COVERAGE.md): HATCH pattern fills,
+DIMENSION block generation, ACIS 3DSOLID/REGION, helix — the
+reference generates synthetic geometry for those from renderer
+metrics.
 
 Ray shape: a DXF file is a sequential tape (blocks must be read
 before inserts) - one file = one task, exactly like
@@ -600,6 +605,11 @@ class _Feature:
             color = TRUECOLOR
         elif "Color" in self.style_props:
             color = _atoi(self.style_props["Color"])
+        if color < -101:
+            # raw 32-bit colour words (MLEADER group 91) parse as
+            # negative ints; mask back to unsigned so the 0xC0..0xC3
+            # method nibble is detected (sentinels -100/-101 excluded)
+            color &= 0xFFFFFFFF
         method = (color & 0xFF000000) >> 24 if color > 0 else 0
         if method == 0xC0:
             color = BYLAYER
@@ -723,11 +733,13 @@ def _atoi(s) -> int:
 # AutoCAD defaults (Express\\defaults.scr per the reference comment)
 _DIMCODE = {40: "DIMSCALE", 41: "DIMASZ", 42: "DIMEXO", 44: "DIMEXE",
             75: "DIMSE1", 76: "DIMSE2", 77: "DIMTAD", 140: "DIMTXT",
-            147: "DIMGAP", 176: "DIMCLRD", 178: "DIMCLRT", 271: "DIMDEC"}
+            147: "DIMGAP", 176: "DIMCLRD", 178: "DIMCLRT", 271: "DIMDEC",
+            341: "DIMLDRBLK"}
 _DIM_DEFAULTS = {"DIMSCALE": "1.0", "DIMASZ": "0.18", "DIMEXO": "0.0625",
                  "DIMEXE": "0.18", "DIMSE1": "0", "DIMSE2": "0",
                  "DIMTAD": "0", "DIMTXT": "0.18", "DIMGAP": "0.09",
-                 "DIMCLRD": "0", "DIMCLRT": "0", "DIMDEC": "4"}
+                 "DIMCLRD": "0", "DIMCLRT": "0", "DIMDEC": "4",
+                 "DIMLDRBLK": ""}
 
 
 def _adjust_text(angle_deg, scale_x, scale_y, style: str) -> str:
@@ -775,14 +787,14 @@ def _adjust_text(angle_deg, scale_x, scale_y, style: str) -> str:
     if scale_y != 1.0:
         h = get("s")
         if h is not None:
-            setv("s", "%.3gg" % (_atof(h) * scale_y))
+            setv("s", "%.3gg" % (_atof(h.rstrip("g")) * scale_y))
     if scale_x != scale_y and scale_y != 0.0:
         wfac = scale_x / scale_y
         old = _atof(get("w") or "100")
         setv("w", "%.4g" % (old * wfac))
     if scale_x != 1.0 or scale_y != 1.0 or angle_deg != 0.0:
-        dx = _atof(get("dx") or "0")
-        dy = _atof(get("dy") or "0")
+        dx = _atof((get("dx") or "0").rstrip("g"))
+        dy = _atof((get("dy") or "0").rstrip("g"))
         if dx != 0.0 or dy != 0.0:
             ar = math.radians(angle_deg)
             setv("dx", "%.6gg" % (scale_x * dx * math.cos(ar)
@@ -824,6 +836,8 @@ class DxfReader:
             self.blocks = {}
             self.text_styles = {}
             self.dimstyles = {}
+            self.block_record_handles = {}
+            self.style_handles = {}
             self._features = []
             self._parse(_Tape(_pairs_from_binary(data)))
             return
@@ -847,6 +861,8 @@ class DxfReader:
         self.blocks: dict = {}
         self.text_styles: dict = {}
         self.dimstyles: dict = {}
+        self.block_record_handles: dict = {}
+        self.style_handles: dict = {}
         self._features: list[_Feature] = []
         tape = _Tape(_pairs_from_text(data))
         self._parse(tape)
@@ -907,8 +923,13 @@ class DxfReader:
                 self.linetypes[name] = dashes
             elif kind == "STYLE" and name:
                 self.text_styles[name] = rec
+                if "_handle" in rec:
+                    self.style_handles[rec["_handle"]] = name
             elif kind == "DIMSTYLE" and name:
                 self.dimstyles[name] = rec
+            elif kind == "BLOCK_RECORD" and rec.get("_handle") \
+                    and rec.get("_name"):
+                self.block_record_handles[rec["_handle"]] = rec["_name"]
             rec = {}
             dashes = []
 
@@ -920,7 +941,8 @@ class DxfReader:
             code, val = p
             if code == 0:
                 flush()
-                if val in ("LAYER", "LTYPE", "STYLE", "DIMSTYLE"):
+                if val in ("LAYER", "LTYPE", "STYLE", "DIMSTYLE",
+                           "BLOCK_RECORD"):
                     kind = val
                     name = ""
                 else:
@@ -962,8 +984,25 @@ class DxfReader:
             elif cur == "STYLE":
                 if code == 2:
                     name = val
+                elif code == 5:
+                    self.style_handles[val.upper()] = None
+                    rec["_handle"] = val.upper()
+                elif code == 41:
+                    rec["Width"] = val
                 elif code == 1000:
                     rec["Font"] = val
+                elif code == 1071:
+                    flags = _atoi(val)
+                    if flags & 0x2000000:
+                        rec["Bold"] = "1"
+                    if flags & 0x1000000:
+                        rec["Italic"] = "1"
+            elif cur == "BLOCK_RECORD":
+                if code == 2:
+                    name = val
+                    rec["_name"] = val
+                elif code == 5:
+                    rec["_handle"] = val.upper()
 
     def _parse_blocks(self, tape):
         cur_name = None
@@ -1986,6 +2025,510 @@ class DxfReader:
         out.append(label)
         return out
 
+    # -- LEADER / MULTILEADER (ogrdxf_leader.cpp parity, round 5) ------------
+
+    _SPECIAL_ARROWHEADS = ("_ArchTick", "_DotSmall", "_Integral",
+                           "_None", "_Oblique", "_Small")
+
+    @staticmethod
+    def _bspline_interpolate(pts: np.ndarray,
+                             end_tangent=(0.0, 0.0, 0.0)) -> np.ndarray:
+        """InterpolateSpline parity: cubic B-spline through the data
+        points (chord-length parameterisation, clamped knots, start/
+        end tangent rows), solved with numpy and evaluated with the
+        in-repo Rogers rbspline2 twin at 8x control-point density."""
+        # drop sequential duplicates
+        keep = [0]
+        for i in range(1, len(pts)):
+            if not np.array_equal(pts[i], pts[keep[-1]]):
+                keep.append(i)
+        pts = pts[keep]
+        n = len(pts)
+        if n < 2:
+            return pts
+        chords = np.linalg.norm(np.diff(pts, axis=0), axis=1)
+        params = np.concatenate([[0.0], np.cumsum(chords)])
+        if np.any(np.diff(params) == 0.0):
+            return pts
+        total = params[-1]
+        start_tan = (pts[1] - pts[0]) * (total / params[1])
+        et = np.asarray(end_tangent, np.float64)
+        if not et.any():
+            et = (pts[-1] - pts[-2]) / (total - params[-2])
+        et = et * total
+        params = params / total
+        degree = 3
+        # knots: degree zeros + params + degree ones  (n + 2·degree
+        # elements → n+2 control points, order 4)
+        knots = np.concatenate([np.zeros(degree), params,
+                                np.ones(degree)])
+
+        def basis_row(t: float) -> np.ndarray:
+            order = degree + 1
+            nplusc = len(knots)
+            N = np.zeros(nplusc)
+            for i in range(nplusc - 1):
+                N[i] = 1.0 if (knots[i] <= t < knots[i + 1]) else 0.0
+            for k in range(2, order + 1):
+                for i in range(nplusc - k):
+                    d = e = 0.0
+                    if N[i] != 0:
+                        den = knots[i + k - 1] - knots[i]
+                        if den != 0:
+                            d = (t - knots[i]) * N[i] / den
+                    if N[i + 1] != 0:
+                        den = knots[i + k] - knots[i + 1]
+                        if den != 0:
+                            e = (knots[i + k] - t) * N[i + 1] / den
+                    N[i] = d + e
+            return N[:n + 2]
+
+        ncp = n + 2
+        NM = np.zeros((ncp, ncp))
+        D = np.zeros((ncp, 3))
+        NM[0, 0] = 1.0
+        D[0] = pts[0]
+        NM[1, 0], NM[1, 1] = -1.0, 1.0
+        D[1] = start_tan * (knots[degree + 1] / degree)
+        for row in range(2, n):
+            NM[row] = basis_row(params[row - 1])
+            D[row] = pts[row - 1]
+        NM[n, n], NM[n, n + 1] = -1.0, 1.0
+        D[n] = et * ((1.0 - knots[n + 1]) / degree)
+        NM[n + 1, n + 1] = 1.0
+        D[n + 1] = pts[-1]
+        try:
+            ctrl = np.linalg.solve(NM, D)
+        except np.linalg.LinAlgError:
+            return pts
+        return _spline_points(ctrl, degree + 1, knots,
+                              np.ones(ncp), ncp * 8)
+
+    def _insert_arrowhead(self, feature, block_handle: str, pts: list,
+                          size: float, reverse: bool = False) -> list:
+        """InsertArrowhead parity: default filled triangle or a custom
+        arrowhead block at the first (last if reverse) segment; the
+        endpoint is pushed back one arrowhead-length for non-special
+        blocks.  Mutates ``pts`` and returns pending features."""
+        p1 = np.asarray(pts[-1] if reverse else pts[0], np.float64)
+        p2 = np.asarray(pts[-2] if reverse else pts[1], np.float64)
+        seg = math.hypot(p2[0] - p1[0], p2[1] - p1[1])
+        if size == 0.0 or seg == 0.0 or size > 0.5 * seg:
+            return []
+        block_name = ""
+        if block_handle:
+            block_name = self.block_record_handles.get(
+                block_handle.upper(), "")
+        pending: list = []
+        if not block_name or block_name not in self.blocks:
+            if block_name:  # handle points at an empty/absent block
+                return []
+            sc = size / seg
+            parx = sc * (p2[0] - p1[0])
+            pary = sc * (p2[1] - p1[1])
+            perx, pery = pary, -parx
+            z = p1[2] if len(p1) > 2 else 0.0
+            ring = np.array([
+                [p1[0] + parx + perx / 6, p1[1] + pary + pery / 6, z],
+                [p1[0], p1[1], z],
+                [p1[0] + parx - perx / 6, p1[1] + pary - pery / 6, z],
+                [p1[0] + parx + perx / 6, p1[1] + pary + pery / 6, z]])
+            g = feature.clone()
+            g.geom = _G("polygon", [ring], True)
+            g.prepare_line_style(self, None, brush=True)
+            pending.append(g)
+        else:
+            angle = math.atan2(p2[1] - p1[1], p2[0] - p1[0]) + math.pi
+            ref = feature.clone()
+            pending.extend(self._insert_inline(
+                block_name, ref, (float(p1[0]), float(p1[1]),
+                                  float(p1[2]) if len(p1) > 2 else 0.0),
+                (size, size, size), angle, 0, merge=False))
+        if block_name not in self._SPECIAL_ARROWHEADS:
+            shift = size / seg
+            newp = p1.copy()
+            newp[0] += shift * (p2[0] - p1[0])
+            newp[1] += shift * (p2[1] - p1[1])
+            pts[-1 if reverse else 0] = newp
+        return pending
+
+    def _tr_leader(self, pairs):
+        """TranslateLEADER parity: leader polyline with DIMSTYLE
+        (+ACAD xdata overrides), optional arrowhead, spline path and
+        the undocumented under-text extension."""
+        f = _Feature()
+        verts: list = []
+        cur = {}
+        props = dict(_DIM_DEFAULTS)
+        want_arrow = True
+        is_spline = False
+        has_text = False
+        text_width = 0.0
+        hdir = [1.0, 0.0, 0.0]
+        hflip = True
+        override_key = None
+        ready = False
+        for code, val in pairs:
+            if code == 3:
+                props.update(self.dimstyles.get(val, {}))
+            elif code in (10, 20, 30):
+                axis = {10: 0, 20: 1, 30: 2}[code]
+                if len(cur) == 3:
+                    verts.append([cur[0], cur[1], cur[2]])
+                    cur = {k: v for k, v in cur.items() if k == axis}
+                cur[axis] = _atof(val)
+            elif code == 41:
+                text_width = _atof(val)
+            elif code == 71:
+                want_arrow = _atoi(val) != 0
+            elif code == 72:
+                is_spline = _atoi(val) != 0
+            elif code == 73:
+                has_text = _atoi(val) == 0
+            elif code == 74:
+                hflip = _atoi(val) != 0
+            elif code == 211:
+                hdir[0] = _atof(val)
+            elif code == 221:
+                hdir[1] = _atof(val)
+            elif code == 231:
+                hdir[2] = _atof(val)
+            elif code == 1001:
+                ready = val == "ACAD"
+            elif code == 1070:
+                if ready and override_key is None:
+                    override_key = _DIMCODE.get(_atoi(val))
+                elif override_key is not None:
+                    props[override_key] = val
+                    override_key = None
+            elif code in (1005, 1040):
+                if override_key is not None:
+                    props[override_key] = val
+                    override_key = None
+            else:
+                f.generic(code, val, self)
+        if len(cur) == 3:
+            verts.append([cur[0], cur[1], cur[2]])
+        pts = [np.array(v, np.float64) for v in verts]
+
+        want_extension = _atoi(props["DIMTAD"]) > 0
+        text_offset = _atof(props["DIMGAP"])
+        scale = _atof(props["DIMSCALE"]) or 1.0
+        arrow_size = _atof(props["DIMASZ"])
+        leader_color = _atoi(props["DIMCLRD"])
+        if leader_color > 0:
+            f.style_props["Color"] = props["DIMCLRD"]
+        pending: list = []
+        if want_arrow and len(pts) >= 2:
+            pending = self._insert_arrowhead(
+                f, props.get("DIMLDRBLK", ""), pts, arrow_size * scale)
+        if hflip:
+            # replicated verbatim: the reference flips only X (and
+            # does so three times), leaving Y/Z untouched
+            hdir[0] *= -1
+        line = np.array(pts, np.float64)
+        if is_spline and len(line) >= 2:
+            et = tuple(hdir) if has_text else (0.0, 0.0, 0.0)
+            line = self._bspline_interpolate(line, et)
+        if want_extension and has_text and len(line) >= 2:
+            ext = line[-1] + np.asarray(hdir) * (
+                text_offset * scale + text_width)
+            line = np.vstack([line, ext])
+        f.geom = _G("line", line, True)
+        f.prepare_line_style(self, None)
+        return [f] + pending
+
+    def _tr_multileader(self, pairs):
+        """TranslateMLEADER parity: CONTEXT_DATA/LEADER/LEADER_LINE
+        section state machine, doglegs + breaks, per-line arrowheads,
+        spline leaders, block content (incl. attribute text) and the
+        text label feature."""
+        overall = _Feature()
+        MLS_COMMON, MLS_CTX, MLS_LEADER, MLS_LINE = 0, 1, 2, 3
+        section = MLS_COMMON
+        leaders: list = []
+        leader = None
+        line: list = []
+        curx = cury = cur2x = cur2y = 0.0
+        cur_vertex = 0
+        scale = 1.0
+        has_dogleg = True
+        leader_color = "0"
+        text = ""
+        text_style_handle = ""
+        text_x = text_y = 0.0
+        text_align = 1
+        text_angle = 0.0
+        text_height = 4.0
+        block_handle = ""
+        block_off = [0.0, 0.0]
+        block_scale = [1.0, 1.0]
+        block_angle = 0.0
+        attr_handle = ""
+        block_attrs: dict = {}
+        arrow_handle = ""
+        arrow_size = 4.0
+        MLT_NONE, MLT_SPLINE = 0, 2
+        line_type = 1  # straight
+
+        def new_leader():
+            return {"landing": [0.0, 0.0], "dogleg_vec": [0.0, 0.0],
+                    "dogleg_len": 0.0, "breaks": [], "lines": []}
+
+        leader = new_leader()
+        for code, val in pairs:
+            if section == MLS_COMMON:
+                if code == 300:
+                    section = MLS_CTX
+                elif code == 342:
+                    arrow_handle = val
+                elif code == 42:
+                    arrow_size = _atof(val)
+                elif code == 330:
+                    attr_handle = val
+                elif code == 302:
+                    if attr_handle:
+                        block_attrs[attr_handle.upper()] = \
+                            _text_unescape(val, True)
+                        attr_handle = ""
+                elif code == 91:
+                    leader_color = val
+                elif code == 170:
+                    line_type = _atoi(val)
+                elif code == 291:
+                    has_dogleg = _atoi(val) != 0
+                else:
+                    overall.generic(code, val, self)
+            elif section == MLS_CTX:
+                if code == 301:
+                    section = MLS_COMMON
+                elif code == 302:
+                    section = MLS_LEADER
+                elif code == 304:
+                    text = _text_unescape(val, True)
+                elif code == 40:
+                    scale = _atof(val)
+                elif code == 340:
+                    text_style_handle = val
+                elif code == 12:
+                    text_x = _atof(val)
+                elif code == 22:
+                    text_y = _atof(val)
+                elif code == 41:
+                    text_height = _atof(val)
+                elif code == 42:
+                    text_angle = _atof(val) * 180.0 / math.pi
+                elif code == 171:
+                    text_align = _atoi(val)
+                elif code == 341:
+                    block_handle = val
+                elif code == 15:
+                    block_off[0] = _atof(val)
+                elif code == 25:
+                    block_off[1] = _atof(val)
+                elif code == 16:
+                    block_scale[0] = _atof(val)
+                elif code == 26:
+                    block_scale[1] = _atof(val)
+                elif code == 46:
+                    block_angle = _atof(val)
+            elif section == MLS_LEADER:
+                if code == 303:
+                    section = MLS_CTX
+                    leaders.append(leader)
+                    leader = new_leader()
+                elif code == 304:
+                    section = MLS_LINE
+                elif code == 10:
+                    leader["landing"][0] = _atof(val)
+                elif code == 20:
+                    leader["landing"][1] = _atof(val)
+                elif code == 11:
+                    leader["dogleg_vec"][0] = _atof(val)
+                elif code == 21:
+                    leader["dogleg_vec"][1] = _atof(val)
+                elif code == 12:
+                    curx = _atof(val)
+                elif code == 22:
+                    cury = _atof(val)
+                elif code == 13:
+                    cur2x = _atof(val)
+                elif code == 23:
+                    cur2y = _atof(val)
+                    leader["breaks"].append(
+                        ((curx, cury), (cur2x, cur2y)))
+                elif code == 40:
+                    leader["dogleg_len"] = _atof(val)
+            elif section == MLS_LINE:
+                if code == 305:
+                    section = MLS_LEADER
+                    leader["lines"].append(line)
+                    line = []
+                elif code == 10:
+                    curx = _atof(val)
+                elif code == 20:
+                    line.append({"pt": (curx, _atof(val)),
+                                 "breaks": []})
+                elif code == 90:
+                    cur_vertex = _atoi(val)
+                elif code == 11:
+                    curx = _atof(val)
+                elif code == 21:
+                    cury = _atof(val)
+                elif code == 12:
+                    cur2x = _atof(val)
+                elif code == 22:
+                    if cur_vertex < len(line):
+                        line[cur_vertex]["breaks"].append(
+                            ((curx, cury), (cur2x, _atof(val))))
+
+        block_name = ""
+        if block_handle:
+            block_name = self.block_record_handles.get(
+                block_handle.upper(), "")
+
+        lf = overall.clone()
+        lf.style_props["Color"] = leader_color
+        arrow_owner = lf
+        if (_atoi(leader_color) & 0xC2000000) == 0xC0000000:
+            arrow_owner = overall
+        parts: list = []   # list of (n,2) segments of the MLS
+        pending: list = []
+        for ld in (leaders if line_type != MLT_NONE else []):
+            has_this_dogleg = (has_dogleg and line_type != MLT_SPLINE
+                               and ld["dogleg_len"] != 0.0
+                               and (ld["dogleg_vec"][0] != 0.0
+                                    or ld["dogleg_vec"][1] != 0.0))
+            dogx = ld["landing"][0] + ld["dogleg_vec"][0] * \
+                ld["dogleg_len"]
+            dogy = ld["landing"][1] + ld["dogleg_vec"][1] * \
+                ld["dogleg_len"]
+            if not has_dogleg or line_type == MLT_SPLINE:
+                ld["landing"] = [dogx, dogy]
+            for lverts in ld["lines"]:
+                if not lverts:
+                    continue
+                first = [np.array([*lverts[0]["pt"]], np.float64)]
+                if len(lverts) > 1:
+                    first.append(np.array([*lverts[1]["pt"]],
+                                          np.float64))
+                else:
+                    first.append(np.array(ld["landing"], np.float64))
+                pending.extend(self._insert_arrowhead(
+                    arrow_owner, arrow_handle, first,
+                    arrow_size * scale))
+                seg = [first[0]]
+                for iv, v in enumerate(lverts):
+                    if iv > 0:
+                        seg.append(np.array([*v["pt"]], np.float64))
+                    if line_type != MLT_SPLINE:
+                        for brk in v["breaks"]:
+                            seg.append(np.array(brk[0], np.float64))
+                            parts.append(np.array(seg))
+                            seg = [np.array(brk[1], np.float64)]
+                seg.append(np.array(ld["landing"], np.float64))
+                seg = np.array(seg)
+                if line_type == MLT_SPLINE and len(seg) >= 2:
+                    et = (0.0, 0.0, 0.0)
+                    if not block_name:
+                        et = (ld["dogleg_vec"][0], ld["dogleg_vec"][1],
+                              0.0)
+                    seg3 = np.column_stack([seg, np.zeros(len(seg))])
+                    seg = self._bspline_interpolate(seg3, et)[:, :2]
+                parts.append(seg)
+            if has_this_dogleg:
+                seg = [np.array(ld["landing"], np.float64)]
+                for brk in ld["breaks"]:
+                    seg.append(np.array(brk[0], np.float64))
+                    parts.append(np.array(seg))
+                    seg = [np.array(brk[1], np.float64)]
+                seg.append(np.array([dogx, dogy], np.float64))
+                parts.append(np.array(seg))
+        lf.geom = _G("multiline",
+                     [_G("line", np.column_stack(
+                         [p, np.zeros(len(p))]) if p.shape[1] == 2
+                         else p, False) for p in parts], False)
+        lf.prepare_line_style(self, overall)
+        out = [lf] + pending
+
+        if block_name and block_name in self.blocks:
+            bs = (block_scale[0] * scale, block_scale[1] * scale, 1.0)
+            ref = overall.clone()
+            inserted = self._insert_inline(
+                block_name, ref, (block_off[0], block_off[1], 0.0),
+                bs, block_angle, 0)
+            out.extend(inserted)
+            if block_attrs:
+                for bf in self.blocks[block_name]:
+                    handle = (bf.fields.get("EntityHandle") or "").upper()
+                    if handle in block_attrs and \
+                            getattr(bf, "label_like", False):
+                        af = bf.clone()
+                        txt = block_attrs[handle]
+                        af.fields["Text"] = txt
+                        if af.style and af.style.startswith("LABEL("):
+                            af.style = re.sub(
+                                r'(,t:")[^"]*(")',
+                                lambda m: m.group(1)
+                                + txt.replace("\\", "\\\\")
+                                + m.group(2), af.style, count=1)
+                        # block transform: rotate/scale then offset
+                        if af.geom is not None:
+                            ca, sa = (math.cos(block_angle),
+                                      math.sin(block_angle))
+
+                            def tf(a):
+                                b = a.copy()
+                                x = a[:, 0] * bs[0]
+                                y = a[:, 1] * bs[1]
+                                b[:, 0] = x * ca - y * sa + block_off[0]
+                                b[:, 1] = x * sa + y * ca + block_off[1]
+                                return b
+
+                            af.geom.map_coords(tf)
+                        if (af.fields.get("Layer") or "0") == "0" and \
+                                (overall.fields.get("Layer") or ""):
+                            af.fields["Layer"] = overall.fields["Layer"]
+                        af.prepare_style(self, overall)
+                        af.style = _adjust_text(
+                            math.degrees(block_angle), bs[0], bs[1],
+                            af.style)
+                        if overall.fields.get("EntityHandle"):
+                            af.fields["EntityHandle"] = \
+                                overall.fields["EntityHandle"]
+                        out.append(af)
+        if text and text != " ":
+            label = overall.clone()
+            label.geom = _G("point",
+                            np.array([[text_x, text_y, 0.0]]), False)
+            label.fields["Text"] = text
+            style_name = self.style_handles.get(
+                (text_style_handle or "").upper()) or ""
+            srec = self.text_styles.get(style_name, {})
+            font = srec.get("Font", "Arial")
+            style = 'LABEL(f:"%s"' % font
+            if srec.get("Bold") == "1":
+                style += ",bo:1"
+            if srec.get("Italic") == "1":
+                style += ",it:1"
+            style += ',t:"%s",p:%d' % (text.replace('"', '\\"'),
+                                       text_align + 6)
+            if text_angle != 0.0:
+                style += ",a:%.3g" % text_angle
+            if text_height != 0.0:
+                style += ",s:%.3gg" % text_height
+            width = _atof(srec.get("Width", "1") or "1")
+            if width != 1.0:
+                style += ",w:%.4g" % (width * 100.0)
+            style += ",c:" + label.get_color(self)
+            style += ")"
+            label.style = style
+            label.label_like = True
+            out.append(label)
+        return out
+
+    _tr_mleader = _tr_multileader
+
     # -- POLYLINE (vertex stream) -------------------------------------------
 
     def _translate_polyline(self, pairs, tape):
@@ -2136,9 +2679,11 @@ class DxfReader:
             self._features.append(af)
 
     def _insert_inline(self, block_name, ref_feature, offset, scale,
-                       angle_rad, depth) -> list:
+                       angle_rad, depth, merge: bool = True) -> list:
         """InsertBlockInline parity: returns the list of output
-        features (merged collection or individual label features)."""
+        features (merged collection or individual label features;
+        ``merge=False`` keeps one feature per block entity — the
+        arrowhead-insertion path)."""
         if depth > 16:
             return []
         # transform the insertion point by the insert's OCS
@@ -2210,7 +2755,7 @@ class DxfReader:
                     s.geom.map_coords(shift)
                 is_label = s.label_like or (
                     s.style is not None and "LABEL" in s.style)
-                if (not is_label and not s.is_block_ref
+                if (merge and not is_label and not s.is_block_ref
                         and s.geom is not None):
                     merged_parts.append(s.geom)
                     has_z_any |= s.geom.has_z

@@ -362,3 +362,201 @@ def test_wipeout(name):
         assert len(pts) == len(exp)
         for (a, b), (c, d) in zip(pts, exp):
             assert abs(a - c) < 1e-7 and abs(b - d) < 1e-7
+
+
+class TestLeaderMultileader:
+    """Round-5 boundary close: LEADER + MULTILEADER (ogr_dxf.py
+    test_ogr_dxf_44-47 literal geometry/style pins over
+    leader-mleader.dxf)."""
+
+    @classmethod
+    def _table(cls):
+        if not hasattr(cls, "_t"):
+            cls._t = read_dxf_table(f"{DATA}/leader-mleader.dxf")
+        return cls._t
+
+    @staticmethod
+    def _geq(got_wkb, want_wkt, tol=1e-7):
+        from gdal_ray.geom import wkb as W
+        from gdal_ray.geom.wkt import from_wkt
+
+        def coords(buf):
+            g = W.parse(buf)
+            out = []
+
+            def walk(n):
+                if "coords" in n:
+                    out.append(np.asarray(n["coords"]))
+                    if "z" in n:
+                        out.append(np.asarray(n["z"]).reshape(-1, 1))
+                for r in n.get("rings", []):
+                    out.append(np.asarray(r))
+                for p in n.get("parts", []):
+                    walk(p)
+
+            walk(g)
+            return out
+
+        a = coords(got_wkb)
+        b = coords(from_wkt(want_wkt))
+        assert len(a) == len(b), (len(a), len(b))
+        for x, y in zip(a, b):
+            assert x.shape == y.shape, (x.shape, y.shape)
+            assert np.allclose(x, y, atol=tol)
+
+    def test_classic_leader_with_overrides(self):
+        t = self._table()
+        self._geq(t.column("geometry")[0].as_py(),
+                  "LINESTRING Z (21 40 0,10 40 0,19.3125 34.6875 0,"
+                  "10.3125 34.6875 0,-13.5990791268758 34.6875 0)")
+        self._geq(t.column("geometry")[1].as_py(),
+                  "POLYGON Z ((21.0 41.5 0,30 40 0,21.0 38.5 0,"
+                  "21.0 41.5 0))")
+
+    def test_basic_leader_spline(self):
+        t = self._table()
+        assert t.column("OGR_STYLE")[3].as_py() == "PEN(c:#ff0000)"
+        self._geq(
+            t.column("geometry")[3].as_py(),
+            "LINESTRING Z (-20.9782552979609 38.1443878852919 30,"
+            "-12.2152357926375 44.793971841437 30,"
+            "-13.7256166009765 49.0748560186272 30,"
+            "-13.9025293262723 49.0416613258524 30)", tol=2e-3)
+        assert t.column("OGR_STYLE")[4].as_py() == "BRUSH(fc:#ff0000)"
+        self._geq(
+            t.column("geometry")[4].as_py(),
+            "POLYGON Z ((-20.9601206293303 38.1204894796201 30,"
+            "-21.121645731992 38.035579873508 30,"
+            "-20.9963899665916 38.1682862909638 30,"
+            "-20.9601206293303 38.1204894796201 30))", tol=2e-3)
+
+    def test_custom_arrowhead_leader(self):
+        t = self._table()
+        assert t.column("OGR_STYLE")[5].as_py() == "PEN(c:#00ff00)"
+        self._geq(
+            t.column("geometry")[5].as_py(),
+            "LINESTRING Z (26.8 77.6 0,10 65 0,25 55 0,25 50 0,"
+            "40 65 0,48 65 0,169.282571623465 65.0 0)")
+        assert t.column("OGR_STYLE")[6].as_py() == "BRUSH(fc:#00ff00)"
+        self._geq(t.column("geometry")[6].as_py(),
+                  "POLYGON ((27.2 80.4,30.4 82.8,32.8 79.6,29.6 77.2,"
+                  "27.2 80.4))")
+        assert t.column("OGR_STYLE")[7].as_py() == "PEN(c:#00ff00)"
+        self._geq(t.column("geometry")[7].as_py(),
+                  "LINESTRING Z (28.4 78.8 0,26.8 77.6 0)")
+        # 319-char MTEXT annotation captured in full
+        assert len(t.column("Text")[8].as_py()) == 319
+
+    def test_basic_multileader(self):
+        t = self._table()
+        self._geq(t.column("geometry")[9].as_py(),
+                  "MULTILINESTRING ((26.8 32.6,10 20,25 10,25 5,40 20),"
+                  "(40 20,48 20))")
+        self._geq(t.column("geometry")[10].as_py(),
+                  "POLYGON ((27.2 35.4,30.4 37.8,32.8 34.6,29.6 32.2,"
+                  "27.2 35.4))")
+        self._geq(t.column("geometry")[11].as_py(),
+                  "LINESTRING Z (28.4 33.8 0,26.8 32.6 0)")
+        self._geq(t.column("geometry")[12].as_py(),
+                  "POINT (50.0 22.0327421555252)")
+        assert t.column("OGR_STYLE")[12].as_py() == \
+            'LABEL(f:"Arial",t:"Basic Multileader",p:7,s:4g,c:#000000)'
+
+    def test_suppressed_arrowheads(self):
+        # 3 LEADERs + 2 MULTILEADERs with empty/oversized/disabled
+        # arrowheads → no polygon features between them
+        from gdal_ray.geom import wkb as W
+
+        t = self._table()
+        for i in (13, 14, 15):
+            assert W.geometry_type(
+                t.column("geometry")[i].as_py()) == W.LINESTRING
+        assert W.geometry_type(
+            t.column("geometry")[16].as_py()) == W.MULTILINESTRING
+        assert W.geometry_type(
+            t.column("geometry")[18].as_py()) == W.MULTILINESTRING
+
+    def test_multiline_formatted_text(self):
+        t = self._table()
+        assert t.column("OGR_STYLE")[20].as_py() == "PEN(c:#0000ff)"
+        self._geq(
+            t.column("geometry")[20].as_py(),
+            "MULTILINESTRING ((7.6425115795681 -8.00285406769102,"
+            "18.2 -20.0),(19.2913880067389 -13.9367332958948,18.2 -20.0)"
+            ",(18.2 -20.0,38 -20),(54.8204921137545 -22.5800753657327,"
+            "60.2227692307692 -20.0),(60.2227692307692 -20.0,"
+            "52.2227692307692 -20.0))")
+        assert t.column("OGR_STYLE")[21].as_py() == "BRUSH(fc:#0000ff)"
+        assert t.column("OGR_STYLE")[22].as_py() == "BRUSH(fc:#0000ff)"
+        s = t.column("OGR_STYLE")[23].as_py()
+        assert s.startswith('LABEL(f:"Calibri",it:1,t:"wwmhyhua')
+        assert s.endswith(',p:7,s:4g,w:40,c:#0000ff)')
+        self._geq(t.column("geometry")[23].as_py(),
+                  "POINT (40.0 -17.9846153846154)")
+
+    def test_rotated_block_content_with_attributes(self):
+        t = self._table()
+        assert t.column("OGR_STYLE")[24].as_py() == "PEN(c:#ff00ff)"
+        self._geq(
+            t.column("geometry")[24].as_py(),
+            "MULTILINESTRING ((-41.8919467995818 -22.8930851139176,"
+            "-36.1215379759023 -17.6108145786645),"
+            "(-36.1215379759023 -17.6108145786645,-44.0 -19.0))")
+        # attribute label: scaled height, rotated, ATTDEF color
+        assert t.column("OGR_STYLE")[26].as_py() == \
+            'LABEL(f:"Arial",t:"Apples±",p:2,s:1g,c:#ff0000,a:10)'
+        assert t.column("Text")[26].as_py() == "Apples±"
+        self._geq(t.column("geometry")[26].as_py(),
+                  "POINT Z (-42.7597068401767 -14.5165110820149 0)")
+
+    def test_no_dogleg_and_block_only(self):
+        from gdal_ray.geom import wkb as W
+
+        t = self._table()
+        self._geq(
+            t.column("geometry")[27].as_py(),
+            "MULTILINESTRING ((-2.39659963256204 -14.5201521575302,"
+            "-3.98423252456234 -23.1105237601191),"
+            "(-26.0282877045921 -20.4748699216691,"
+            "-3.98423252456233 -23.1105237601191))")
+        # block-content-only MULTILEADER: empty MLS then the polygon
+        g32 = W.parse(t.column("geometry")[32].as_py())
+        assert g32["type"] == W.MULTILINESTRING and not g32["parts"]
+        g33 = W.parse(t.column("geometry")[33].as_py())
+        assert g33["type"] == W.POLYGON and len(g33["rings"]) == 5
+
+    def test_spline_paths(self):
+        t = self._table()
+        # LEADER spline: endpoints + a midpoint of the 40-point pin
+        from gdal_ray.geom import wkb as W
+
+        g = W.parse(t.column("geometry")[35].as_py())
+        assert g["type"] == W.LINESTRING
+        assert len(g["coords"]) == 40
+        assert np.allclose(g["coords"][0], [75, -5])
+        assert np.allclose(g["coords"][-1], [79, -16])
+        assert np.allclose(g["coords"][24],
+                           [83.0573154710347, -11.5829116606322],
+                           atol=1e-6)
+        # MULTILEADER spline arrowhead + angled label
+        self._geq(
+            t.column("geometry")[37].as_py(),
+            "POLYGON Z ((98.5006722379985 -24.8076524621295 0,"
+            "96 -28 0,97.330144807446 -24.1691829545554 0,"
+            "98.5006722379985 -24.8076524621295 0))", tol=1e-6)
+        assert t.column("OGR_STYLE")[38].as_py() == \
+            'LABEL(f:"Arial",t:"Splines",p:7,a:342,s:2g,c:#000000)'
+
+    def test_dimbreak(self):
+        t = self._table()
+        self._geq(
+            t.column("geometry")[39].as_py(),
+            "MULTILINESTRING ((50.8917622404846 41.5635728657296,"
+            "51.2877903403879 42.2579494192141),"
+            "(51.9070696740577 43.3437639093041,"
+            "54.3108962133801 47.5585173269448,"
+            "55.9270734326513 48.2521008552884),"
+            "(57.0757636753042 48.7450620367561,"
+            "59.4256548786735 49.7535194092661),"
+            "(60 50,60 50),(60 50,60 50),(60.625 50.0,61.875 50.0),"
+            "(63.125 50.0,63.6 50.0))")
