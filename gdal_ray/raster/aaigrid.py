@@ -408,6 +408,8 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.adrg import read_adrg
 
         return read_adrg(path)
+    if low.endswith(".isg"):
+        return read_isg(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
@@ -444,6 +446,157 @@ def load_raster(path: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # XYZ — ASCII "x y z" grid (frmts/xyz role)
+
+
+def _isg_parse_dms(s: str) -> float:
+    """DMS coordinate (DD°MM\'SS") → degrees (ISG 2.0 coord units)."""
+    m = re.match(r"\s*(-?)\s*(\d+)°(\d+)\'([\d.]+)\"", s)
+    if not m:
+        return float(s)
+    sign = -1.0 if m.group(1) == "-" else 1.0
+    return sign * (float(m.group(2)) + float(m.group(3)) / 60
+                   + float(m.group(4)) / 3600)
+
+
+def _isg_try_round(delta: float, rounded: float, vmin: float,
+                   vmax: float, nvals: int, rel_tol: float):
+    """The reference ISG TryRoundTo (aaigriddataset.cpp:878): snap
+    min/max onto half-cell or whole-cell multiples of the rounded
+    delta when consistent with the grid size."""
+    import math as _m
+
+    def snap(v, bias):
+        val = (_m.floor(abs(v / rounded)) + bias) * rounded
+        return -val if v < 0 else val
+
+    for bias_fn in ("half", "whole"):
+        if rounded == delta:
+            break
+        if bias_fn == "half":
+            ok = (abs(abs(vmin / rounded)
+                      - (_m.floor(abs(vmin / rounded)) + 0.5)) < rel_tol
+                  and abs(abs(vmax / rounded)
+                          - (_m.floor(abs(vmax / rounded)) + 0.5))
+                  < rel_tol)
+            if ok:
+                mn, mx = snap(vmin, 0.5), snap(vmax, 0.5)
+            else:
+                continue
+        else:
+            ok = (abs(abs(vmin / rounded)
+                      - _m.floor(abs(vmin / rounded) + 0.5)) < rel_tol
+                  and abs(abs(vmax / rounded)
+                          - _m.floor(abs(vmax / rounded) + 0.5))
+                  < rel_tol)
+            if not ok:
+                continue
+            mn = (-1 if vmin < 0 else 1) * _m.floor(
+                abs(vmin / rounded) + 0.5) * rounded
+            mx = (-1 if vmax < 0 else 1) * _m.floor(
+                abs(vmax / rounded) + 0.5) * rounded
+        if abs(mn + rounded * nvals - mx) < rel_tol * rounded:
+            return rounded, mn, mx
+    if abs(vmin + delta * nvals - vmax) < rel_tol * delta:
+        return delta, vmin, vmax
+    return None
+
+
+def decode_isg(data: bytes | str) -> dict:
+    """ISG geoid-model grid (frmts/aaigrid ISGDataset role, ISG
+    format specs v1.0/1.01/2.0 — isgeoid.polimi.it): free comment
+    preamble, begin_of_head/end_of_head key blocks (':' strings,
+    '=' numerics, DMS coord units), N-to-S W-to-E float rows.
+    Replicates the reference's rounding auto-correction of
+    approximate headers (0.0167-degree famiy) and the 0.5%%
+    last-resort approximate-georeferencing warning path."""
+    text = data.decode("utf-8", "replace") if isinstance(
+        data, (bytes, bytearray)) else data
+    i0 = text.find("begin_of_head")
+    i1 = text.find("end_of_head")
+    if i0 < 0 or i1 < 0:
+        raise ValueError("ISG: missing begin_of_head/end_of_head")
+    hdr: dict[str, str] = {}
+    for line in text[i0:i1].splitlines()[1:]:
+        for sep in ("=", ":"):
+            if sep in line:
+                k, _, v = line.partition(sep)
+                hdr[k.strip()] = v.strip()
+                break
+    use_dms = hdr.get("coord units") == "dms"
+
+    def val(key):
+        s = hdr.get(key)
+        if s is None:
+            raise ValueError(f"ISG: missing {key}")
+        return _isg_parse_dms(s) if use_dms else float(s)
+
+    lat_min, lat_max = val("lat min"), val("lat max")
+    lon_min, lon_max = val("lon min"), val("lon max")
+    dlat, dlon = val("delta lat"), val("delta lon")
+    version = float(hdr.get("ISG format", "1.0"))
+    if version >= 2.0:
+        # v2 min/max are node (cell-center) coordinates
+        lat_min -= dlat / 2
+        lat_max += dlat / 2
+        lon_min -= dlon / 2
+        lon_max += dlon / 2
+    nrows = int(hdr["nrows"])
+    ncols = int(hdr["ncols"])
+    nodata = float(hdr.get("nodata", "-9999"))
+
+    def rounded_of(key, delta):
+        s = hdr.get(key, "")
+        if s == "0.0167" or (delta < 1 and abs(
+                1.0 / delta - round(1.0 / delta)) < 0.06):
+            return 1.0 / round(1.0 / delta)
+        return delta
+
+    r_lon = _isg_try_round(dlon, rounded_of("delta lon", dlon),
+                           lon_min, lon_max, ncols, 1e-2)
+    r_lat = _isg_try_round(dlat, rounded_of("delta lat", dlat),
+                           lat_min, lat_max, nrows, 1e-2)
+    approx = False
+    if (r_lon is None or r_lat is None) and \
+            hdr.get("delta lon") == "0.0167" and \
+            hdr.get("delta lat") == "0.0167":
+        r_lon = _isg_try_round(dlon, 0.016667, lon_min, lon_max,
+                               ncols, 1e-1)
+        r_lat = _isg_try_round(dlat, 0.016667, lat_min, lat_max,
+                               nrows, 1e-1)
+    if r_lon is not None and r_lat is not None:
+        dlon, lon_min, lon_max = r_lon
+        dlat, lat_min, lat_max = r_lat
+    else:
+        if (abs((lon_max - lon_min) / ncols - dlon) < 0.005 * dlon
+                and abs((lat_max - lat_min) / nrows - dlat)
+                < 0.005 * dlat):
+            approx = True  # reference warns and derives deltas
+            dlon = (lon_max - lon_min) / ncols
+            dlat = (lat_max - lat_min) / nrows
+        else:
+            raise ValueError(
+                "ISG: inconsistent extent/resolution/raster dimension")
+    toks = text[i1:].split("\n", 1)
+    toks = toks[1].split() if len(toks) > 1 else []
+    vals = np.full(nrows * ncols, nodata, np.float64)
+    have = min(len(toks), nrows * ncols)
+    if have:
+        vals[:have] = np.array(toks[:have], np.float64)
+    arr = vals.reshape(nrows, ncols).astype(np.float32)
+    return {
+        "bands": [arr],
+        "crs": "EPSG:4326",
+        "geotransform": (lon_min, dlon, 0.0, lat_max, 0.0, -dlat),
+        "nodata": float(np.float32(nodata)),
+        "approx_georef": approx,
+        "units": hdr.get("units") or hdr.get("data units"),
+    }
+
+
+def read_isg(path: str) -> dict:
+    from gdal_ray.vsi import vsi_read_bytes
+
+    return decode_isg(vsi_read_bytes(path))
 
 
 def decode_xyz(data: bytes | str) -> dict:
