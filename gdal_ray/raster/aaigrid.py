@@ -410,6 +410,10 @@ def load_raster(path: str) -> dict:
         return read_adrg(path)
     if low.endswith(".isg"):
         return read_isg(path)
+    if low.endswith(".til"):
+        from gdal_ray.raster.til import read_til
+
+        return read_til(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
@@ -446,6 +450,57 @@ def load_raster(path: str) -> dict:
 
 # ---------------------------------------------------------------------------
 # XYZ — ASCII "x y z" grid (frmts/xyz role)
+
+
+def decode_grassascii(data: bytes | str) -> dict:
+    """GRASS ASCII grid (frmts/aaigrid GRASSASCIIDataset role):
+    north/south/east/west/rows/cols header (+ optional null:/type:/
+    multiplier:), whitespace values north-to-south."""
+    text = data.decode("ascii", "ignore") if isinstance(
+        data, (bytes, bytearray)) else data
+    hdr: dict[str, str] = {}
+    lines = text.splitlines()
+    body_start = 0
+    for i, line in enumerate(lines):
+        m = re.match(r"\s*(north|south|east|west|rows|cols|null|type|"
+                     r"multiplier)\s*:\s*(\S+)", line)
+        if m:
+            hdr[m.group(1)] = m.group(2)
+            body_start = i + 1
+        elif hdr:
+            break
+    for k in ("north", "south", "east", "west", "rows", "cols"):
+        if k not in hdr:
+            raise ValueError(f"GRASS ASCII: missing {k}")
+    nrows, ncols = int(hdr["rows"]), int(hdr["cols"])
+    north, south = float(hdr["north"]), float(hdr["south"])
+    east, west = float(hdr["east"]), float(hdr["west"])
+    toks = " ".join(lines[body_start:]).split()
+    nodata_tok = hdr.get("null")
+    mult = float(hdr.get("multiplier", "1"))
+    vals = np.array(toks[:nrows * ncols], np.float64)
+    if vals.size != nrows * ncols:
+        raise ValueError("GRASS ASCII: truncated values")
+    if mult != 1.0:
+        vals = vals * mult
+    integral = np.all(vals == np.floor(vals)) and \
+        hdr.get("type", "") not in ("float", "double")
+    arr = vals.reshape(nrows, ncols)
+    arr = arr.astype(np.int32) if integral else arr
+    nodata = float(nodata_tok) if nodata_tok else -9999.0
+    return {
+        "bands": [arr],
+        "crs": None,
+        "geotransform": (west, (east - west) / ncols, 0.0,
+                         north, 0.0, -(north - south) / nrows),
+        "nodata": nodata,
+    }
+
+
+def read_grassascii(path: str) -> dict:
+    from gdal_ray.vsi import vsi_read_bytes
+
+    return decode_grassascii(vsi_read_bytes(path))
 
 
 def _isg_parse_dms(s: str) -> float:
