@@ -215,6 +215,11 @@ class DDFReader:
         off = 0
         first = True
         while off + 24 <= len(self.data):
+            # skip inter-record filler (SRP .GEN pads with '^')
+            while off < len(self.data) and self.data[off] in (0x5E, 0x00):
+                off += 1
+            if off + 24 > len(self.data):
+                break
             try:
                 lid = chr(self.data[off + 6])
             except IndexError:

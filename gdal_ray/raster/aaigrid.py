@@ -407,13 +407,22 @@ def load_raster(path: str) -> dict:
     if low.endswith((".gen", ".thf")) or path.startswith("ADRG:"):
         from gdal_ray.raster.adrg import read_adrg
 
-        return read_adrg(path)
+        try:
+            return read_adrg(path)
+        except ValueError:
+            from gdal_ray.raster.srp import read_srp
+
+            return read_srp(path)
     if low.endswith(".isg"):
         return read_isg(path)
     if low.endswith(".til"):
         from gdal_ray.raster.til import read_til
 
         return read_til(path)
+    if path.startswith("SRP:"):
+        from gdal_ray.raster.srp import read_srp
+
+        return read_srp(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
