@@ -423,6 +423,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.srp import read_srp
 
         return read_srp(path)
+    if low.endswith(".pix"):
+        from gdal_ray.raster.pcidsk import read_pcidsk
+
+        return read_pcidsk(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
