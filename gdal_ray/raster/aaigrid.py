@@ -427,6 +427,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.pcidsk import read_pcidsk
 
         return read_pcidsk(path)
+    if low.endswith(".mrf"):
+        from gdal_ray.raster.mrf import read_mrf
+
+        return read_mrf(path)
     if low.endswith(".ers"):
         from gdal_ray.raster.ers import read_ers
 
