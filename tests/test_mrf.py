@@ -30,7 +30,11 @@ class TestMRF:
         err = np.abs(jd.astype(int) - ref.astype(int))
         assert err.mean() < 8 and err.max() < 40
 
-    def test_lerc_named_boundary(self):
+    def test_lerc_v1(self):
+        d = read_mrf(f"{M}/lerc_v1/byte.mrf")
+        assert checksum_array(d["bands"][0]) == 4672
+
+    def test_lerc2_named_boundary(self):
         with pytest.raises(NotImplementedError):
             read_mrf(f"{M}/lerc/byte.mrf")
 
