@@ -404,6 +404,10 @@ def run_pipeline(spec: str):
             from gdal_ray import spatialite
 
             spatialite.write_sqlite(ds, arg)
+        elif low.rstrip("/").endswith(".gdb"):
+            from gdal_ray import filegdb
+
+            filegdb.write_filegdb(ds, arg)
         elif low.endswith(".kml"):
             from gdal_ray import kmlgpx
 

@@ -1144,3 +1144,316 @@ def read_filegdb(gdb_path: str, layer: str | None = None,
         return pa.concat_tables(tabs)
 
     return ds.map_batches(load, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# WRITE path (round 5) — a minimal-but-valid V3 .gdb: GDB_SystemCatalog
+# (a00000001) + one a%08x.gdbtable/.gdbtablx pair per layer, with the
+# same field-descriptor, null-bitmap, varint-geometry and offset-table
+# layouts the read path decodes (filegdbtable.cpp roles).  Scope: XY
+# Point/MultiPoint/LineString/MultiLineString/Polygon/MultiPolygon
+# geometries and int32/int64/float64/string/binary attributes; the
+# GDB_Items/.spx/.atx side tables are NOT emitted (our reader and the
+# reference's OpenFileGDB catalog fallback list layers from the system
+# catalog alone).
+# ---------------------------------------------------------------------------
+
+
+def _wvaruint(v: int) -> bytes:
+    out = bytearray()
+    v = int(v)
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _wvarint(v: int) -> bytes:
+    """Signed varint twin of _varint (6 value bits + sign in byte 0)."""
+    v = int(v)
+    neg = v < 0
+    if neg:
+        v = -v
+    first = (v & 0x3F) | (0x40 if neg else 0)
+    v >>= 6
+    out = bytearray()
+    if v:
+        out.append(first | 0x80)
+        while True:
+            b = v & 0x7F
+            v >>= 7
+            if v:
+                out.append(b | 0x80)
+            else:
+                out.append(b)
+                break
+    else:
+        out.append(first)
+    return bytes(out)
+
+
+def _w_utf16_name(s: str) -> bytes:
+    enc = s.encode("utf-16-le")
+    return bytes([len(s)]) + enc
+
+
+class _GdbTableWriter:
+    """Accumulates field defs + rows, emits .gdbtable/.gdbtablx."""
+
+    XYSCALE = 1e9  # (xy resolution 1e-9 — the reference default)
+    XYORIGIN = -400.0
+
+    def __init__(self, fields: list[tuple], has_geometry: bool,
+                 wkt: str = ""):
+        # fields: (name, ftype, nullable)
+        self.fields = fields
+        self.has_geometry = has_geometry
+        self.wkt = wkt
+        self.rows: list[bytes] = []
+
+    def _field_section(self) -> bytes:
+        out = bytearray()
+        geom_code = 4 if self.has_geometry else 0
+        body = bytearray()
+        body += struct.pack("<B", geom_code)   # +8 geometry type
+        body += struct.pack("<B", 1)           # +9 utf8 strings
+        body += b"\x00"                        # +10
+        body += b"\x00"                        # +11 gflags (XY)
+        body += struct.pack("<H", len(self.fields))
+        for name, ftype, nullable in self.fields:
+            body += _w_utf16_name(name)
+            body += _w_utf16_name("")          # alias
+            body += struct.pack("<B", ftype)
+            flags = 1 if nullable else 0
+            if ftype == FT_STRING:
+                body += struct.pack("<iB", 65536, flags)
+                body += _wvaruint(0)           # no default value
+            elif ftype in (FT_OBJECTID, FT_BINARY, FT_GUID,
+                           FT_GLOBALID, FT_XML):
+                body += bytes([4, flags])
+            elif ftype == FT_GEOMETRY:
+                body += bytes([0, flags])
+                wkt16 = self.wkt.encode("utf-16-le")
+                body += struct.pack("<H", len(wkt16)) + wkt16
+                body += bytes([1])             # origins follow, XY
+                body += struct.pack("<3d", self.XYORIGIN,
+                                    self.XYORIGIN, self.XYSCALE)
+                body += struct.pack("<d", 1e-9)  # xy tolerance
+                body += struct.pack("<4d", 0, 0, 0, 0)  # layer bbox
+                body += b"\x00"
+                body += struct.pack("<I", 0)   # no spatial grids
+            else:
+                size = {FT_INT16: 2, FT_INT32: 4, FT_FLOAT32: 4,
+                        FT_FLOAT64: 8, FT_DATETIME: 8,
+                        FT_INT64: 8}.get(ftype, 4)
+                body += bytes([size, flags, 0])
+        # fdesc_len counts everything after the u32 length word
+        fdesc = struct.pack("<II", len(body) + 4, 4) + bytes(body)
+        out += fdesc
+        return bytes(out)
+
+    def add_row(self, values: list) -> None:
+        """values parallel to self.fields (OBJECTID value ignored)."""
+        nullable_fields = [f for f in self.fields if f[2]]
+        nullmap = bytearray((len(nullable_fields) + 7) // 8)
+        body = bytearray()
+        inull = 0
+        for (name, ftype, nullable), v in zip(self.fields, values):
+            if nullable:
+                if v is None:
+                    nullmap[inull >> 3] |= 1 << (inull & 7)
+                    inull += 1
+                    continue
+                inull += 1
+            if ftype == FT_OBJECTID:
+                continue
+            if v is None:
+                raise ValueError(f"null in non-nullable field {name}")
+            if ftype == FT_INT16:
+                body += struct.pack("<h", int(v))
+            elif ftype == FT_INT32:
+                body += struct.pack("<i", int(v))
+            elif ftype == FT_INT64:
+                body += struct.pack("<q", int(v))
+            elif ftype == FT_FLOAT32:
+                body += struct.pack("<f", float(v))
+            elif ftype in (FT_FLOAT64, FT_DATETIME):
+                body += struct.pack("<d", float(v))
+            elif ftype == FT_STRING:
+                enc = str(v).encode("utf-8")
+                body += _wvaruint(len(enc)) + enc
+            elif ftype in (FT_BINARY, FT_GEOMETRY):
+                body += _wvaruint(len(v)) + bytes(v)
+            else:
+                raise ValueError(f"unwritable field type {ftype}")
+        self.rows.append(bytes(nullmap) + bytes(body))
+
+    def geometry_blob(self, wkb: bytes | None) -> bytes | None:
+        """ISO WKB → gdbtable varint shape stream (XY subset)."""
+        if wkb is None:
+            return None
+        g = gwkb.parse(wkb)
+        sc, org = self.XYSCALE, self.XYORIGIN
+
+        def q(v):
+            return int(round((v - org) * sc))
+
+        t = g["type"]
+        if t == gwkb.POINT:
+            x, y = g["coords"][0]
+            return (_wvaruint(SHPT_POINT) + _wvaruint(q(x) + 1)
+                    + _wvaruint(q(y) + 1))
+        if t == gwkb.MULTIPOINT:
+            pts = np.array([p["coords"][0] for p in g["parts"]])
+            return self._packed(SHPT_MULTIPOINT, [pts], multipoint=True)
+        if t == gwkb.LINESTRING:
+            return self._packed(SHPT_ARC, [g["coords"]])
+        if t == gwkb.MULTILINESTRING:
+            return self._packed(SHPT_ARC,
+                                [p["coords"] for p in g["parts"]])
+        if t == gwkb.POLYGON:
+            return self._packed(SHPT_POLYGON,
+                                self._wind_rings(g["rings"]))
+        if t == gwkb.MULTIPOLYGON:
+            rings = []
+            for p in g["parts"]:
+                rings.extend(self._wind_rings(p["rings"]))
+            return self._packed(SHPT_POLYGON, rings)
+        raise ValueError(f"FileGDB write: unsupported geometry {t}")
+
+    @staticmethod
+    def _wind_rings(rings: list) -> list:
+        # shapefile/gdb convention: CW exteriors, CCW holes — the
+        # reader's ONLY_CCW ring organization relies on it
+        out = []
+        for i, ring in enumerate(rings):
+            r = np.asarray(ring, np.float64)
+            area2 = float(np.cross(r[:-1], r[1:]).sum())
+            cw = area2 < 0
+            want_cw = i == 0
+            out.append(r if cw == want_cw else r[::-1])
+        return out
+
+    def _packed(self, shptype: int, parts: list,
+                multipoint: bool = False) -> bytes:
+        sc, org = self.XYSCALE, self.XYORIGIN
+
+        def q(v):
+            return int(round((v - org) * sc))
+
+        allc = np.vstack(parts)
+        npoints = len(allc)
+        out = bytearray(_wvaruint(shptype))
+        out += _wvaruint(npoints)
+        if not multipoint:
+            out += _wvaruint(len(parts))
+        # integer bbox: xmin, ymin, then extents
+        xs = [q(v) for v in allc[:, 0]]
+        ys = [q(v) for v in allc[:, 1]]
+        out += _wvaruint(min(xs)) + _wvaruint(min(ys))
+        out += _wvaruint(max(xs) - min(xs)) + _wvaruint(max(ys) - min(ys))
+        if not multipoint:
+            for p in parts[:-1]:
+                out += _wvaruint(len(p))
+        dx = dy = 0
+        for x, y in allc:
+            qx, qy = q(x), q(y)
+            out += _wvarint(qx - dx) + _wvarint(qy - dy)
+            dx, dy = qx, qy
+        return bytes(out)
+
+    def write(self, path: str) -> None:
+        blobs = bytearray()
+        header_len = 40
+        offsets = []
+        pos = 0
+        for row in self.rows:
+            offsets.append(pos)
+            blobs += struct.pack("<I", len(row)) + row
+            pos += 4 + len(row)
+        fdesc = self._field_section()
+        field_off = header_len + len(blobs)
+        header = bytearray(40)
+        struct.pack_into("<i", header, 0, 3)          # version
+        struct.pack_into("<i", header, 4, len(self.rows))
+        struct.pack_into("<i", header, 8, 0)
+        struct.pack_into("<i", header, 12, 5)          # file marker
+        struct.pack_into("<Q", header, 24,
+                         header_len + len(blobs) + len(fdesc))
+        struct.pack_into("<Q", header, 32, field_off)
+        with open(path, "wb") as f:
+            f.write(bytes(header) + bytes(blobs) + fdesc)
+        # .gdbtablx: dense 1024-entry blocks of 5-byte offsets
+        n = len(self.rows)
+        blocks = (n + 1023) // 1024
+        osz = 5
+        tx = bytearray(struct.pack("<iIiI", 3, blocks, n, osz))
+        for i in range(blocks * 1024):
+            v = header_len + offsets[i] if i < n else 0
+            tx += int(v).to_bytes(osz, "little")
+        tx += struct.pack("<III", 0, 0, blocks)  # dense trailer
+        with open(os.path.splitext(path)[0] + ".gdbtablx", "wb") as f:
+            f.write(bytes(tx))
+
+
+_WRITE_ARROW = {
+    "int16": FT_INT16, "int32": FT_INT32, "int64": FT_INT64,
+    "float": FT_FLOAT32, "double": FT_FLOAT64, "string": FT_STRING,
+    "large_string": FT_STRING, "binary": FT_BINARY,
+}
+
+
+def write_filegdb(ds_or_table, gdb_path: str, layer: str = "layer",
+                  wkt: str = "", geom_col: str = "geometry") -> int:
+    """Dataset / Arrow table → a new .gdb directory (single writer —
+    the format is one catalog file; partition upstream and write one
+    .gdb per partition at scale).  Returns the feature count."""
+    if hasattr(ds_or_table, "to_arrow_refs"):
+        import ray
+
+        tables = [t for t in ray.get(ds_or_table.to_arrow_refs())
+                  if t.num_rows]
+        table = pa.concat_tables(tables, promote_options="default")
+    else:
+        table = ds_or_table
+    os.makedirs(gdb_path, exist_ok=True)
+
+    # ---- the layer table (fid 5, a00000005) ----
+    names = [n for n in table.schema.names if n != geom_col]
+    fields = [("OBJECTID", FT_OBJECTID, False)]
+    for n in names:
+        at = str(table.schema.field(n).type)
+        fields.append((n, _WRITE_ARROW.get(at, FT_STRING), True))
+    has_geom = geom_col in table.schema.names
+    if has_geom:
+        fields.append(("SHAPE", FT_GEOMETRY, True))
+    tw = _GdbTableWriter(fields, has_geom, wkt)
+    cols = {n: table.column(n).to_pylist() for n in names}
+    geoms = (table.column(geom_col).to_pylist() if has_geom else None)
+    for i in range(table.num_rows):
+        vals: list = [None]  # OBJECTID virtual
+        for n in names:
+            v = cols[n][i]
+            ftype = dict((f[0], f[1]) for f in tw.fields)[n]
+            if ftype == FT_STRING and v is not None:
+                v = str(v)
+            vals.append(v)
+        if has_geom:
+            vals.append(tw.geometry_blob(geoms[i]))
+        tw.add_row(vals)
+    tw.write(os.path.join(gdb_path, "a00000005.gdbtable"))
+
+    # ---- the system catalog (fid 1) ----
+    cat = _GdbTableWriter(
+        [("ID", FT_OBJECTID, False), ("Name", FT_STRING, True),
+         ("FileFormat", FT_INT32, True)], has_geometry=False)
+    for name in ("GDB_SystemCatalog", "GDB_DBTune", "GDB_SpatialRefs",
+                 "GDB_Items"):
+        cat.add_row([None, name, 0])
+    cat.add_row([None, layer, 0])
+    cat.write(os.path.join(gdb_path, "a00000001.gdbtable"))
+    return table.num_rows
