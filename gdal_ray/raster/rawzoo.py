@@ -662,3 +662,46 @@ def read_ace2(path: str) -> dict:
         arr.astype(np.dtype(dt).newbyteorder("=")))],
         "crs": "EPSG:4326", "geotransform": gt,
         "units": None if is_int16 else "m"}
+
+
+def read_pcraster(path: str) -> dict:
+    """PCRaster CSF-2.0 map (frmts/pcraster role — the reference
+    links libcsf; re-derived from the published CSF 2.0 layout):
+    27-byte "RUU CROSS SYSTEM MAP FORMAT" signature, main header
+    (version/gisFileId/projection/attrTable/mapType/byteOrder), a
+    raster header at 64 (valueScale u16, cellRepr u16, min/max cells,
+    xUL/yUL f64, nrRows/nrCols u32, cell sizes + angle f64) and raw
+    cells from 256.  Cell representations CR_UINT1/INT1/UINT2/INT2/
+    UINT4/INT4/REAL4/REAL8 with their standard missing values
+    (255 / type-min / NaN).  Autotest pin: ldd.map cs 4528 with the
+    literal geotransform and nodata 255 (gdrivers/pcraster.py)."""
+    import struct as _s
+
+    from gdal_ray.vsi import vsi_read_bytes
+
+    d = vsi_read_bytes(path)
+    if d[:27] != b"RUU CROSS SYSTEM MAP FORMAT":
+        raise ValueError("PCRaster: bad signature")
+    value_scale, cell_repr = _s.unpack_from("<HH", d, 64)
+    xul, yul = _s.unpack_from("<dd", d, 84)
+    nrows, ncols = _s.unpack_from("<II", d, 100)
+    csx, csy = _s.unpack_from("<dd", d, 108)
+    reprs = {
+        0x00: (np.uint8, 255), 0x04: (np.int8, -128),
+        0x11: (np.uint16, 65535), 0x15: (np.int16, -32768),
+        0x22: (np.uint32, 4294967295), 0x26: (np.int32, -2147483648),
+        0x5A: (np.float32, float("nan")),
+        0xDB: (np.float64, float("nan")),
+    }
+    if cell_repr not in reprs:
+        raise ValueError(f"PCRaster: cell representation {cell_repr:#x}")
+    dt, nodata = reprs[cell_repr]
+    arr = np.frombuffer(d, np.dtype(dt).newbyteorder("<"),
+                        nrows * ncols, 256).reshape(nrows, ncols)
+    return {
+        "bands": [arr.copy()],
+        "crs": None,
+        "geotransform": (xul, csx, 0.0, yul, 0.0, -csy),
+        "nodata": float(nodata) if nodata == nodata else nodata,
+        "value_scale": value_scale,
+    }

@@ -286,3 +286,27 @@ class TestDispatch:
         a = tmp_path / "45N015E_5M.ACE2"
         a.write_bytes(b"\x00" * (180 * 180 * 4))
         assert load_raster(str(a))["crs"] == "EPSG:4326"
+
+
+class TestPCRaster:
+    """CSF-2.0 map reader — autotest pins (gdrivers/pcraster.py)."""
+
+    def test_ldd_map(self):
+        from gdal_ray.raster.checksum import checksum_array
+        from gdal_ray.raster.rawzoo import read_pcraster
+
+        d = read_pcraster("/root/reference/autotest/gdrivers/data/"
+                          "pcraster/ldd.map")
+        assert checksum_array(d["bands"][0]) == 4528
+        assert d["geotransform"] == (182140.0, 10.0, 0.0,
+                                     327880.0, 0.0, -10.0)
+        assert d["nodata"] == 255
+        assert d["value_scale"] == 0xF0  # VS_LDD
+
+    def test_dispatch(self):
+        from gdal_ray.raster.aaigrid import load_raster
+        from gdal_ray.raster.checksum import checksum_array
+
+        d = load_raster("/root/reference/autotest/gdrivers/data/"
+                        "pcraster/ldd.map")
+        assert checksum_array(d["bands"][0]) == 4528
