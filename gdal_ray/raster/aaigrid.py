@@ -387,6 +387,11 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.cals import read_cals
 
         return read_cals(path)
+    if low.endswith("manifest.safe") or low.rstrip("/").endswith(
+            ".safe"):
+        from gdal_ray.raster.safe import read_safe
+
+        return read_safe(path)
     if low.endswith((".tpkx", "conf.xml", "root.json")):
         from gdal_ray.raster.esric import read_esric
 
