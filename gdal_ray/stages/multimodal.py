@@ -349,6 +349,12 @@ def decode_wav(payload: bytes):
             (spb,) = struct.unpack_from("<H", fmt, 18)
         return (_ima_adpcm_decode(data, channels, _ba, spb),
                 int(rate))
+    elif audio_fmt == 2:     # Microsoft ADPCM
+        spb = None
+        if len(fmt) >= 20:
+            (spb,) = struct.unpack_from("<H", fmt, 18)
+        return (_ms_adpcm_decode(data, channels, _ba, spb),
+                int(rate))
     else:
         raise NotImplementedError(
             f"WAV codec {audio_fmt:#x} (PCM/IEEE-float/A-law/mu-law/"
@@ -464,6 +470,66 @@ def _ima_adpcm_decode(data: bytes, channels: int, block_align: int,
         return np.zeros((0, channels), np.int16)
     return np.concatenate(chunks, axis=0)
 
+
+
+# Microsoft ADPCM (format 2): the published coefficient pairs and
+# per-sample adaptive delta (RIFF/WAVE spec / MSDN)
+_MS_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64), (240, 0),
+             (460, -208), (392, -232))
+_MS_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+             768, 614, 512, 409, 307, 230, 230, 230)
+
+
+def _ms_adpcm_decode(data: bytes, channels: int, block_align: int,
+                     samples_per_block: int | None) -> np.ndarray:
+    """MS ADPCM block layout: per channel u8 predictor index, then
+    per channel s16 initial delta, s16 sample1, s16 sample2, then
+    channel-interleaved 4-bit codes."""
+    import struct as _s
+
+    if block_align <= 0:
+        block_align = len(data)
+    chunks = []
+    for b0 in range(0, len(data), block_align):
+        block = data[b0:b0 + block_align]
+        hdr = 7 * channels
+        if len(block) < hdr:
+            break
+        preds = [block[c] for c in range(channels)]
+        off = channels
+        deltas = list(_s.unpack_from(f"<{channels}h", block, off))
+        off += 2 * channels
+        s1 = list(_s.unpack_from(f"<{channels}h", block, off))
+        off += 2 * channels
+        s2 = list(_s.unpack_from(f"<{channels}h", block, off))
+        off += 2 * channels
+        coefs = [_MS_COEFS[min(p, len(_MS_COEFS) - 1)] for p in preds]
+        nibbles = []
+        for byte in block[off:]:
+            nibbles.append(byte >> 4)
+            nibbles.append(byte & 0x0F)
+        out_ch = [[s2[c], s1[c]] for c in range(channels)]
+        ch = 0
+        for nib in nibbles:
+            c1, c2 = coefs[ch]
+            pred = (out_ch[ch][-1] * c1 + out_ch[ch][-2] * c2) >> 8
+            signed = nib - 16 if nib >= 8 else nib
+            sample = pred + deltas[ch] * signed
+            sample = max(-32768, min(32767, sample))
+            out_ch[ch].append(sample)
+            deltas[ch] = max(16,
+                             (_MS_ADAPT[nib] * deltas[ch]) >> 8)
+            ch = (ch + 1) % channels
+        n = min(len(c) for c in out_ch)
+        if samples_per_block:
+            n = min(n, samples_per_block)
+        chunk = np.empty((n, channels), np.int16)
+        for c in range(channels):
+            chunk[:, c] = out_ch[c][:n]
+        chunks.append(chunk)
+    if not chunks:
+        return np.zeros((0, channels), np.int16)
+    return np.concatenate(chunks, axis=0)
 
 def encode_wav(samples: np.ndarray, rate: int) -> bytes:
     """(n, channels) PCM/float array → WAV bytes (test-vector twin)."""

@@ -498,3 +498,64 @@ class TestCompressedAudio:
 
         with pytest.raises(NotImplementedError):
             decode_wav(self._wav(0x55, 1, 44100, 0, b"\x00" * 64))
+
+
+class TestMSADPCM:
+    """Microsoft ADPCM (format 2): spec forward-coder synthesis
+    through decode_wav."""
+
+    def test_ms_adpcm_mono(self):
+        import struct
+
+        from gdal_ray.stages.multimodal import (
+            _MS_ADAPT,
+            _MS_COEFS,
+            decode_wav,
+        )
+
+        def encode(samples, block_samples):
+            out = b""
+            i = 0
+            while i < len(samples):
+                blk = samples[i:i + block_samples]
+                if len(blk) < 3:
+                    break
+                pred, delta = 0, 16
+                s2, s1 = int(blk[0]), int(blk[1])
+                hdr = struct.pack("<Bhhh", pred, delta, s1, s2)
+                nibbles = []
+                prev1, prev2, d = s1, s2, delta
+                c1, c2 = _MS_COEFS[pred]
+                for s in blk[2:]:
+                    p = (prev1 * c1 + prev2 * c2) >> 8
+                    code = max(-8, min(7, int(round((int(s) - p)
+                                                    / d))))
+                    nib = code & 0x0F
+                    samp = max(-32768, min(32767, p + d * code))
+                    prev2, prev1 = prev1, samp
+                    d = max(16, (_MS_ADAPT[nib] * d) >> 8)
+                    nibbles.append(nib)
+                packed = bytearray()
+                for k in range(0, len(nibbles) - 1, 2):
+                    packed.append((nibbles[k] << 4) | nibbles[k + 1])
+                if len(nibbles) % 2:
+                    packed.append(nibbles[-1] << 4)
+                out += hdr + bytes(packed)
+                i += block_samples
+            return out, 7 + (block_samples - 2 + 1) // 2
+
+        samples = (np.sin(np.linspace(0, 4 * np.pi, 1026))
+                   * 8000).astype(np.int16)
+        enc, ba = encode(samples, 514)
+        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 0, ba, 4) \
+            + struct.pack("<HH", 32, 514)
+        wav = (b"RIFF" + struct.pack("<I", 36 + len(enc)) + b"WAVE"
+               + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+               + b"data" + struct.pack("<I", len(enc)) + enc)
+        arr, rate = decode_wav(wav)
+        assert rate == 8000
+        err = np.abs(arr[:, 0].astype(int)
+                     - samples[:len(arr)].astype(int))
+        assert err.max() < 64  # coder quantization bound
+        # the two stored header samples decode verbatim
+        assert arr[0, 0] == samples[0] and arr[1, 0] == samples[1]
