@@ -10,13 +10,15 @@
         .ppg (PPNG/PNG), .pjg (JPEG), .ptf (TIF) — each tile is an
         independent blob decoded through the engine's own codecs
 
-LERC v1 ("CntZImage") tiles decode natively (the published Esri
-LERC1 layout: RLE'd validity bitmask bank + quantized Z bank of
-per-tile bit-stuffed blocks, readFlt 1/2/4-byte minima, 2·maxZError
-quanta).  Lerc2 tiles remain a named boundary (huffman-coded v2+
-codec).  Pinned against the reference autotest fixtures: byte.tif
-MRFs in every supported compression (incl. lerc_v1) decode to
-checksum 4672."""
+LERC v1 ("CntZImage") AND Lerc2 (versions 2-3) tiles decode
+natively from the published Esri LERC specification: v1's RLE'd
+validity bank + bit-stuffed quantized Z blocks, and Lerc2's
+micro-block tiles (BitStuffer2 both stuffing generations, LUT mode,
+variable-width offsets via the type ladder) plus the byte-data
+DeltaHuffman image mode (wrap-around row deltas, MSB-first u32 code
+streams).  Lerc2 v4+ (nDim) remains a named boundary.  Pinned
+against the reference autotest fixtures: byte.tif MRFs in EVERY
+compression (incl. lerc_v1 and lerc) decode to checksum 4672."""
 
 from __future__ import annotations
 
@@ -94,7 +96,10 @@ def read_mrf(path: str) -> dict:
             d2 = gtiff.decode_geotiff(blob)
             return np.stack(d2["bands"], axis=2)
         if comp.startswith("LERC"):
-            z, mask = _lerc1_decode(blob)
+            if blob[:6] == b"Lerc2 ":
+                z, _mask = lerc2_decode(blob)
+            else:
+                z, _mask = _lerc1_decode(blob)
             if z.shape != (th, tw):
                 raise ValueError("MRF: LERC tile size mismatch")
             return z.astype(dt)[..., None]
@@ -311,3 +316,347 @@ def _lerc1_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
         r0 = r1
     del zend
     return z, valid
+
+
+# ---------------------------------------------------------------------------
+# Lerc2 decoder (versions 2-3, nDim=1) — third_party/LercLib role,
+# re-derived from the Esri LERC open specification
+# ---------------------------------------------------------------------------
+
+_L2_DTYPES = {0: np.int8, 1: np.uint8, 2: np.int16, 3: np.uint16,
+              4: np.int32, 5: np.uint32, 6: np.float32, 7: np.float64}
+
+
+class _L2Bits:
+    """MSB-first bit reader over little-endian uint32 words (the
+    Huffman/BitUnStuffCodes convention)."""
+
+    def __init__(self, buf: bytes, pos: int):
+        self.buf = buf
+        self.word_start = pos
+        self.word = 0
+        self.bitpos = 32  # force first load
+
+    def _load(self, idx: int) -> int:
+        off = self.word_start + 4 * idx
+        chunk = self.buf[off:off + 4]
+        chunk = chunk + b"\x00" * (4 - len(chunk))
+        return int.from_bytes(chunk, "little")
+
+    def read(self, n: int) -> int:
+        out = 0
+        got = 0
+        while got < n:
+            if self.bitpos == 32:
+                self.word = self._load(getattr(self, "_wi", 0))
+                self._wi = getattr(self, "_wi", 0) + 1
+                self.bitpos = 0
+            take = min(n - got, 32 - self.bitpos)
+            shift = 32 - self.bitpos - take
+            out = (out << take) | ((self.word >> shift)
+                                   & ((1 << take) - 1))
+            self.bitpos += take
+            got += take
+        return out
+
+    def consumed_bytes(self) -> int:
+        return 4 * getattr(self, "_wi", 0)
+
+
+def _l2_unstuff(buf: bytes, pos: int, nelem: int, nbits: int,
+                version: int) -> tuple[np.ndarray, int]:
+    """BitStuffer2 BitUnStuff (v>=3 LSB-first) or the pre-v3 MSB-in-
+    u32 scheme; returns (values, new pos)."""
+    nuints = (nelem * nbits + 31) // 32
+    nbytes_used = ((nelem * nbits + 7) // 8)
+    raw = buf[pos:pos + nuints * 4]
+    raw = raw[:nbytes_used] + b"\x00" * (nuints * 4 - nbytes_used)
+    words = np.frombuffer(raw, "<u4", nuints)
+    out = np.empty(nelem, np.uint32)
+    if version >= 3:
+        bitpos = 0
+        wi = 0
+        nb = 32 - nbits
+        for i in range(nelem):
+            w = int(words[wi])
+            if nb - bitpos >= 0:
+                out[i] = ((w << (nb - bitpos)) & 0xFFFFFFFF) >> nb
+                bitpos += nbits
+                if bitpos == 32:
+                    wi += 1
+                    bitpos = 0
+            else:
+                v = w >> bitpos
+                wi += 1
+                w2 = int(words[wi])
+                v |= ((w2 << (64 - nbits - bitpos)) & 0xFFFFFFFF) >> nb
+                out[i] = v & ((1 << nbits) - 1)
+                bitpos -= nb
+    else:
+        # pre-v3: MSB-first within each uint32; the tail word is
+        # byte-shifted left by the unneeded tail bytes
+        ntbnn = nuints * 4 - nbytes_used
+        words = words.copy()
+        last = int(words[-1])
+        for _ in range(ntbnn):
+            last = (last << 8) & 0xFFFFFFFF
+        words[-1] = last
+        bitpos = 0
+        wi = 0
+        for i in range(nelem):
+            w = int(words[wi])
+            if 32 - bitpos >= nbits:
+                out[i] = ((w << bitpos) & 0xFFFFFFFF) >> (32 - nbits)
+                bitpos += nbits
+                if bitpos == 32:
+                    bitpos = 0
+                    wi += 1
+            else:
+                v = ((w << bitpos) & 0xFFFFFFFF) >> (32 - nbits)
+                wi += 1
+                w2 = int(words[wi])
+                bitpos -= (32 - nbits)
+                v |= w2 >> (32 - bitpos)
+                out[i] = v & ((1 << nbits) - 1)
+    return out, pos + nbytes_used
+
+
+def _l2_bitstuffer2_decode(buf: bytes, pos: int, maxelem: int,
+                           version: int) -> tuple[np.ndarray, int]:
+    hdr = buf[pos]
+    pos += 1
+    bits67 = hdr >> 6
+    nb = 4 if bits67 == 0 else 3 - bits67
+    do_lut = bool(hdr & 0x20)
+    nbits = hdr & 0x1F
+    nelem = int.from_bytes(buf[pos:pos + nb], "little")
+    pos += nb
+    if nelem > maxelem:
+        raise ValueError("Lerc2: element count overflow")
+    if not do_lut:
+        if nbits == 0:
+            return np.zeros(nelem, np.uint32), pos
+        return _l2_unstuff(buf, pos, nelem, nbits, version)
+    nlut = buf[pos] - 1
+    pos += 1
+    lut, pos = _l2_unstuff(buf, pos, nlut, nbits, version)
+    nbits_lut = 0
+    while nlut >> nbits_lut:
+        nbits_lut += 1
+    idx, pos = _l2_unstuff(buf, pos, nelem, nbits_lut, version)
+    lut_full = np.concatenate([[np.uint32(0)], lut])
+    return lut_full[idx], pos
+
+
+def _l2_rle_mask(buf: bytes, pos: int, nbytes: int,
+                 size: int) -> np.ndarray:
+    dst = bytearray()
+    end = pos + nbytes
+    while pos < end:
+        count = struct.unpack_from("<h", buf, pos)[0]
+        pos += 2
+        if count == -32768:
+            break
+        if count < 0:
+            dst += bytes([buf[pos]]) * (-count)
+            pos += 1
+        else:
+            dst += buf[pos:pos + count]
+            pos += count
+    return np.frombuffer(bytes(dst[:size].ljust(size, b"\x00")),
+                         np.uint8)
+
+
+def lerc2_decode(blob: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """Lerc2 blob (versions 2-3, single band) → (array, valid mask)."""
+    if blob[:6] != b"Lerc2 ":
+        raise NotImplementedError("not a Lerc2 blob")
+    pos = 6
+    (version,) = struct.unpack_from("<i", blob, pos)
+    pos += 4
+    if version > 3:
+        raise NotImplementedError(
+            f"Lerc2 version {version} (nDim era) unsupported")
+    if version >= 3:
+        pos += 4  # checksum
+    nrows, ncols, nvalid, mbsize, blobsize, dt_code = \
+        struct.unpack_from("<6i", blob, pos)
+    pos += 24
+    max_zerror, zmin, zmax = struct.unpack_from("<3d", blob, pos)
+    pos += 24
+    dt = _L2_DTYPES.get(dt_code)
+    if dt is None:
+        raise ValueError("Lerc2: bad data type")
+    npix = nrows * ncols
+
+    # ---- validity mask ----
+    (nbytes_mask,) = struct.unpack_from("<i", blob, pos)
+    pos += 4
+    if nvalid == 0:
+        mask = np.zeros(npix, bool)
+    elif nvalid == npix:
+        mask = np.ones(npix, bool)
+    else:
+        bits = _l2_rle_mask(blob, pos, nbytes_mask, (npix + 7) // 8)
+        mask = np.unpackbits(bits)[:npix].astype(bool)
+    pos += max(0, nbytes_mask)
+    valid2d = mask.reshape(nrows, ncols)
+    arr = np.zeros((nrows, ncols), dt)
+    if nvalid == 0:
+        return arr, valid2d
+    if zmin == zmax:  # constant image
+        arr[valid2d] = np.asarray(zmin).astype(dt)
+        return arr, valid2d
+
+    one_sweep = blob[pos]
+    pos += 1
+    if one_sweep:
+        vals = np.frombuffer(blob, np.dtype(dt).newbyteorder("<"),
+                             nvalid, pos)
+        arr[valid2d] = vals
+        return arr, valid2d
+
+    try_huffman = version > 1 and dt_code in (0, 1) and \
+        max_zerror == 0.5
+    if try_huffman:
+        flag = blob[pos]
+        pos += 1
+        if flag > 1:
+            raise ValueError("Lerc2: bad Huffman flag")
+        if flag == 1:  # (Delta)Huffman — v2/v3 flag 1 = DeltaHuffman
+            return _l2_huffman(blob, pos, version, nrows, ncols,
+                               valid2d, dt, dt_code, arr), valid2d
+        # flag 0 → fall through to tiles
+
+    # ---- micro-block tiles ----
+    inv_scale = 2.0 * max_zerror
+    ntv = (nrows + mbsize - 1) // mbsize
+    nth = (ncols + mbsize - 1) // mbsize
+    sizes = {0: 1, 1: 1, 2: 2, 3: 2, 4: 4, 5: 4, 6: 4, 7: 8}
+    fmts = {0: "<b", 1: "<B", 2: "<h", 3: "<H", 4: "<i", 5: "<I",
+            6: "<f", 7: "<d"}
+
+    def dtype_used(tc: int) -> int:
+        if dt_code in (2, 4):      # short/int
+            return dt_code - tc
+        if dt_code in (3, 5):      # ushort/uint
+            return dt_code - 2 * tc
+        if dt_code == 6:           # float
+            return (6, 2, 1)[tc] if tc < 3 else 1
+        if dt_code == 7:           # double
+            return 7 if tc == 0 else dt_code - 2 * tc + 1
+        return dt_code
+
+    for it in range(ntv):
+        i0 = it * mbsize
+        i1 = min(nrows, i0 + mbsize)
+        for jt in range(nth):
+            j0 = jt * mbsize
+            j1 = min(ncols, j0 + mbsize)
+            flag = blob[pos]
+            pos += 1
+            if ((flag >> 2) & 15) != ((j0 >> 3) & 15):
+                raise ValueError("Lerc2: tile integrity check failed")
+            bits67 = flag >> 6
+            cflag = flag & 3
+            m = valid2d[i0:i1, j0:j1]
+            if cflag == 2:       # constant 0
+                blk = arr[i0:i1, j0:j1]
+                blk[m] = 0
+                arr[i0:i1, j0:j1] = blk
+                continue
+            if cflag == 0:       # raw values
+                cnt = int(m.sum())
+                vals = np.frombuffer(
+                    blob, np.dtype(dt).newbyteorder("<"), cnt, pos)
+                pos += cnt * np.dtype(dt).itemsize
+                blk = arr[i0:i1, j0:j1]
+                blk[m] = vals
+                arr[i0:i1, j0:j1] = blk
+                continue
+            du = dtype_used(bits67)
+            offset = struct.unpack_from(fmts[du], blob, pos)[0]
+            pos += sizes[du]
+            if cflag == 3:       # constant offset
+                blk = arr[i0:i1, j0:j1]
+                blk[m] = np.asarray(offset).astype(dt)
+                arr[i0:i1, j0:j1] = blk
+                continue
+            maxelem = (i1 - i0) * (j1 - j0)
+            vals, pos = _l2_bitstuffer2_decode(blob, pos, maxelem,
+                                               version)
+            z = offset + vals.astype(np.float64) * inv_scale
+            z = np.minimum(z, zmax)
+            blk = arr[i0:i1, j0:j1]
+            if len(vals) == maxelem:
+                arr[i0:i1, j0:j1] = z.reshape(i1 - i0,
+                                              j1 - j0).astype(dt)
+            else:
+                cnt = int(m.sum())
+                blk[m] = z[:cnt].astype(dt)
+                arr[i0:i1, j0:j1] = blk
+    return arr, valid2d
+
+
+def _l2_huffman(blob: bytes, pos: int, version: int, nrows: int,
+                ncols: int, valid2d: np.ndarray, dt, dt_code: int,
+                arr: np.ndarray) -> np.ndarray:
+    """DeltaHuffman image decode (v2/v3 flag 1)."""
+    hver, size, i0, i1 = struct.unpack_from("<4i", blob, pos)
+    pos += 16
+    if hver < 2 or size <= 0:
+        raise ValueError("Lerc2: bad Huffman header")
+    lens, pos = _l2_bitstuffer2_decode(blob, pos, i1 - i0, version)
+    code_len = np.zeros(size, np.int32)
+    for i in range(i0, i1):
+        code_len[i % size] = lens[i - i0]
+    # unstuff the codes (MSB-first u32 words)
+    bits = _L2Bits(blob, pos)
+    codes = {}
+    for i in range(i0, i1):
+        k = i % size
+        ln = int(code_len[k])
+        if ln > 0:
+            codes[(ln, bits.read(ln))] = k
+    pos += bits.consumed_bytes()
+    # decode the per-pixel stream
+    bits = _L2Bits(blob, pos)
+    offset = 128 if dt_code == 0 else 0
+    maxlen = int(code_len.max())
+    all_valid = bool(valid2d.all())
+    wrap = 1 << (8 * np.dtype(dt).itemsize)
+    flat = arr.reshape(-1)
+    vmask = valid2d.reshape(-1)
+    prev = 0
+    for k in range(nrows * ncols):
+        if not all_valid and not vmask[k]:
+            if k % ncols == ncols - 1:
+                pass
+            continue
+        ln = 0
+        code = 0
+        val = None
+        while ln < maxlen:
+            code = (code << 1) | bits.read(1)
+            ln += 1
+            v = codes.get((ln, code))
+            if v is not None:
+                val = v
+                break
+        if val is None:
+            raise ValueError("Lerc2: bad Huffman code")
+        delta = val - offset
+        j = k % ncols
+        i = k // ncols
+        if j > 0:
+            delta += prev
+        elif i > 0:
+            delta += int(flat[k - ncols])
+        else:
+            delta += prev
+        delta %= wrap
+        if dt_code == 0 and delta >= wrap // 2:
+            delta -= wrap
+        flat[k] = delta
+        prev = delta
+    return arr

@@ -34,9 +34,18 @@ class TestMRF:
         d = read_mrf(f"{M}/lerc_v1/byte.mrf")
         assert checksum_array(d["bands"][0]) == 4672
 
-    def test_lerc2_named_boundary(self):
-        with pytest.raises(NotImplementedError):
-            read_mrf(f"{M}/lerc/byte.mrf")
+    def test_lerc2(self):
+        d = read_mrf(f"{M}/lerc/byte.mrf")
+        assert checksum_array(d["bands"][0]) == 4672
+
+    def test_lerc2_delta_huffman_direct(self):
+        from gdal_ray.raster.mrf import lerc2_decode
+
+        blob = open(f"{M}/lerc/byte.lrc", "rb").read()
+        arr, mask = lerc2_decode(blob)
+        assert arr.shape == (512, 512)
+        assert mask.all()
+        assert checksum_array(arr[:20, :20]) == 4672
 
     def test_dispatch(self):
         from gdal_ray.raster.aaigrid import load_raster
