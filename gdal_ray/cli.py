@@ -27,6 +27,7 @@ The driver contract owns ray.init; standalone runs guard with
 
 from __future__ import annotations
 
+import re
 import shlex
 import sys
 
@@ -103,7 +104,13 @@ def resolve_vector_source(src_path: str, layer: str | None = None,
     # .geojson/.json → GeoJSON, .geojsonl/.ndjson → GeoJSONSeq,
     # .csv → CSV with WKT column, default parquet
     low = src_path.lower()
-    if low.endswith(".vrt"):
+    if low.endswith(".gdalg.json"):
+        # saved streamed pipeline (the reference's gdalg driver):
+        # {"type": "gdal_streamed_alg", "command_line":
+        #  "gdal vector pipeline ! read X ! ..."} — re-enter the
+        # pipeline compiler with paths rebased on the json location
+        source = lambda: run_gdalg_source(src_path)  # noqa: E731
+    elif low.endswith(".vrt"):
         from gdal_ray import vrtvector
 
         source = lambda: vrtvector.read_vrt_vector(  # noqa: E731
@@ -236,6 +243,73 @@ def resolve_vector_source(src_path: str, layer: str | None = None,
             src_path, columns=col_list
         )
     return source
+
+
+def parse_gdalg(path: str) -> tuple[str, str]:
+    """.gdalg.json → (kind, pipeline spec with rebased paths).
+    kind is "vector" or "raster"."""
+    import json
+    import os
+
+    from gdal_ray.vsi import vsi_read_bytes
+
+    raw = vsi_read_bytes(path).decode("utf-8")
+    # the reference's own fixtures carry trailing commas — tolerate
+    raw = re.sub(r",\s*}", "}", raw)
+    doc = json.loads(raw)
+    if doc.get("type") != "gdal_streamed_alg":
+        raise ValueError("gdalg: not a gdal_streamed_alg document")
+    cmd = doc.get("command_line", "")
+    m = re.match(r"gdal\s+(vector|raster)\s+pipeline\s*!?\s*(.*)",
+                 cmd, re.DOTALL)
+    if not m:
+        raise ValueError(f"gdalg: unsupported command line {cmd!r}")
+    kind, spec = m.group(1), m.group(2)
+    base = os.path.dirname(os.path.abspath(path))
+    # rebase relative paths in read/write steps
+    steps = [s.strip() for s in spec.split("!")]
+    out_steps = []
+    for s in steps:
+        toks = shlex.split(s)
+        if toks and toks[0] in ("read", "write") and len(toks) > 1 \
+                and not os.path.isabs(toks[1]) \
+                and "://" not in toks[1]:
+            toks[1] = os.path.normpath(os.path.join(base, toks[1]))
+            s = " ".join(shlex.quote(t) for t in toks)
+        out_steps.append(s)
+    return kind, " ! ".join(out_steps)
+
+
+def run_gdalg_source(path: str):
+    """A .gdalg.json vector pipeline → its result Dataset."""
+    kind, spec = parse_gdalg(path)
+    if kind != "vector":
+        raise ValueError("gdalg: raster pipelines open via "
+                         "load_raster/gdalg_raster")
+    source, transforms, _terminal = build_pipeline(spec)
+    ds = source()
+    for t in transforms:
+        ds = t(ds)
+    return ds
+
+
+def gdalg_raster(path: str) -> dict:
+    """A .gdalg.json raster pipeline → the raster dict of its read
+    step (transform steps beyond read are not yet mapped)."""
+    kind, spec = parse_gdalg(path)
+    if kind != "raster":
+        raise ValueError("gdalg: not a raster pipeline")
+    steps = [shlex.split(s.strip()) for s in spec.split("!")
+             if s.strip()]
+    if not steps or steps[0][0] != "read":
+        raise ValueError("gdalg: raster pipeline must start with read")
+    from gdal_ray.raster.aaigrid import load_raster
+
+    out = load_raster(steps[0][1])
+    if len(steps) > 1:
+        raise NotImplementedError(
+            "gdalg: raster transform steps not supported yet")
+    return out
 
 
 def build_pipeline(spec: str):
