@@ -436,6 +436,10 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.mrf import read_mrf
 
         return read_mrf(path)
+    if low.endswith(".gdalg.json"):
+        from gdal_ray.cli import gdalg_raster
+
+        return gdalg_raster(path)
     if low.endswith(".map") and b"RUU CROSS" in __import__(
             "gdal_ray.vsi", fromlist=["vsi"]).vsi_read_bytes(path)[:27]:
         from gdal_ray.raster.rawzoo import read_pcraster
