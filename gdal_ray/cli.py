@@ -27,6 +27,7 @@ The driver contract owns ray.init; standalone runs guard with
 
 from __future__ import annotations
 
+import os
 import re
 import shlex
 import sys
@@ -218,6 +219,11 @@ def resolve_vector_source(src_path: str, layer: str | None = None,
 
         source = lambda: rd.from_arrow(  # noqa: E731
             gmtvector.read_gmt(src_path))
+    elif low.endswith((".pnt", ".pol")) or (
+            low.endswith(".arc") and not os.path.isdir(src_path)):
+        from gdal_ray import miramon
+
+        source = lambda: miramon.read_miramon(src_path)  # noqa: E731
     elif low.endswith(".kml"):
         from gdal_ray import kmlgpx
 
