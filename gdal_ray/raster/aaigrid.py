@@ -453,10 +453,14 @@ def load_raster(path: str) -> dict:
         from gdal_ray.raster.ilwis import read_ilwis
 
         return read_ilwis(path)
-    if os.path.basename(low).startswith("grid_cell"):
+    if "grid_cell" in os.path.basename(low):
         from gdal_ray.raster.ctg import read_ctg
 
         return read_ctg(path)
+    if low.endswith(".sdem"):
+        from gdal_ray.raster.sigdem import read_sigdem
+
+        return read_sigdem(path)
     if low.endswith((".nc", ".cdf")):
         from gdal_ray.raster.netcdf import read_netcdf_array
 
